@@ -1,0 +1,102 @@
+"""SparkSession construction and test-table loading.
+
+Scale notes: every config here is chosen for the 100 TB target, then scaled
+down by env for local runs.  AQE handles skew-join splitting and runtime
+coalescing of shuffle partitions; the shuffle-partition default is sized from
+the local core count but on a real cluster should be ~2-3x total executor
+cores (or left to AQE's coalescing with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Dimension tables small enough to always broadcast (at any SF the TPC-H-ish
+#: region/nation tables are constant-size; part/supplier grow with SF but stay
+#: dim-like relative to lineitem).
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+_RUNTIME_CONFS = {
+    # events.parquet is written with TIMESTAMP(NANOS) which Spark refuses by
+    # default (PARQUET_TYPE_ILLEGAL); read the raw int64 and convert ourselves.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp rendering / epoch math vs the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle coalescing + skew-join splitting; free insurance at
+    # 100 TB where static partition counts are always wrong somewhere.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "dipper_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Arrow for any pandas-UDF path (similarity / multimodal operators)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session.
+
+    The verification driver hands us its own SparkSession; all confs we rely
+    on are SQL confs and therefore runtime-settable.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked down
+            pass
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing physical quirks.
+
+    ``events.ts`` arrives as int64 nanoseconds (see _RUNTIME_CONFS); it is
+    exposed both as ``ts_ns`` (long) and ``ts`` (timestamp, microsecond
+    precision — integer div by 1000, matching DuckDB's internal us truncation).
+    """
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
