@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-style action (collect for small
+outputs) — wall time includes scan, shuffle, and result materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set: scan-agg, star join, window topk, symmetric-pair network,
+#: json/scalar families, event-time windows, plus the heavier LLM-pipeline
+#: operators as they land.
+HEADLINE = [
+    "q_pricing_summary",
+    "q_star_join_revenue",
+    "q_topk_per_group",
+    "q_symmetric_pairs",
+    "q_interval_rollup",
+    "q_zscore_threshold",
+    "q_json_extract",
+    "q_windowed_events",
+    "q_hash_ids",
+    "q_range_join",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dipper_spark.plans import QUERIES
+    from dipper_spark.session import get_spark
+
+    spark = get_spark("dipper_spark-bench")
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM + parquet footers once so timings measure the queries
+    QUERIES[names[0]](spark, sf_dir).count()
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

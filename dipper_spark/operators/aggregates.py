@@ -1,0 +1,87 @@
+"""Aggregation operators — SURVEY §2.5 (A1-A9).
+
+Triple-set dedup / histograms / VoID stats live in core.triples; here are the
+generic analytic aggregations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_rollup(
+    df: DataFrame,
+    levels: Mapping[str, Column],
+    start: Column | str,
+    end: Column | str,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Hierarchical extent rollup: for every ancestor level of each row, the
+    min(start)/max(end)/count over its descendants.
+
+    Reference: UCSC cytoband parents get extents = min/max over child bands up
+    a prefix hierarchy 13q21.31→13q21.3→…→13 (UCSCBands.py:271-498, rollup at
+    459-496; parent generation Monochrom.make_parent_bands 348-368) — done
+    there with an ordered stateful Python loop.
+
+    Spark-first rewrite: explode each row into (level, ancestor_key) pairs,
+    then ONE groupBy — a single shuffle for the whole hierarchy instead of one
+    pass per level.  ``levels`` maps level-name → ancestor-key expression.
+    """
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    extra = extra_keys or []
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("level"), key.cast("string").alias("node"))
+            for name, key in levels.items()
+        ]
+    )
+    return (
+        df.select(*extra, s.alias("__start"), e.alias("__end"), F.explode(pairs).alias("__a"))
+        .groupBy(*extra, F.col("__a.level").alias("level"), F.col("__a.node").alias("node"))
+        .agg(
+            F.min("__start").alias("start"),
+            F.max("__end").alias("end"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+    )
+
+
+def group_zscore(
+    df: DataFrame,
+    group: str | list[str],
+    value: Column | str,
+    z_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score of a value column via an analytic window.
+
+    Reference: MPD computes strain z-scores against per-(measure,sex) means
+    and keeps |z| >= 2 (MPD._process_strainmeans_file 326-388, threshold at
+    416-418) — a two-pass dict build in Python; here one window (partial agg
+    + single shuffle on the group key).  stddev is the sample stddev (pandas/
+    numpy default ddof=1 used by the reference's mean lists).
+    """
+    group_cols = [group] if isinstance(group, str) else list(group)
+    v = F.col(value) if isinstance(value, str) else value
+    w = Window.partitionBy(*group_cols)
+    return df.withColumn(
+        z_col, (v - F.avg(v).over(w)) / F.stddev_samp(v).over(w)
+    )
+
+
+def hit_miss_counts(matched: DataFrame, missed: DataFrame) -> DataFrame:
+    """Hit/miss counters as a tiny metrics DataFrame.
+
+    Reference: A8 — GO uniprot map hit%/miss (GeneOntology.py:495-501),
+    STRING filtered_out_count (StringDB.py:209-225)."""
+    spark = matched.sparkSession
+    n_hit, n_miss = matched.count(), missed.count()
+    total = n_hit + n_miss
+    return spark.createDataFrame(
+        [(n_hit, n_miss, total, (100.0 * n_hit / total) if total else None)],
+        "n_hit long, n_miss long, n_total long, hit_pct double",
+    )

@@ -1,0 +1,155 @@
+"""Join operators — SURVEY §2.4 (J1-J11).
+
+Dipper implements every join as a driver-built Python dict probed during a
+scan — i.e. a manual broadcast hash join (e.g. MGI's idhash star flow,
+MGI.py:308-313 "this allows us to do the 'joining' on the fly").  Here each
+becomes a declarative join; small build sides get an explicit
+``F.broadcast`` hint, everything else is left to Catalyst/AQE (which will
+pick broadcast vs sort-merge vs shuffled-hash and split skewed partitions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Dict-probe join: broadcast the dimension side.
+
+    Reference: the MGI idhash/label_hash probes (MGI.py:535-545), ClinVar
+    gene→condition map (ClinVar.py:774-784), GO eco map — all dict lookups.
+
+    Scale note: correct while the dim fits in executor memory (dims here are
+    O(10⁵-10⁷) rows of ids/labels).  For dims that outgrow broadcast, drop the
+    hint and let AQE choose; co-locating via bucketing on the key removes the
+    fact-side shuffle entirely.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def join_with_miss_metrics(
+    fact: DataFrame, dim: DataFrame, on: str | list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Inner join + the unmatched remainder as a second DataFrame.
+
+    Reference: STRING counts and drops unmapped proteins
+    (StringDB.py:203-225); GO logs uniprot map hit/miss percentages
+    (GeneOntology.py:285-286,495-501).  matched = inner join,
+    missed = anti join; both reuse the same broadcast build side.
+    """
+    matched = fact.join(F.broadcast(dim), on, "inner")
+    missed = fact.join(F.broadcast(dim), on, "left_anti")
+    return matched, missed
+
+
+def one_to_one_mappings(mapping: DataFrame, key: str, value: str) -> DataFrame:
+    """Restrict a mapping table to keys with exactly one value.
+
+    Reference: GO's uniprot→entrez map keeps only 1:1 rows
+    (GeneOntology.py:503-570); CurieUtil warns on non-1:1 (CurieUtil.py:20-26).
+
+    Window-free formulation: groupBy(key) with count + max keeps it a single
+    partial-aggregatable shuffle (no sort), then values with count==1.
+    """
+    return (
+        mapping.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"), F.max(value).alias(value))
+        .filter(F.col("__n") == 1)
+        .drop("__n")
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point: Column | str,
+    start: Column | str,
+    end: Column | str,
+    extra_eq: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Point-in-interval join (inclusive bounds).
+
+    Reference: UDP tests variant position against gene [start,end] per chrom
+    (UDP.py:330-446, test at 372-375) — dipper does it with a dict-of-coords
+    probe per row.
+
+    Physical strategy: with an equality key (e.g. chrom) Catalyst plans a
+    hash join with the range as residual — the right plan at any scale.
+    Without one it is a broadcast-nested-loop; keep the interval side small
+    (gene models are) or pre-bucketize points into interval-aligned bins to
+    restore an equi-key.
+    """
+    p, s, e = _c(point), _c(start), _c(end)
+    cond = (p >= s) & (p <= e)
+    for lc, rc in extra_eq or []:
+        cond = (points[lc] == intervals[rc]) & cond
+    return points.join(intervals, cond)
+
+
+def composite_key(cols: Iterable[Column | str], sep: str = "-") -> Column:
+    """Computed composite join key.
+
+    Reference: ZFIN's phenotype octuple → ZP-id key (_make_zpkey,
+    ZFIN.py:2818-2826 joins ids with '-')."""
+    return F.concat_ws(sep, *[_c(c) for c in cols])
+
+
+def canonical_pair(a: Column | str, b: Column | str) -> tuple[Column, Column]:
+    """Symmetric-edge canonicalization: order the endpoints lexicographically
+    so each undirected edge appears once.
+
+    Reference: STRING orders the two proteins before emitting one direction
+    of 'interacts with' (StringDB.py:200-208)."""
+    ca, cb = _c(a), _c(b)
+    return F.least(ca, cb), F.greatest(ca, cb)
+
+
+def pairwise_within_group(
+    df: DataFrame, group: str | list[str], id_col: str, payload: list[str] | None = None
+) -> DataFrame:
+    """All ordered pairs (id1 < id2) within a group — the SCV-linking shape.
+
+    Reference: ClinVar links every SCV pair within an RCV with agree/conflict
+    predicates (scv_link, ClinVar.py:233-278) via nested Python loops; here a
+    self-equi-join on the group key with a ``<`` residual.
+
+    Scale note: output is quadratic in group size; for skewed groups cap the
+    group cardinality upstream (dipper's RCVs are small) or salt the key.
+    """
+    group_cols = [group] if isinstance(group, str) else list(group)
+    payload = payload or []
+    left = df.select(*group_cols, F.col(id_col).alias("id1"), *[F.col(c).alias(f"{c}_1") for c in payload])
+    right = df.select(*group_cols, F.col(id_col).alias("id2"), *[F.col(c).alias(f"{c}_2") for c in payload])
+    return left.join(right, group_cols).filter(F.col("id1") < F.col("id2"))
+
+
+def explode_pairs(df: DataFrame, arr_a: str, arr_b: str) -> DataFrame:
+    """Cross-product expansion of two array columns (1:N x 1:M mappings).
+
+    Reference: STRING expands gene-curie lists pairwise
+    (StringDB.py:212-218)."""
+    return df.withColumn(arr_a, F.explode(arr_a)).withColumn(arr_b, F.explode(arr_b))
+
+
+def semi_join(df: DataFrame, other: DataFrame, on: str | list[str]) -> DataFrame:
+    """Existence check (reference: mondo xref membership,
+    DipperUtil.is_id_in_mondo, DipperUtil.py:110-125)."""
+    return df.join(other, on, "left_semi")
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: str | list[str]) -> DataFrame:
+    """Non-existence check (reference: KEGG omim↔disease reconciliation
+    branches, KEGG.py:466-634)."""
+    return df.join(other, on, "left_anti")
