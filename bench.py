@@ -31,6 +31,13 @@ HEADLINE = [
     "q_windowed_events",
     "q_hash_ids",
     "q_range_join",
+    # LLM-pipeline operators
+    "q_doc_fingerprint",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_cosine_topk",
+    "q_ann_ivf",
+    "q_embedding_neardup",
 ]
 
 

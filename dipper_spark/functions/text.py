@@ -1,0 +1,101 @@
+"""Text-analysis column functions for LLM-data-pipeline operators:
+tokenization, shingling, language-ID heuristic, quality scoring, document
+fingerprinting.
+
+These extend the reference's string toolbox (SURVEY §2.9: split/regexp/case
+families used across every source) into the training-data-pipeline operators
+the engine adds beyond parity.  All pure column expressions — no UDFs, fully
+codegen/pushdown friendly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: language marker words for the n-gram/stopword language-ID heuristic.
+#: Order matters: argmax ties resolve in this priority order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "es": ["el", "los", "las", "y", "una"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization after lower+trim (the GAF/HPOA split-multivalue
+    pattern, e.g. HPOAnnotations.py:280, generalized)."""
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; empty array when the doc has < n tokens.
+
+    The short-doc case needs an explicit branch: Spark's sequence(1, 0)
+    counts DOWN ([1,0]), it does not produce an empty array."""
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens (with multiplicity) that are in ``words``."""
+    return F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document quality in [0,1]:
+    0.5·min(n_tokens/100, 1) + 0.3·distinct_token_ratio +
+    0.2·min(10·stopword_ratio, 1).
+
+    The length/stopword/diversity mix follows the common pretraining-corpus
+    quality heuristics (Gopher/C4-style rules) expressed as arithmetic."""
+    t = tokens(col)
+    n = F.size(t).cast("double")
+    distinct_ratio = F.size(F.array_distinct(t)) / n
+    stop_ratio = stopword_hits(t, EN_STOPWORDS) / n
+    return F.round(
+        F.least(n / 100.0, F.lit(1.0)) * 0.5
+        + distinct_ratio * 0.3
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language ID: argmax of per-language marker hits with
+    deterministic priority ties (en > de > fr > es); 'und' (undetermined)
+    when nothing matches."""
+    t = tokens(col)
+    hits = {lang: stopword_hits(t, words) for lang, words in LANG_MARKERS.items()}
+    mx = F.greatest(*hits.values())
+    expr = F.when(mx == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # priority order: first lang reaching max wins
+        expr = expr.when(hits[lang] == mx, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Canonical bag-of-words fingerprint: md5 over the sorted distinct token
+    set — invariant to token order and repetition (the dedup-key analog of
+    dipper's content-addressed ids, Source.py:248-278)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def prefix_fingerprint(col: Column | str, n_tokens: int = 8) -> Column:
+    """Fingerprint of the first ``n_tokens`` tokens — a cheap near-dup
+    blocking key (documents sharing a long prefix are dup candidates)."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)))

@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding near-dup.
+
+These are the beyond-reference operators (BASELINE.json north star): the
+reference's only dedup is triple-set semantics (A1); a 100 TB corpus needs
+content near-dup detection.  All stages are relational — shingle explodes,
+hash-aggregations, and equi-joins — so they shuffle on content keys and scale
+horizontally; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dipper_spark.functions.text import tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column, min_group: int = 1) -> DataFrame:
+    """Exact/canonical-key dedup: groups by a content key, electing the
+    minimum id as canonical representative.
+
+    Returns (key, canonical_id, n_dups).  ``min_group=2`` keeps only actual
+    duplicate groups.  One hash-agg shuffle on the content key.
+    """
+    out = (
+        df.groupBy(key.alias("dup_key"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+    return out.filter(F.col("n_dups") >= min_group) if min_group > 1 else out
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) long table over DISTINCT word n-grams per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity >= threshold.
+
+    Inverted-index formulation: self-join on the shingle (docs sharing no
+    shingle never meet), count shared shingles, then J = |∩|/(|A|+|B|-|∩|).
+
+    Scale note: fan-out is bounded by shingle-bucket sizes; hot shingles
+    (boilerplate) explode quadratically — at scale, drop top-frequency
+    shingles first (stopword-shingle pruning) or use minhash_lsh_pairs which
+    bounds candidate generation by construction.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("id", "id_1").withColumnRenamed("n_sh", "n_1"), "id_1")
+        .join(sizes.withColumnRenamed("id", "id_2").withColumnRenamed("n_sh", "n_2"), "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_1", "id_2", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 8
+) -> DataFrame:
+    """MinHash signatures: perm k = min over shingles of md5('k:' || shingle).
+
+    Hex-string min is a valid min-wise hash (uniform over the md5 space) and
+    is engine-portable (identical md5/ordering in any SQL engine — the
+    property the oracle check needs).  One explode + one groupBy computing all
+    K mins as parallel aggregates — a single shuffle regardless of K.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_perm: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: hash each band of ``rows_per_band`` signature slots;
+    docs colliding in ANY band become candidate pairs.
+
+    Relational form: explode (band_idx, band_key) then self-equi-join — the
+    shuffle key is the band hash, so candidate generation is linear in
+    collisions, never all-pairs.
+    """
+    n_bands = num_perm // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection with exact-Jaccard verification.
+
+    candidates (LSH, ~linear) → verify TRUE Jaccard only on candidates via
+    array_intersect on per-doc shingle sets.  The verify join is proportional
+    to candidates, not to corpus².
+    """
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, n, num_perm), num_perm, rows_per_band
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("sh_set"),
+    )
+    withsets = (
+        cands.join(sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
+        .join(sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")
+    )
+    inter = F.size(F.array_intersect("set_1", "set_2"))
+    union = F.size("set_1") + F.size("set_2") - inter
+    return (
+        withsets.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Column | DataFrame:
+    """SimHash over distinct tokens: bit j of md5(token)'s leading nibbles
+    votes +1/-1; the sign of each bit-sum forms the fingerprint.
+
+    Bit extraction stays in hex-string space (strpos into '0123456789abcdef'
+    then shift/mask) — engine-portable, no hex→int casting.  One explode +
+    one groupBy with ``bits`` parallel sums.
+    """
+    assert bits % 4 == 0 and bits <= 32
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    hexdigits = "0123456789abcdef"
+    votes = []
+    for j in range(bits):
+        nib = F.substring(h, j // 4 + 1, 1)
+        bit = F.shiftright(F.instr(F.lit(hexdigits), nib) - 1, j % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}"))
+    sums = tok.groupBy("id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    All-pairs formulation for verification-scale data; the 100 TB path blocks
+    on bit-bands first (pigeonhole: distance <= k ⇒ equal in one of k+1
+    bands), turning this into an equi-join exactly like LSH banding.
+    """
+    a, b = sim.alias("a"), sim.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"), "hamming"
+        )
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+IVF-style bucketed approximate variant.
+
+Beyond-reference operators (BASELINE.json north star).  The correctness-path
+expressions use functions.vectors (double-accumulated, oracle-bit-exact); the
+scale path swaps the inner product for an Arrow pandas-UDF (numpy matmul over
+batches) without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dipper_spark.functions.vectors import cosine
+from dipper_spark.operators.windows import topk_per_group
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k: every query scored against every corpus row.
+
+    Both inputs: (vec_id, embedding).  The query side is broadcast — the scan
+    over the corpus is a single pass, embarrassingly parallel, no shuffle
+    until the final per-query top-k (tiny).  At 100 TB this is the exact-recall
+    baseline; cost is linear in corpus x queries.
+    """
+    q = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = q.join(c, F.lit(True))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim")
+    )
+    return topk_per_group(
+        scored,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+             F.col("rank").cast("long").alias("rank"))
+
+
+def assign_buckets(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF assignment: each vector goes to its max-cosine centroid
+    (deterministic ties: lowest centroid id).  Centroids are broadcast; the
+    assignment is one scan over the vectors."""
+    c = F.broadcast(
+        centroids.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+    )
+    scored = vectors.join(c, F.lit(True)).select(
+        "vec_id", "embedding", "cent_id", cosine("embedding", "cent_emb").alias("cent_cos")
+    )
+    return (
+        topk_per_group(
+            scored,
+            "vec_id",
+            [F.col("cent_cos").desc(), F.col("cent_id").asc()],
+            k=1,
+        )
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF(nprobe=1) approximate top-k: corpus bucketed by nearest centroid;
+    each query searches only its own bucket.
+
+    Centroids here are the first ``n_centroids`` corpus vectors (deterministic
+    — a k-means refinement would drop in without changing the plan).  Scale
+    path: bucket assignment is a broadcast pass; the probe join shuffles on
+    the bucket id, so each query touches ~1/n_centroids of the corpus.
+    """
+    centroids = corpus.filter(F.col("vec_id") < n_centroids)
+    bucketed = assign_buckets(corpus, centroids).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    q_bucketed = assign_buckets(queries, centroids).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    scored = (
+        q_bucketed.join(bucketed, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    )
+    return topk_per_group(
+        scored,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+             F.col("rank").cast("long").alias("rank"))
+
+
+def blocked_neardup(emb: DataFrame, block_col: str = "label", threshold: float = 0.3) -> DataFrame:
+    """Embedding near-dup pairs within blocking buckets: self-equi-join on the
+    block key (cluster/label/LSH bucket), cosine >= threshold.
+
+    Blocking turns all-pairs O(n²) into sum of per-bucket quadratics — the
+    standard scale move; bucket skew is handled by AQE skew-join splitting.
+    """
+    a = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"), F.col(block_col).alias("b"))
+    b = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"), F.col(block_col).alias("b"))
+    return (
+        a.join(b, "b")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cos_sim", cosine("e1", "e2"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("b").alias(block_col), "id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -79,7 +79,7 @@ def _r2(c):  # noqa: ANN001 - column-expr helper
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_discount), 6)                                        AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
@@ -105,7 +105,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
             _r2(F.sum(disc_price)).alias("sum_disc_price"),
             _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            # rounding scale exceeds the exact decimal precision of the
+            # average (int-sum / count) so no round-half boundary can occur
+            # between engines
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -683,7 +686,7 @@ def q_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           count(*) AS n, round(avg(value), 4) AS avg_value
+           count(*) AS n, round(avg(value), 6) AS avg_value
     FROM events GROUP BY k
     """,
 )
@@ -695,7 +698,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
         )
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        # round-6 exceeds the 5-decimal exact precision of (2-dec sum / 2^k
+        # count) averages — avoids engine-dependent round-half behavior
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
 
 

@@ -1,0 +1,339 @@
+"""Query catalog, part 2: LLM-data-pipeline operators over documents and
+embeddings — dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding near-dup), similarity search (brute-force + IVF), text analysis
+(token stats, quality, language-ID, fingerprints).
+
+Oracle parity notes:
+- tokenization, shingling, md5, lexicographic mins and double-accumulated
+  dot products are all bit-identical between Spark and DuckDB (verified);
+- DuckDB's list_cosine_similarity is float32 — oracles use the explicit
+  double formulation from functions.vectors.duckdb_cosine instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dipper_spark.functions.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    prefix_fingerprint,
+    quality_score,
+    token_count,
+    tokens,
+)
+from dipper_spark.functions.vectors import duckdb_cosine
+from dipper_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from dipper_spark.operators.similarity import blocked_neardup, cosine_topk, ivf_topk
+from dipper_spark.plans.catalog import register
+from dipper_spark.session import load_table
+
+# ---- shared DuckDB fragments -------------------------------------------------
+
+TOK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _shingles_sql(t: str, n: int = 3) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({t})-{n}+2, 1)), "
+        f"i -> array_to_string(({t})[i:i+{n - 1}], ' '))"
+    )
+
+
+def _lang_hits_sql(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({TOK}, t -> list_contains({arr}, t)))"
+
+
+# ---- text analysis ----------------------------------------------------------
+
+
+@register(
+    "q_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({TOK}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({TOK})) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — the base text-analysis op."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           round(least(len({TOK}) / 100.0, 1.0) * 0.5
+                 + (len(list_distinct({TOK})) / CAST(len({TOK}) AS DOUBLE)) * 0.3
+                 + least(({_lang_hits_sql(LANG_MARKERS["en"])}
+                          / CAST(len({TOK}) AS DOUBLE)) * 10.0, 1.0) * 0.2,
+                 6) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / diversity / stopword-ratio mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+_LANG_CASE = f"""
+    CASE WHEN greatest({", ".join(_lang_hits_sql(w) for w in LANG_MARKERS.values())}) = 0
+         THEN 'und'
+         {" ".join(f"WHEN {_lang_hits_sql(w)} = greatest({', '.join(_lang_hits_sql(x) for x in LANG_MARKERS.values())}) THEN '{lang}'" for lang, w in LANG_MARKERS.items())}
+         ELSE 'und' END
+"""
+
+
+@register(
+    "q_lang_id",
+    f"""
+    SELECT lang, {_LANG_CASE} AS predicted, count(*) AS n
+    FROM documents GROUP BY lang, predicted
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax) vs the metadata lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({TOK})), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical bag-of-words fingerprint (order/repetition invariant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+# ---- dedup ------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    f"""
+    SELECT md5(array_to_string(({TOK})[1:8], ' ')) AS dup_key,
+           min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY dup_key HAVING count(*) >= 2
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content key (8-token-prefix fingerprint): canonical
+    representative = min doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", prefix_fingerprint("text", 8), min_group=2)
+
+
+_SH = _shingles_sql(TOK, 3)
+
+_JACCARD_SQL = f"""
+    WITH sh AS (SELECT doc_id AS id, unnest(list_distinct({_SH})) AS s FROM documents),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_1, id_2,
+           round(n_common / CAST(z1.n + z2.n - n_common AS DOUBLE), 6) AS jaccard
+    FROM inter JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
+    WHERE n_common / CAST(z1.n + z2.n - n_common AS DOUBLE) >= 0.5
+"""
+
+
+@register("q_ngram_jaccard", _JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-3-gram Jaccard >= 0.5 via the inverted shingle index."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_sql(num_perm: int = 8, rows_per_band: int = 2, threshold: float = 0.8) -> str:
+    n_bands = num_perm // rows_per_band
+    sig_cols = ", ".join(
+        f"min(md5('{k}:' || s)) AS mh{k}" for k in range(num_perm)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id AS id, unnest(list_distinct({_SH})) AS s FROM documents),
+    sig AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    ver AS (SELECT c.id_1, c.id_2, count(*) AS n_common
+            FROM cand c
+            JOIN sh s1 ON s1.id = c.id_1
+            JOIN sh s2 ON s2.id = c.id_2 AND s2.s = s1.s
+            GROUP BY c.id_1, c.id_2)
+    SELECT id_1, id_2,
+           round(n_common / CAST(z1.n + z2.n - n_common AS DOUBLE), 6) AS jaccard
+    FROM ver JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
+    WHERE n_common / CAST(z1.n + z2.n - n_common AS DOUBLE) >= {threshold}
+    """
+
+
+@register("q_minhash_lsh", _minhash_sql())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) + LSH(4 bands of 2) candidates, exact-Jaccard
+    verified at >= 0.8.  The oracle mirrors the SAME pipeline, so both sides
+    see identical candidate sets (hex-min minhash is engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=8, rows_per_band=2, threshold=0.8
+    )
+    return out.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_sql(bits: int = 16) -> tuple[str, str]:
+    hexd = "0123456789abcdef"
+    votes = ", ".join(
+        f"sum(CASE WHEN ((strpos('{hexd}', substr(md5(t), {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return votes, fp
+
+
+_SIMHASH_VOTES, _SIMHASH_FP = _simhash_sql(16)
+
+_SIMHASH_CTE = f"""
+    WITH tok AS (SELECT doc_id AS id, unnest(list_distinct({TOK})) AS t FROM documents),
+    sums AS (SELECT id, {_SIMHASH_VOTES} FROM tok GROUP BY id),
+    sim AS (SELECT id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM sums)
+"""
+
+
+@register("q_simhash", _SIMHASH_CTE + "SELECT id, simhash FROM sim")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (distinct-token votes, md5-nibble bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "q_simhash_pairs",
+    _SIMHASH_CTE
+    + """
+    SELECT a.id AS id_1, b.id AS id_2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 1 (all-pairs verification form;
+    banded blocking is the scale path, see operators.dedup.simhash_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(simhash(docs, "doc_id", "text", 16), max_hamming=1)
+
+
+# ---- embedding similarity ---------------------------------------------------
+
+_COS_AB = duckdb_cosine("a.embedding", "b.embedding")
+
+
+@register(
+    "q_embedding_neardup",
+    f"""
+    SELECT a.label AS label, a.vec_id AS id_1, b.vec_id AS id_2,
+           round({_COS_AB}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= 0.3
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by the cluster label (the LSH-bucket
+    pattern): cosine >= 0.3 within blocks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_neardup(emb, "label", threshold=0.3)
+
+
+_COS_QC = duckdb_cosine("q.embedding", "c.embedding")
+
+
+@register(
+    "q_cosine_topk",
+    f"""
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_QC} AS c,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY {_COS_QC} DESC, c.vec_id) AS BIGINT) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors — the exact-recall ANN
+    baseline (broadcast queries, single corpus pass, per-query top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+_COS_EC = duckdb_cosine("e.embedding", "cent.ce")
+
+
+@register(
+    "q_ann_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, embedding, cid AS bucket FROM (
+        SELECT e.vec_id, e.embedding, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_EC} DESC, cent.cid) AS rn
+        FROM embeddings e CROSS JOIN cent)
+      WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_QC} AS c
+      FROM (SELECT * FROM assign WHERE vec_id < 5) q
+      JOIN assign c ON q.bucket = c.bucket AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, c,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nprobe=1) approximate top-5: corpus bucketed by nearest of 16
+    deterministic centroids; each query searches only its bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, n_centroids=16, k=5)

@@ -1,0 +1,138 @@
+"""Text-analysis and dedup operator unit tests (edge cases the oracle gate
+doesn't reach: short docs, empty shingles, signature shapes)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dipper_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from dipper_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from dipper_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content here entirely"),
+        (4, "tiny"),  # fewer tokens than shingle width
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tokens_and_shingles_edges(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        F.size(word_shingles(tokens("text"), 3)).alias("n_sh"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n == 9 and by_id[1].n_sh == 7
+    assert by_id[4].n == 1 and by_id[4].n_sh == 0  # < n tokens -> empty, not null
+
+
+def test_exact_dedup_elects_min_id(spark, docs):
+    groups = exact_dedup(docs, "doc_id", F.md5(F.col("text")), min_group=2).collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_id == 1 and groups[0].n_dups == 2
+
+
+def test_jaccard_and_minhash_agree_on_planted_dups(spark, docs):
+    exact = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.5).collect()
+    }
+    assert (1, 5) in exact and exact[(1, 5)] == 1.0
+    assert (1, 2) in exact and 0.5 < exact[(1, 2)] < 1.0
+
+    lsh = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, num_perm=8, rows_per_band=2, threshold=0.5
+        ).collect()
+    }
+    # identical docs always collide in every band; LSH finds them with j match
+    assert lsh[(1, 5)] == 1.0
+    # every LSH-verified pair must carry the exact jaccard value
+    for pair, j in lsh.items():
+        assert exact.get(pair) == j
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = minhash_signatures(docs.filter("doc_id < 4"), "doc_id", "text", 3, num_perm=8)
+    assert sig.columns == ["id"] + [f"mh{k}" for k in range(8)]
+    rows = {r.id: r for r in sig.collect()}
+    assert len(rows) == 3
+    # identical input -> identical signature (determinism)
+    sig2 = {r.id: r for r in minhash_signatures(docs.filter("doc_id < 4"), "doc_id", "text", 3, 8).collect()}
+    assert rows[1].mh0 == sig2[1].mh0
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text", 3, 8), 8, 2
+    ).collect()
+    assert (1, 5) in {(r.id_1, r.id_2) for r in cands}
+
+
+def test_simhash_dup_distance_zero(spark, docs):
+    sim = simhash(docs, "doc_id", "text", bits=16)
+    vals = {r.id: r.simhash for r in sim.collect()}
+    assert vals[1] == vals[5]  # identical docs -> identical fingerprint
+    assert 0 <= vals[1] < (1 << 16)
+    pairs = {(r.id_1, r.id_2): r.hamming for r in simhash_pairs(sim, max_hamming=16).collect()}
+    assert pairs[(1, 5)] == 0
+    # near-dup differs in few bits; disjoint docs in many
+    assert pairs[(1, 2)] <= pairs[(1, 3)]
+
+
+def test_quality_lang_fingerprint(spark, docs):
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            quality_score("text").alias("q"),
+            lang_id("text").alias("lang"),
+            doc_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert 0.0 <= out[1].q <= 1.0
+    assert out[1].lang == "en"  # contains 'the' + 'over'... marker 'the'
+    assert out[4].lang == "und"
+    assert out[1].fp == out[5].fp and out[1].fp != out[3].fp
+
+
+def test_cosine_and_ivf_topk(spark):
+    # three tight clusters around orthogonal axes, interleaved so the first
+    # 3 ids (the deterministic IVF centroids) cover all three clusters
+    rows = []
+    for i in range(30):
+        axis = i % 3
+        v = [0.01 * (i % 10), 0.02 * (i % 7), 0.015 * (i % 5)]
+        v[axis] += 1.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bf = cosine_topk(emb.filter("vec_id < 2"), emb, k=3)
+    got = bf.collect()
+    assert len(got) == 6
+    top = [r for r in got if r.query_id == 0 and r.rank == 1][0]
+    assert top.neighbor_id % 3 == 0  # nearest neighbor stays in the x cluster
+    assert all(r.neighbor_id != r.query_id for r in got)
+    ivf = ivf_topk(emb.filter("vec_id < 2"), emb, n_centroids=3, k=3).collect()
+    assert {r.query_id for r in ivf} == {0, 1}
+    # IVF searches only the query's own bucket -> neighbors share the cluster
+    assert all(r.neighbor_id % 3 == r.query_id % 3 for r in ivf)
+    assert all(r.cos_sim <= 1.000001 for r in ivf)
