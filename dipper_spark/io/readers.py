@@ -1,0 +1,245 @@
+"""Contract-checked file readers (SURVEY.md §2.1 S2/S4/S6/S8, §1.3).
+
+The reference declares a ``files = {key: {file, url, columns}}`` contract per
+source and validates real headers against it before parsing
+(``Source.check_fileheader``, dipper/sources/Source.py:798-828).  Here the
+same contract gates a ``spark.read.csv`` scan, and columns are always selected
+by NAME, never position, so upstream column reordering is harmless.
+
+Scale notes
+-----------
+* csv/gz scans split per-file (gz is unsplittable) — at 100 TB the staging
+  layer should land many moderate files, which these readers take as globs.
+* the XML stanza reader parallelizes per *file* (an unsplittable format);
+  memory stays bounded via iterparse + ``elem.clear()`` exactly like the
+  reference (ClinVar.py:824-833, Source.py:529).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG = logging.getLogger(__name__)
+
+
+class HeaderError(AssertionError):
+    """Raised when a file header is missing expected columns
+    (reference raises bare AssertionError, Source.py:819-821)."""
+
+
+def check_fileheader(expected: list[str], received: list[str], src_key: str | None = None) -> bool:
+    """Header-contract validation with evolution tolerance (reference:
+    Source.check_fileheader, dipper/sources/Source.py:798-828).
+
+    Hard-fails when expected columns are MISSING; warns (passes) on new or
+    reordered columns.  Returns True when received covers expected.
+    """
+    exp, got = set(expected), set(received)
+    if expected != received:
+        LOG.error(
+            "file resource: %s\nExpected header:\n %s\nReceived header:\n %s",
+            src_key, expected, received,
+        )
+        if exp - got:
+            LOG.error("Missing: %s", exp - got)
+            raise HeaderError(f"Incoming headers are missing expected column(s): {sorted(exp - got)}")
+        if got - exp:
+            LOG.warning("Additional new columns: %s", got - exp)
+        else:
+            LOG.warning("Check columns order")
+    return (exp ^ got) & exp == set()
+
+
+def read_delim(
+    spark: SparkSession,
+    path: str | list[str],
+    columns: list[str] | None = None,
+    *,
+    sep: str = "\t",
+    header: bool = True,
+    comment: str | None = None,
+    encoding: str = "UTF-8",
+    header_prefix: str = "",
+    src_key: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Contract-checked delimited scan (reference pattern: csv.reader loops in
+    every source, e.g. HPOAnnotations.py:188-207; latin-1 cases Coriell.py:310).
+
+    ``columns`` is the declared contract; when ``header`` the real header is
+    validated via :func:`check_fileheader` then columns are selected by name.
+    ``header_prefix`` strips a leading marker from the first header cell (NCBI
+    ``#tax_id``, HPOA ``#DatabaseID`` shapes).  gz compression is automatic.
+    ``limit`` mirrors the CLI ``--limit`` row cap (dipper-etl.py:73) — Catalyst
+    pushes it into the scan (P7).
+    """
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", header)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+    )
+    if comment:
+        reader = reader.option("comment", comment)
+    df = reader.csv(path)
+    if header:
+        received = [c.lstrip(header_prefix) if header_prefix else c for c in df.columns]
+        if received != df.columns:
+            df = df.toDF(*received)
+        if columns:
+            check_fileheader(columns, received, src_key)
+            df = df.select(*columns)
+    elif columns:
+        got_n, want_n = len(df.columns), len(columns)
+        if got_n < want_n:
+            # row-width sanity check (reference: Source._check_list_len,
+            # Source.py:531-542; GAF col count GeneOntology.py:297-301)
+            raise HeaderError(f"{src_key}: expected {want_n} columns, scan found {got_n}")
+        df = df.toDF(*columns, *df.columns[want_n:]).select(*columns)
+    return df.limit(limit) if limit else df
+
+
+#: GAF 2.x column contract (reference: GeneOntology.py:51-69)
+GAF_COLUMNS = [
+    "DB", "DB_Object_ID", "DB_Object_Symbol", "Qualifier", "GO_ID",
+    "DB_Reference", "Evidence_Code", "With_or_From", "Aspect",
+    "DB_Object_Name", "DB_Object_Synonym", "DB_Object_Type", "Taxon",
+    "Date", "Assigned_By", "Annotation_Extension", "Gene_Product_Form_ID",
+]
+
+
+def read_gaf(spark: SparkSession, path: str | list[str], limit: int | None = None) -> DataFrame:
+    """GO gene-association scan (reference: GeneOntology.process_gaf,
+    dipper/sources/GeneOntology.py:289-301; '!' comment lines, no header).
+
+    Multi-valued columns are split to arrays (pipe-separated refs/synonyms,
+    GeneOntology.py:336,365); Taxon keeps the first of the pipe pair.
+    """
+    df = read_delim(
+        spark, path, GAF_COLUMNS, header=False, comment="!", src_key="gaf", limit=limit
+    )
+    return df.select(
+        "DB", "DB_Object_ID", "DB_Object_Symbol", "Qualifier", "GO_ID",
+        F.split("DB_Reference", r"\|").alias("refs"),
+        "Evidence_Code",
+        F.split("With_or_From", r"\|").alias("with_from"),
+        "Aspect", "DB_Object_Name",
+        F.split("DB_Object_Synonym", r"\|").alias("synonyms"),
+        "DB_Object_Type",
+        F.regexp_replace(F.split("Taxon", r"\|").getItem(0), "^taxon:", "NCBITaxon:").alias("taxon"),
+        "Date", "Assigned_By",
+    )
+
+
+#: GFF3 column contract (reference: AnimalQTLdb._process_qtls_genomic_location,
+#: dipper/sources/AnimalQTLdb.py:633-660)
+GFF_COLUMNS = [
+    "seqname", "source", "feature_type", "start", "end", "score", "strand", "frame", "attributes",
+]
+
+
+def read_gff(spark: SparkSession, path: str | list[str], limit: int | None = None) -> DataFrame:
+    """9-column GFF scan with the ``key=value;...`` attribute bag parsed into a
+    MapType column (reference: AnimalQTLdb.py:690-705 builds the same dict
+    row-at-a-time; WormBase.process_feature_loc WormBase.py:689+).
+
+    Pure column expressions — ``str_to_map`` stays JVM-side.
+    """
+    df = read_delim(
+        spark, path, GFF_COLUMNS, header=False, comment="#", src_key="gff", limit=limit
+    )
+    return df.select(
+        "seqname", "source", "feature_type",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "score", "strand", "frame",
+        F.expr(r"str_to_map(attributes, ';\s*', '=')").alias("attributes"),
+    )
+
+
+def read_mapping(spark: SparkSession, path: str) -> dict[str, str]:
+    """2-column TSV label→id mapping loaded driver-side for broadcast
+    (reference: Source.parse_mapping_file, dipper/sources/Source.py:683-699)."""
+    rows = (
+        spark.read.option("sep", "\t").csv(path)
+        .select(F.col("_c0").alias("k"), F.col("_c1").alias("v"))
+        .collect()
+    )
+    return {r["k"]: r["v"] for r in rows}
+
+
+def read_xml_stanzas(
+    spark: SparkSession,
+    paths: list[str],
+    row_tag: str,
+    parse_fn: Callable[[object], dict | None],
+    schema: StructType,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Streaming XML stanza scan distributed one-file-per-task (reference:
+    ClinVar iterparse loop, dipper/sources/ClinVar.py:824-848; generic table
+    walker Source.process_xml_table, Source.py:497-529).
+
+    ``parse_fn(elem) -> dict | None`` maps one ``<row_tag>`` element to a row
+    dict (None drops it).  A stanza whose parse raises is routed to
+    ``corrupt_col`` as its serialized XML, mirroring the reference's reject
+    file (ClinVar.py:753-760) as PERMISSIVE-mode corrupt-record routing.
+    Memory is bounded per task: ``elem.clear()`` after every stanza.
+    """
+    import xml.etree.ElementTree as ET
+
+    out_schema = StructType(schema.fields).add(corrupt_col, "string")
+    field_names = [f.name for f in schema.fields]
+
+    def scan(part: Iterator[Row]) -> Iterator[Row]:
+        import gzip
+
+        for file_row in part:
+            fpath = file_row.path
+            opener = gzip.open if fpath.endswith(".gz") else open
+            with opener(fpath, "rb") as handle:
+                for _event, elem in ET.iterparse(handle):
+                    if elem.tag != row_tag:
+                        continue
+                    try:
+                        rec = parse_fn(elem)
+                        if rec is not None:
+                            rec = {k: rec.get(k) for k in field_names}
+                            rec[corrupt_col] = None
+                            yield Row(**rec)
+                    except Exception:  # noqa: BLE001 — corrupt-record routing
+                        bad = {k: None for k in field_names}
+                        bad[corrupt_col] = ET.tostring(elem, encoding="unicode")
+                        yield Row(**bad)
+                    finally:
+                        elem.clear()
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(max(len(paths), 1))
+    return spark.createDataFrame(files.rdd.mapPartitions(scan), out_schema)
+
+
+def read_jdbc_query(
+    spark: SparkSession, url: str, query: str, *, expected_count: int | None = None, **options: str
+) -> DataFrame:
+    """Postgres/JDBC query export with the reference's row-count integrity
+    check (reference: PostgreSQLSource.fetch_query_from_pgdb,
+    dipper/sources/PostgreSQLSource.py:106-152, count check 88-100).
+
+    The reference shells out ``COPY (SELECT ...) TO STDOUT``; Spark's JDBC
+    source pushes the query down and parallelizes via partitionColumn options.
+    """
+    df = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in options.items():
+        df = df.option(k, v)
+    out = df.load()
+    if expected_count is not None:
+        got = out.count()
+        if got != expected_count:
+            raise ValueError(f"JDBC row count mismatch: expected {expected_count}, got {got}")
+    return out

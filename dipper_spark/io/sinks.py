@@ -1,0 +1,217 @@
+"""RDF sinks: ntriples / nquads (distributed) and canonical turtle
+(SURVEY.md §2.2 K1-K3).
+
+ntriples/nquads are pure ``format_string`` column pipelines over the triples
+DataFrame — the exact formatter the reference's StreamedGraph applies per
+``addTriple`` (dipper/graph/StreamedGraph.py:92-132, escaping 168-180) —
+followed by ``write.text``.  That is the 100 TB path: no driver state, stable
+under any partitioning, and the StreamedGraph contract ("downstream will sort
+then uniquify", StreamedGraph.py:15-16) maps to an optional
+``orderBy(s,p,o).dropDuplicates`` before the sink.
+
+Turtle is the reference's rdflib whole-graph path (RDFGraph.serialize,
+dipper/graph/RDFGraph.py:199-205) — inherently subject-grouped and
+prefix-bound.  We render it from a subject-range-partitioned, sorted frame so
+each task emits a self-contained block; the prefix header binds only prefixes
+actually used (mirroring RDFGraph.py:175-177).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dipper_spark.core.curie import CurieMap
+from dipper_spark.core.literals import nt_escape, skolemize_bnode
+
+
+def _term_iri(col: str, curie_map: CurieMap, skolemize: bool) -> Column:
+    """Resource term -> absolute IRI (reference: StreamedGraph._getnode,
+    StreamedGraph.py:134-153): bnodes kept (or skolemized), http/ftp pass
+    through, CURIEs expanded."""
+    c = F.col(col)
+    bnode = skolemize_bnode(c) if skolemize else c
+    return F.when(c.startswith("_"), bnode).otherwise(curie_map.expand(c))
+
+
+def _nt_subject(curie_map: CurieMap, skolemize: bool) -> Column:
+    c = F.col("subject")
+    if skolemize:
+        return F.format_string("<%s>", _term_iri("subject", curie_map, True))
+    return F.when(c.startswith("_"), F.concat(F.lit("_:"), F.regexp_replace(c, r"^_:?", ""))).otherwise(
+        F.format_string("<%s>", curie_map.expand(c))
+    )
+
+
+def _nt_object(curie_map: CurieMap, skolemize: bool) -> Column:
+    """Object term: IRI, bnode, plain literal or typed literal
+    (reference: StreamedGraph.serialize, StreamedGraph.py:92-113)."""
+    c = F.col("object")
+    typed = F.format_string(
+        '"%s"^^<%s>', nt_escape(c), curie_map.expand("datatype")
+    )
+    plain = F.format_string('"%s"', nt_escape(c))
+    if skolemize:
+        resource = F.when(c.startswith("_"), F.format_string("<%s>", skolemize_bnode(c))).otherwise(
+            F.format_string("<%s>", curie_map.expand(c))
+        )
+    else:
+        resource = F.when(
+            c.startswith("_"), F.concat(F.lit("_:"), F.regexp_replace(c, r"^_:?", ""))
+        ).otherwise(F.format_string("<%s>", curie_map.expand(c)))
+    return (
+        F.when(~F.col("is_literal"), resource)
+        .when(F.col("datatype").isNotNull(), typed)
+        .otherwise(plain)
+    )
+
+
+def to_nt(
+    df: DataFrame, curie_map: CurieMap | None = None, *, skolemize: bool = False
+) -> DataFrame:
+    """Triples -> one-column DataFrame of ntriples lines.
+
+    Bit-compatible with StreamedGraph's ``<s> <p> <o> .`` /
+    ``<s> <p> "lit"^^<dt> .`` formatting (StreamedGraph.py:97-113).
+    """
+    cm = curie_map or CurieMap()
+    return df.select(
+        F.format_string(
+            "%s <%s> %s .",
+            _nt_subject(cm, skolemize),
+            cm.expand("predicate"),
+            _nt_object(cm, skolemize),
+        ).alias("line")
+    )
+
+
+def to_nquads(
+    df: DataFrame, curie_map: CurieMap | None = None, *, graph_iri: str | None = None,
+    skolemize: bool = False,
+) -> DataFrame:
+    """Triples -> nquads lines; 4th term from ``graph_id`` (or a constant
+    graph IRI).  Reference formats nquads via rdflib (Source.write,
+    Source.py:192-198); per-source graph ids become the quad graph term."""
+    cm = curie_map or CurieMap()
+    graph = F.lit(graph_iri) if graph_iri else cm.expand("graph_id")
+    return df.select(
+        F.format_string(
+            "%s <%s> %s <%s> .",
+            _nt_subject(cm, skolemize),
+            cm.expand("predicate"),
+            _nt_object(cm, skolemize),
+            graph,
+        ).alias("line")
+    )
+
+
+def write_nt(
+    df: DataFrame, path: str, curie_map: CurieMap | None = None, *,
+    canonical: bool = True, dedup: bool = True, skolemize: bool = False,
+) -> None:
+    """nt sink.  ``canonical`` applies the StreamedGraph downstream contract
+    (sort then uniquify, StreamedGraph.py:15-16) for byte-stable output; the
+    sort is a range-partitioned total order — it scales, it just costs one
+    shuffle, so disable for pure append throughput (K3)."""
+    out = df
+    if dedup:
+        out = out.dropDuplicates(["subject", "predicate", "object"])
+    lines = to_nt(out, curie_map, skolemize=skolemize)
+    if canonical:
+        lines = lines.orderBy("line")
+    lines.write.mode("overwrite").text(path)
+
+
+def used_prefixes(df: DataFrame, curie_map: CurieMap) -> list[str]:
+    """Prefixes actually referenced by the graph (reference accumulates
+    ``self.prefixes`` per node at RDFGraph.py:175-177 and binds only those at
+    serialize time)."""
+    pfx = F.split(F.col("t"), ":").getItem(0)
+    terms = (
+        df.select(F.col("subject").alias("t"))
+        .union(df.select(F.col("predicate").alias("t")))
+        .union(df.filter(~F.col("is_literal")).select(F.col("object").alias("t")))
+        .union(df.filter(F.col("datatype").isNotNull()).select(F.col("datatype").alias("t")))
+    )
+    rows = (
+        terms.filter(~F.col("t").startswith("_") & ~F.lower(pfx).isin("http", "https", "ftp"))
+        .select(pfx.alias("p")).distinct().collect()
+    )
+    return sorted(p["p"] for p in rows if p["p"] in curie_map.mapping)
+
+
+def _ttl_term(term: str, is_literal: bool, datatype: str | None, cm: CurieMap) -> str:
+    if is_literal:
+        esc = (
+            term.replace("\\", "\\\\").replace("\n", "\\n").replace('"', '\\"').replace("\r", "\\r")
+        )
+        return f'"{esc}"^^{datatype}' if datatype else f'"{esc}"'
+    if term.startswith("_"):
+        return "_:" + term.lstrip("_:")
+    if term.split(":")[0].lower() in ("http", "https", "ftp"):
+        return f"<{term}>"
+    prefix = term.split(":", 1)[0]
+    return term if prefix in cm.mapping else f"<{term}>"
+
+
+def render_turtle(df: DataFrame, curie_map: CurieMap | None = None) -> str:
+    """Canonical subject-grouped turtle, matching what rdflib's serializer
+    gives the reference (RDFGraph.serialize, RDFGraph.py:199-205): prefix
+    header (used prefixes only), subjects sorted, ``;``-chained predicates,
+    ``,``-chained objects.
+
+    Driver-side string assembly — the reference's turtle path is whole-graph
+    in rdflib RAM too (§4.3); the scale path is :func:`write_nt`.  The group
+    +sort runs distributed; only rendered text reaches the driver, streamed
+    via toLocalIterator (one partition in memory at a time).
+    """
+    cm = curie_map or CurieMap()
+    header = "".join(
+        f"@prefix {p}: <{cm.mapping[p]}> .\n" for p in used_prefixes(df, cm)
+    )
+    grouped = (
+        df.dropDuplicates(["subject", "predicate", "object"])
+        .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "subject")
+        .sortWithinPartitions("subject", "predicate", "object")
+    )
+    blocks: list[str] = []
+    cur_subj: str | None = None
+    cur_pred: str | None = None
+    parts: list[str] = []
+    for row in grouped.toLocalIterator():
+        subj = _ttl_term(row.subject, False, None, cm)
+        pred = _ttl_term(row.predicate, False, None, cm)
+        if pred == "rdf:type":
+            pred = "a"
+        obj = _ttl_term(row.object, row.is_literal, row.datatype, cm)
+        if subj != cur_subj:
+            if parts:
+                blocks.append("".join(parts) + " .\n")
+            parts = [f"{subj} {pred} {obj}"]
+            cur_subj, cur_pred = subj, pred
+        elif pred != cur_pred:
+            parts.append(f" ;\n    {pred} {obj}")
+            cur_pred = pred
+        else:
+            parts.append(f", {obj}")
+    if parts:
+        blocks.append("".join(parts) + " .\n")
+    return header + "\n" + "\n".join(blocks)
+
+
+def write_turtle(df: DataFrame, path: str, curie_map: CurieMap | None = None) -> None:
+    """Turtle file sink (reference: Source.write, Source.py:178-240 writes
+    ``out/<src>.ttl``).  Single local file, driver-rendered — see
+    :func:`render_turtle` for why that matches the reference's own limits."""
+    with open(path, "w", encoding="utf-8") as handle:
+        handle.write(render_turtle(df, curie_map))
+
+
+def write_graph_parquet(df: DataFrame, path: str, *, partition_by_graph: bool = True) -> None:
+    """Intermediate graph store: triples as parquet, partitioned by source
+    graph so per-source reads prune partitions (the Spark analog of the
+    reference's one-file-per-source layout, Source.py:178-240)."""
+    writer = df.write.mode("overwrite")
+    if partition_by_graph and "graph_id" in df.columns:
+        writer = writer.partitionBy("graph_id")
+    writer.parquet(path)

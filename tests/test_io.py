@@ -1,0 +1,204 @@
+"""io layer tests: contract readers (check_fileheader semantics), GAF/GFF
+scans, XML stanza reader, nt/nquads/turtle sinks."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql.types import StringType, StructField, StructType
+
+from dipper_spark.core import TRIPLE_SCHEMA
+from dipper_spark.io import (
+    HeaderError,
+    check_fileheader,
+    read_delim,
+    read_gaf,
+    read_gff,
+    read_xml_stanzas,
+    render_turtle,
+    to_nquads,
+    to_nt,
+    used_prefixes,
+    write_nt,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+class TestHeaderContract:
+    def test_exact_match_ok(self):
+        assert check_fileheader(["a", "b"], ["a", "b"]) is True
+
+    def test_reorder_warns_but_passes(self):
+        assert check_fileheader(["a", "b"], ["b", "a"]) is True
+
+    def test_new_columns_pass(self):
+        assert check_fileheader(["a", "b"], ["a", "b", "c"]) is True
+
+    def test_missing_raises(self):
+        with pytest.raises(HeaderError):
+            check_fileheader(["a", "b", "z"], ["a", "b"])
+
+
+class TestReadDelim:
+    def test_header_contract_and_select(self, spark, tmp_path):
+        p = tmp_path / "f.tsv"
+        p.write_text("x\ty\tz\n1\t2\t3\n4\t5\t6\n")
+        df = read_delim(spark, str(p), ["y", "x"])
+        assert df.columns == ["y", "x"]
+        assert df.count() == 2
+
+    def test_header_prefix_strip(self, spark, tmp_path):
+        # NCBI gene_info shape: header first cell is '#tax_id'
+        p = tmp_path / "g.tsv"
+        p.write_text("#tax_id\tGeneID\n9606\t1234\n")
+        df = read_delim(spark, str(p), ["tax_id", "GeneID"], header_prefix="#")
+        assert df.columns == ["tax_id", "GeneID"]
+
+    def test_gz_and_comment_and_limit(self, spark, tmp_path):
+        p = tmp_path / "f.tsv.gz"
+        with gzip.open(p, "wt") as fh:
+            fh.write("! preamble\n! more\na\tb\n1\t2\n3\t4\n5\t6\n")
+        df = read_delim(spark, str(p), ["a", "b"], comment="!", limit=2)
+        assert df.count() == 2
+
+    def test_missing_column_raises(self, spark, tmp_path):
+        p = tmp_path / "f.tsv"
+        p.write_text("x\ty\n1\t2\n")
+        with pytest.raises(HeaderError):
+            read_delim(spark, str(p), ["x", "nope"])
+
+
+class TestGafGff:
+    def test_gaf(self, spark, tmp_path):
+        p = tmp_path / "test.gaf.gz"
+        row = "\t".join(
+            [
+                "UniProtKB", "Q9H9", "SYM1", "", "GO:0003674", "PMID:123|GO_REF:1",
+                "IMP", "", "F", "name", "syn1|syn2", "protein",
+                "taxon:9606|taxon:10090", "20200101", "UniProt", "", "",
+            ]
+        )
+        with gzip.open(p, "wt") as fh:
+            fh.write("!gaf-version: 2.1\n" + row + "\n")
+        df = read_gaf(spark, str(p))
+        got = df.collect()[0]
+        assert got.refs == ["PMID:123", "GO_REF:1"]
+        assert got.synonyms == ["syn1", "syn2"]
+        assert got.taxon == "NCBITaxon:9606"
+
+    def test_gff_attribute_map(self, spark, tmp_path):
+        p = tmp_path / "f.gff"
+        p.write_text(
+            "#comment\nchr1\tAQTL\tQTL\t100\t200\t.\t+\t.\tQTL_ID=1463;Name=Abc;PUBMED_ID=17179536\n"
+        )
+        row = read_gff(spark, str(p)).collect()[0]
+        assert row.start == 100 and row.end == 200
+        assert row.attributes["QTL_ID"] == "1463"
+        assert row.attributes["PUBMED_ID"] == "17179536"
+
+
+class TestXmlStanzas:
+    def test_parse_and_corrupt_routing(self, spark, tmp_path):
+        p = tmp_path / "cv.xml"
+        p.write_text(
+            "<Release>"
+            "<Set><ID>1</ID><Title>ok</Title></Set>"
+            "<Set><Title>missing id</Title></Set>"
+            "<Other>skip</Other>"
+            "</Release>"
+        )
+        schema = StructType([StructField("id", StringType()), StructField("title", StringType())])
+
+        def parse(elem):
+            return {"id": elem.find("ID").text, "title": elem.find("Title").text}
+
+        df = read_xml_stanzas(spark, [str(p)], "Set", parse, schema)
+        rows = df.collect()
+        good = [r for r in rows if r._corrupt_record is None]
+        bad = [r for r in rows if r._corrupt_record is not None]
+        assert len(good) == 1 and good[0].id == "1"
+        assert len(bad) == 1 and "missing id" in bad[0]._corrupt_record
+
+
+class TestNtSink:
+    def test_nt_formatting_bit_compat(self, spark):
+        df = _triples(
+            spark,
+            [
+                # resource triple
+                ("OMIM:123", "RO:0002200", "HP:0000001", False, None, "g"),
+                # plain literal with escapables (reference StreamedGraph.py:168-180)
+                ("OMIM:123", "rdfs:label", 'say "hi"\\now', True, None, "g"),
+                # typed literal
+                ("OMIM:123", "SEPIO:0000001", "0.5", True, "xsd:double", "g"),
+                # bnode subject kept as label
+                ("_:babc", "rdf:type", "owl:Class", False, None, "g"),
+            ],
+        )
+        lines = {r.line for r in to_nt(df).collect()}
+        assert (
+            "<https://omim.org/entry/123> <http://purl.obolibrary.org/obo/RO_0002200> "
+            "<http://purl.obolibrary.org/obo/HP_0000001> ." in lines
+        )
+        assert (
+            '<https://omim.org/entry/123> <http://www.w3.org/2000/01/rdf-schema#label> '
+            '"say \\"hi\\"\\\\now" .' in lines
+        )
+        assert (
+            "<https://omim.org/entry/123> <http://purl.obolibrary.org/obo/SEPIO_0000001> "
+            '"0.5"^^<http://www.w3.org/2001/XMLSchema#double> .' in lines
+        )
+        assert any(line.startswith("_:babc ") for line in lines)
+
+    def test_skolemized_bnode(self, spark):
+        df = _triples(spark, [("_:b1", "rdf:type", "owl:Class", False, None, None)])
+        line = to_nt(df, skolemize=True).collect()[0].line
+        assert line.startswith("<https://monarchinitiative.org/.well-known/genid/b1>")
+
+    def test_nquads_graph_term(self, spark):
+        df = _triples(spark, [("HP:1", "rdf:type", "owl:Class", False, None, "MONARCH:hpoa")])
+        line = to_nquads(df).collect()[0].line
+        assert line.endswith("<https://monarchinitiative.org/MONARCH_hpoa> .")
+
+    def test_write_nt_canonical_sorted_dedup(self, spark, tmp_path):
+        df = _triples(
+            spark,
+            [
+                ("HP:2", "rdfs:label", "b", True, None, None),
+                ("HP:1", "rdfs:label", "a", True, None, None),
+                ("HP:1", "rdfs:label", "a", True, None, None),
+            ],
+        )
+        out = str(tmp_path / "out.nt")
+        write_nt(df, out)
+        lines = []
+        for name in sorted(os.listdir(out)):
+            if name.startswith("part-"):
+                with open(os.path.join(out, name)) as fh:
+                    lines += [ln for ln in fh.read().splitlines() if ln]
+        assert len(lines) == 2
+        assert lines == sorted(lines)
+
+
+class TestTurtle:
+    def test_used_prefixes_and_render(self, spark):
+        from dipper_spark.core.curie import CurieMap
+
+        df = _triples(
+            spark,
+            [
+                ("HP:1", "rdf:type", "owl:Class", False, None, None),
+                ("HP:1", "rdfs:label", "thing one", True, None, None),
+                ("HP:1", "rdfs:seeAlso", "HP:2", False, None, None),
+            ],
+        )
+        cm = CurieMap()
+        assert used_prefixes(df, cm) == ["HP", "owl", "rdf", "rdfs"]
+        ttl = render_turtle(df, cm)
+        assert "@prefix HP: <http://purl.obolibrary.org/obo/HP_> ." in ttl
+        assert "@prefix OMIM" not in ttl
+        # subject-grouped: one block, 'a' for rdf:type, ';' chaining
+        assert "HP:1 a owl:Class ;\n    rdfs:label \"thing one\" ;\n    rdfs:seeAlso HP:2 .\n" in ttl
