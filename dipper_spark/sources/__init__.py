@@ -1,0 +1,27 @@
+"""Per-source ingest pipelines (SURVEY.md §2.11, §7 M2-M6).
+
+Importing this package registers every pipeline in ``REGISTRY`` — the analog
+of dipper-etl.py's source_to_class_map (dipper-etl.py:20-62).
+"""
+
+from dipper_spark.sources.base import (
+    REGISTRY,
+    FileContract,
+    SourcePipeline,
+    get_pipeline,
+    register,
+    run_sources,
+)
+from dipper_spark.sources.hpoa import HpoaPipeline
+from dipper_spark.sources.ctd import CtdPipeline
+
+__all__ = [
+    "REGISTRY",
+    "FileContract",
+    "SourcePipeline",
+    "get_pipeline",
+    "register",
+    "run_sources",
+    "HpoaPipeline",
+    "CtdPipeline",
+]
