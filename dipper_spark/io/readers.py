@@ -123,6 +123,8 @@ def read_gaf(spark: SparkSession, path: str | list[str], limit: int | None = Non
     df = read_delim(
         spark, path, GAF_COLUMNS, header=False, comment="!", src_key="gaf", limit=limit
     )
+    # empty cells are '' not NULL in the reference's csv.reader rows
+    df = df.select(*[F.coalesce(F.col(c), F.lit("")).alias(c) for c in GAF_COLUMNS])
     return df.select(
         "DB", "DB_Object_ID", "DB_Object_Symbol", "Qualifier", "GO_ID",
         F.split("DB_Reference", r"\|").alias("refs"),

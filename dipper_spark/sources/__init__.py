@@ -14,8 +14,14 @@ from dipper_spark.sources.base import (
 )
 from dipper_spark.sources.hpoa import HpoaPipeline
 from dipper_spark.sources.ctd import CtdPipeline
+from dipper_spark.sources.geneontology import GeneOntologyPipeline
+from dipper_spark.sources.stringdb import StringDbPipeline
+from dipper_spark.sources.bgee import BgeePipeline
 
 __all__ = [
+    "BgeePipeline",
+    "GeneOntologyPipeline",
+    "StringDbPipeline",
     "REGISTRY",
     "FileContract",
     "SourcePipeline",
