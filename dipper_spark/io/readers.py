@@ -196,7 +196,8 @@ def read_xml_stanzas(
     """
     import xml.etree.ElementTree as ET
 
-    out_schema = StructType(schema.fields).add(corrupt_col, "string")
+    # copy the field list — StructType.add mutates it in place
+    out_schema = StructType(list(schema.fields)).add(corrupt_col, "string")
     field_names = [f.name for f in schema.fields]
 
     def scan(part: Iterator[Row]) -> Iterator[Row]:

@@ -17,8 +17,12 @@ from dipper_spark.sources.ctd import CtdPipeline
 from dipper_spark.sources.geneontology import GeneOntologyPipeline
 from dipper_spark.sources.stringdb import StringDbPipeline
 from dipper_spark.sources.bgee import BgeePipeline
+from dipper_spark.sources.ucscbands import UcscBandsPipeline
+from dipper_spark.sources.clinvar import ClinVarPipeline
+from dipper_spark.sources.mgi import MgiPipeline
 
 __all__ = [
+    "UcscBandsPipeline",
     "BgeePipeline",
     "GeneOntologyPipeline",
     "StringDbPipeline",

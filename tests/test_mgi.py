@@ -1,0 +1,125 @@
+"""MGI star-join: dim build passes resolve internal keys to public ids,
+probe passes join facts through broadcast dims."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipper_spark.sources import get_pipeline
+
+
+def _tsv(cols, rows):
+    return "\n".join(["\t".join(cols)] + ["\t".join(str(x) for x in r) for r in rows]) + "\n"
+
+
+FIXTURES = {
+    "gxd_genotype_summary_view.tsv": _tsv(
+        ["_object_key", "preferred", "mgiid", "subtype", "short_description"],
+        [(101, 1, "MGI:2166359", "Genotype", "Pax6 geno"),
+         (101, 0, "MGI:dup", "Genotype", "nonpreferred dup")],
+    ),
+    "all_summary_view.tsv": _tsv(
+        ["_object_key", "preferred", "mgiid", "description", "short_description"],
+        [(201, 1, "MGI:1856155", "allele one", "Pax6<Sey>"),
+         (202, 1, "MGI:1855555", "allele wt", "Pax6<+>")],
+    ),
+    "mrk_acc_view.tsv": _tsv(
+        ["accid", "prefixpart", "_logicaldb_key", "_object_key", "preferred", "_organism_key"],
+        [("MGI:97490", "MGI:", 1, 301, 1, 1),
+         ("ENSMUSG0000001", "", 60, 301, 1, 1)],  # non-MGI logicaldb skipped
+    ),
+    "prb_strain_acc_view.tsv": _tsv(
+        ["accid", "prefixpart", "_logicaldb_key", "_object_key", "preferred"],
+        [("MGI:3028467", "MGI:", 1, 401, 1)],
+    ),
+    "bib_acc_view.tsv": _tsv(
+        ["accid", "prefixpart", "numericpart", "_object_key", "logicaldb", "_logicaldb_key"],
+        [("J:30492", "J:", 30492, 501, "MGI", 1)],
+    ),
+    "gxd_genotype_view.tsv": _tsv(
+        ["_genotype_key", "_strain_key", "strain", "mgiid"],
+        [(101, 401, "C57BL/6J", "MGI:2166359")],
+    ),
+    "all_allele_view.tsv": _tsv(
+        ["_allele_key", "_marker_key", "_strain_key", "symbol", "name", "iswildtype"],
+        [(201, 301, 401, "Pax6<Sey>", "small eye", 0),
+         (202, 301, 401, "Pax6<+>", "wild type", 1)],
+    ),
+    "gxd_allelepair_view.tsv": _tsv(
+        ["_allelepair_key", "_genotype_key", "_allele_key_1", "_allele_key_2",
+         "allele1", "allele2", "allelestate"],
+        [(601, 101, 201, 202, "Pax6<Sey>", "Pax6<+>", "Heterozygous")],
+    ),
+    "voc_annot_view.tsv": _tsv(
+        ["_annot_key", "annottype", "_object_key", "_term_key", "_qualifier_key",
+         "qualifier", "term", "accid"],
+        [(701, "Mammalian Phenotype/Genotype", 101, 801, 0, "", "small eyes", "MP:0001286"),
+         (702, "Mammalian Phenotype/Genotype", 101, 802, 0, "norm", "normal thing", "MP:0009999"),
+         (703, "DO/Genotype", 101, 803, 0, "", "aniridia", "DOID:12271"),
+         (704, "DO/Genotype", 101, 804, 1614157, "NOT", "not disease", "DOID:999")],
+    ),
+    "evidence_view.tsv": _tsv(
+        ["_annotevidence_key", "_annot_key", "evidencecode", "jnumid", "term", "value", "annottype"],
+        [(901, 701, "EXP", "J:30492", "small eyes", "", "Mammalian Phenotype/Genotype")],
+    ),
+    "mrk_location_cache.tsv": _tsv(
+        ["_marker_key", "_organism_key", "chromosome", "startcoordinate",
+         "endcoordinate", "strand", "version"],
+        [(301, 1, "2", "105668900.0", "105697364.0", "+", "GRCm38")],
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def mgi_graph(spark, tmp_path_factory):
+    raw = tmp_path_factory.mktemp("mgi_raw")
+    for name, content in FIXTURES.items():
+        (raw / name).write_text(content)
+    return get_pipeline("mgi").transform(spark, str(raw)).cache()
+
+
+def _spo(df):
+    return {(r.subject, r.predicate, r.object) for r in df.collect()}
+
+
+def test_genotype_background(mgi_graph):
+    spo = _spo(mgi_graph)
+    assert ("MGI:2166359", "rdf:type", "GENO:0000000") in spo
+    assert ("MGI:2166359", "GENO:0000385", "MGI:3028467") in spo
+    assert ("MGI:3028467", "rdf:type", "GENO:0000611") in spo
+    assert ("MGI:3028467", "rdfs:label", "C57BL/6J") in spo
+
+
+def test_allele_marker_join(mgi_graph):
+    spo = _spo(mgi_graph)
+    assert ("MGI:1856155", "GENO:0000408", "MGI:97490") in spo
+    assert ("MGI:1856155", "rdfs:label", "Pax6<Sey>") in spo
+    # wildtype allele not typed as variant locus
+    assert ("MGI:1856155", "rdf:type", "GENO:0000002") in spo
+    assert ("MGI:1855555", "rdf:type", "GENO:0000002") not in spo
+
+
+def test_allele_pairs_zygosity(mgi_graph):
+    spo = _spo(mgi_graph)
+    assert ("MGI:2166359", "GENO:0000382", "MGI:1856155") in spo
+    assert ("MGI:2166359", "GENO:0000382", "MGI:1855555") in spo
+    assert ("MGI:2166359", "GENO:0000608", "GENO:0000135") in spo
+
+
+def test_g2p_and_disease_annotations(mgi_graph):
+    spo = _spo(mgi_graph)
+    # MP annotation → G2P assoc with resolved genotype id and J-pub source
+    assert any(p == "OBAN:association_has_object" and o == "MP:0001286" for _, p, o in spo)
+    assert any(p == "RO:0002558" and o == "ECO:0000269" for _, p, o in spo)
+    assert any(p == "dc:source" and o == "MGI:J:30492" for _, p, o in spo)
+    # 'norm' qualifier skipped
+    assert not any(o == "MP:0009999" for _, _, o in spo)
+    # DO model-of kept, NOT-qualified skipped
+    assert ("MGI:2166359", "RO:0003301", "DOID:12271") in spo
+    assert not any(o == "DOID:999" for _, _, o in spo)
+
+
+def test_marker_location_faldo(mgi_graph):
+    spo = _spo(mgi_graph)
+    assert ("MGI:97490", "faldo:location",
+            next(o for s, p, o in spo if s == "MGI:97490" and p == "faldo:location")) in spo
+    assert any(p == "faldo:position" and o == "105668900" for _, p, o in spo)

@@ -1,0 +1,77 @@
+"""UCSC band rollup: ancestor expansion, extent min/max, typing, FALDO."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipper_spark.sources import get_pipeline
+
+BANDS = "\n".join(
+    [
+        "#chrom\tchromStart\tchromEnd\tname\tgieStain",
+        "chr13\t0\t4500000\tp12\tgneg",
+        "chr13\t4500000\t10000000\tp11\tgpos25",
+        "chr13\t10000000\t16000000\tq21.31\tgpos50",
+        "chr13\t16000000\t20000000\tq21.32\tgneg",
+        "chr13\t20000000\t30000000\tq22\tacen",
+        # unplaced scaffold — skipped at band level
+        "chrUn_AABR07022428v1\t0\t999\t\tgneg",
+        "",
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def bands_graph(spark, tmp_path_factory):
+    raw = tmp_path_factory.mktemp("ucsc_raw")
+    (raw / "cytoBand.txt.gz").write_bytes(gzip.compress(BANDS.encode()))
+    return get_pipeline("ucscbands").transform(spark, str(raw)).cache()
+
+
+def _spo(df):
+    return {(r.subject, r.predicate, r.object) for r in df.collect()}
+
+
+def test_ancestor_rollup_extents(bands_graph):
+    # grouping band 13q21 = min/max over q21.31+q21.32 = [10000000, 20000000]
+    spo = _spo(bands_graph)
+    region = [
+        o for s, p, o in spo
+        if s == ":hg19chr13q21" and p == "faldo:location"
+    ]
+    assert region, "grouping band 13q21 missing"
+    # its begin position carries 10000000, end 20000000
+    pos = {
+        (p, o) for s, p, o in spo
+        if p == "faldo:position"
+    }
+    assert ("faldo:position", "10000000") in pos
+    assert ("faldo:position", "20000000") in pos
+
+
+def test_chromosome_extent(bands_graph):
+    # chromosome 13 itself spans [0, 30000000]
+    spo = _spo(bands_graph)
+    assert any(s == ":9606chr13" and p == "rdfs:subClassOf" and o == "SO:0000340" for s, p, o in spo)
+
+
+def test_band_typing(bands_graph):
+    spo = _spo(bands_graph)
+    assert (":9606chr13p", "rdfs:subClassOf", "GENO:0000628") in spo   # stalk (short arm)
+    assert (":9606chr13q", "rdfs:subClassOf", "GENO:0000629") in spo   # long arm
+    assert (":9606chr13q2", "rdfs:subClassOf", "GENO:0000614") in spo  # region
+    # reference's elif order: q21.31 hits chromosome_band, not subband
+    assert (":9606chr13q21.31", "rdfs:subClassOf", "SO:0000341") in spo
+
+
+def test_leaf_stain_and_hierarchy(bands_graph):
+    spo = _spo(bands_graph)
+    assert (":hg19chr13p12", "GENO:0000207", "gneg") in spo
+    # q21.31 → parent q21.3 → q21 → q2 → q → chrom
+    assert (":hg19chr13q21.31", "RO:0002525", ":hg19chr13q21.3") in spo
+    assert (":hg19chr13q", "RO:0002525", ":hg19chr13") in spo
+
+
+def test_unplaced_scaffold_skipped(bands_graph):
+    assert not any("AABR" in s for s, _, _ in _spo(bands_graph))
