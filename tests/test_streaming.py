@@ -1,0 +1,114 @@
+"""Structured Streaming: nt append sink with AvailableNow (T1/T2), watermark
+windows, stateful sessionization."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipper_spark.core import TRIPLE_SCHEMA
+from dipper_spark.streaming import (
+    sessionize_events,
+    stream_triples_to_nt,
+    windowed_event_counts,
+)
+
+
+def _read_lines(out_dir):
+    lines = []
+    for name in os.listdir(out_dir):
+        if name.startswith("part-"):
+            with open(os.path.join(out_dir, name)) as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+    return lines
+
+
+class TestNtStream:
+    def test_available_now_processes_landing_zone_incrementally(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        batch1 = spark.createDataFrame(
+            [("HP:1", "rdfs:label", "one", True, None, "g")], TRIPLE_SCHEMA
+        )
+        batch1.write.mode("append").parquet(landing)
+
+        q = stream_triples_to_nt(spark, landing, out, ckpt)
+        q.awaitTermination(120)
+        lines1 = _read_lines(out)
+        assert len(lines1) == 1 and '"one"' in lines1[0]
+
+        # second batch arrives; AvailableNow run picks up ONLY the new file
+        batch2 = spark.createDataFrame(
+            [("HP:2", "rdfs:label", "two", True, None, "g")], TRIPLE_SCHEMA
+        )
+        batch2.write.mode("append").parquet(landing)
+        q2 = stream_triples_to_nt(spark, landing, out, ckpt)
+        q2.awaitTermination(120)
+        lines2 = _read_lines(out)
+        assert len(lines2) == 2
+
+
+class TestWindowedCounts:
+    def test_batch_semantics(self, spark, tables):
+        out = windowed_event_counts(tables["events"], window="1 hour")
+        row = (
+            out.filter(F.col("event_type") == "purchase")
+            .orderBy("window_start")
+            .limit(1)
+            .collect()
+        )
+        assert row and row[0].n_events >= 1
+
+    def test_streaming_semantics(self, spark, tables, tmp_path):
+        src_dir = str(tmp_path / "events_parquet")
+        tables["events"].select("event_id", "ts", "user_id", "event_type", "value").write.parquet(src_dir)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(src_dir)
+        agg = windowed_event_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        q.awaitTermination(180)
+        # append mode only emits windows the watermark has passed; with a
+        # finite batch the final watermark closes all but the trailing window
+        n = spark.sql("select count(*) c from win_counts").collect()[0].c
+        assert n > 0
+
+
+class TestSessionize:
+    def test_stateful_sessionizer_runs(self, spark, tables, tmp_path):
+        src_dir = str(tmp_path / "events_pq")
+        tables["events"].select("ts", "user_id", "value").limit(500).write.parquet(src_dir)
+        stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(src_dir)
+        # 2s idle gap so the state timeout fires within the test run
+        sessions = sessionize_events(stream, gap_ms=2000)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            closed = 0
+            while time.time() < deadline:
+                closed = spark.sql("select count(*) c from sessions").collect()[0].c
+                if closed > 0:
+                    break
+                time.sleep(2)
+        finally:
+            q.stop()
+        assert closed > 0, "no sessions closed by the stateful timeout"
+        cols = spark.sql("select * from sessions").columns
+        assert cols == ["user_id", "session_start", "session_end", "n_events", "total_value"]
+        row = spark.sql("select * from sessions order by n_events desc").collect()[0]
+        assert row.n_events >= 1 and row.session_end >= row.session_start
