@@ -49,6 +49,35 @@ DEFAULT_CURIE_MAP = {
     "GENO": "http://purl.obolibrary.org/obo/GENO_",
     "SEPIO": "http://purl.obolibrary.org/obo/SEPIO_",
     "biolink": "https://w3id.org/biolink/vocab/",
+    # vocab used by the model emitters (dipper/curie_map.yaml entries)
+    "OBAN": "http://purl.org/oban/",
+    "IAO": "http://purl.obolibrary.org/obo/IAO_",
+    "SIO": "http://semanticscience.org/resource/SIO_",
+    "PATO": "http://purl.obolibrary.org/obo/PATO_",
+    "BFO": "http://purl.obolibrary.org/obo/BFO_",
+    "SO": "http://purl.obolibrary.org/obo/SO_",
+    "UBERON": "http://purl.obolibrary.org/obo/UBERON_",
+    "DOID": "http://purl.obolibrary.org/obo/DOID_",
+    "MESH": "http://id.nlm.nih.gov/mesh/",
+    "PMID": "http://www.ncbi.nlm.nih.gov/pubmed/",
+    "ISBN-13": "https://monarchinitiative.org/ISBN13_",
+    "ORPHA": "http://www.orpha.net/ORDO/Orphanet_",
+    "DECIPHER": "https://decipher.sanger.ac.uk/syndrome/",
+    "ENSEMBL": "http://identifiers.org/ensembl/",
+    "WormBase": "https://www.wormbase.org/get?name=",
+    "FlyBase": "http://flybase.org/reports/",
+    "GO_REF": "http://www.geneontology.org/cgi-bin/references.cgi#GO_REF:",
+    "REACT": "http://www.reactome.org/PathwayBrowser/#/",
+    "DATA": "http://edamontology.org/data_",
+    "ClinVarVariant": "http://www.ncbi.nlm.nih.gov/clinvar/variation/",
+    "UCSC": "ftp://hgdownload.soe.ucsc.edu/goldenPath/",
+    "PANTHER": "http://www.pantherdb.org/panther/family.do?clsAccession=",
+    # dataset metadata vocabularies (dipper/models/Dataset.py)
+    "void": "http://rdfs.org/ns/void#",
+    "pav": "http://purl.org/pav/",
+    "dcat": "http://www.w3.org/ns/dcat#",
+    "dctypes": "http://purl.org/dc/dcmitype/",
+    "cito": "http://purl.org/spar/cito/",
 }
 
 

@@ -1,0 +1,95 @@
+"""Multi-source ETL CLI — the dipper-etl analog (SURVEY.md §3.1).
+
+Reference: dipper-etl.py — CLI contract 64-128 (--sources --limit --taxon
+--dest_fmt -t/--test_only --skip_tests), source loop 219-268 with per-phase
+timing (fetch 240-241, parse 246-251, write 266-268), property-axiom
+enrichment 256-264, per-source outputs out/<src>.<fmt> + <src>_dataset.<fmt>
+(Source.write, Source.py:178-240).
+
+Usage::
+
+    python -m dipper_spark.etl --sources hpoa,ctd --raw-dir raw/ --out-dir out/ \
+        --dest-fmt nt [--limit N] [-t] [--skolemize]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+from pyspark.sql import SparkSession
+
+LOG = logging.getLogger("dipper_spark.etl")
+FORMATS = ("nt", "nquads", "ttl", "parquet")
+
+
+def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
+    from dipper_spark.core import union_graphs
+    from dipper_spark.io import to_nquads, write_graph_parquet, write_nt, write_turtle
+    from dipper_spark.models import dataset_metadata_triples
+    from dipper_spark.quality import add_property_axioms, default_property_table
+    from dipper_spark.session import get_spark
+    from dipper_spark.sources import REGISTRY, get_pipeline
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sources", required=True, help="comma-separated source names")
+    ap.add_argument("--raw-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--dest-fmt", default="nt", choices=FORMATS)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("-t", "--test-only", action="store_true", help="test-id subset mode (P6)")
+    ap.add_argument("--skolemize", action="store_true", help="skolemize blank nodes")
+    ap.add_argument("--no-axioms", action="store_true", help="skip property-axiom enrichment")
+    args = ap.parse_args(argv)
+
+    own_spark = spark is None
+    spark = spark or get_spark("dipper_spark-etl")
+    names = [s.strip() for s in args.sources.split(",") if s.strip()]
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown sources {unknown}; available: {sorted(REGISTRY)}")
+
+    report: dict = {"sources": {}, "fmt": args.dest_fmt}
+    props = default_property_table(spark)
+    for name in names:
+        timings: dict[str, float] = {}
+        t0 = time.time()
+        pipe = get_pipeline(name)
+        graph = pipe.transform(
+            spark, args.raw_dir, limit=args.limit, test_mode=args.test_only
+        )
+        # dataset metadata graph unioned into the output (U1, Source.py:228-229)
+        meta = dataset_metadata_triples(
+            spark, graph, f"MONARCH:{name}", title=name, graph_id=name
+        )
+        if not args.no_axioms:
+            graph = add_property_axioms(graph, props)
+        out = union_graphs(graph, meta)
+        timings["transform"] = round(time.time() - t0, 3)
+
+        t1 = time.time()
+        dest = f"{args.out_dir.rstrip('/')}/{name}"
+        suffix = "_test" if args.test_only else ""
+        if args.dest_fmt == "nt":
+            write_nt(out, f"{dest}{suffix}.nt", skolemize=args.skolemize)
+        elif args.dest_fmt == "nquads":
+            to_nquads(out, skolemize=args.skolemize).orderBy("line").write.mode(
+                "overwrite"
+            ).text(f"{dest}{suffix}.nq")
+        elif args.dest_fmt == "ttl":
+            write_turtle(out, f"{dest}{suffix}.ttl")
+        else:
+            write_graph_parquet(out, f"{dest}{suffix}.parquet")
+        timings["write"] = round(time.time() - t1, 3)
+        report["sources"][name] = timings
+        LOG.info("%s: transform %.1fs write %.1fs", name, timings["transform"], timings["write"])
+
+    if own_spark:
+        spark.stop()
+    return report
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    run()

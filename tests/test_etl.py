@@ -1,0 +1,67 @@
+"""ETL CLI orchestration: multi-source run, per-source outputs, property
+axioms, dataset metadata."""
+
+import gzip
+import os
+
+from dipper_spark.etl import run
+from dipper_spark.quality import add_property_axioms, default_property_table
+from tests.test_sources import CTD_FIXTURE, HPOA_FIXTURE
+
+
+def test_property_axioms(spark):
+    from dipper_spark.core import TRIPLE_SCHEMA
+
+    g = spark.createDataFrame(
+        [
+            ("OMIM:1", "RO:0002200", "HP:1", False, None, None),
+            ("OMIM:1", "rdfs:label", "x", True, None, None),
+            ("OMIM:1", "UNKNOWN:pred", "y", True, None, None),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    out = add_property_axioms(g, default_property_table(spark))
+    spo = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert ("RO:0002200", "rdf:type", "owl:ObjectProperty") in spo
+    assert ("rdfs:label", "rdf:type", "owl:AnnotationProperty") in spo
+    # unused ontology properties NOT injected
+    assert not any(s == "RO:0003301" for s, _, _ in spo)
+    # unknown predicates pass through untyped
+    assert not any(s == "UNKNOWN:pred" and p == "rdf:type" for s, p, _ in spo)
+    # hardcoded
+    assert ("MONARCH:cliqueLeader", "rdf:type", "owl:AnnotationProperty") in spo
+
+
+def test_etl_cli_end_to_end(spark, tmp_path):
+    raw = tmp_path / "raw"
+    out = tmp_path / "out"
+    raw.mkdir()
+    (raw / "phenotype.hpoa").write_text(HPOA_FIXTURE)
+    (raw / "CTD_chemicals_diseases.tsv.gz").write_bytes(gzip.compress(CTD_FIXTURE.encode()))
+
+    report = run(
+        ["--sources", "hpoa,ctd", "--raw-dir", str(raw), "--out-dir", str(out),
+         "--dest-fmt", "nt"],
+        spark=spark,
+    )
+    assert set(report["sources"]) == {"hpoa", "ctd"}
+    for name in ("hpoa", "ctd"):
+        nt_dir = out / f"{name}.nt"
+        lines = []
+        for f in os.listdir(nt_dir):
+            if f.startswith("part-"):
+                lines += [ln for ln in open(nt_dir / f).read().splitlines() if ln]
+        assert lines == sorted(lines) and len(lines) > 10
+        joined = "\n".join(lines)
+        # dataset metadata present (HCLS/VoID stanza)
+        assert "void" in joined or "Dataset" in joined or "dataDump" in joined or "triples" in joined
+
+
+def test_etl_unknown_source(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        run(
+            ["--sources", "nope", "--raw-dir", str(tmp_path), "--out-dir", str(tmp_path)],
+            spark=spark,
+        )
