@@ -20,6 +20,9 @@ from dipper_spark.sources.bgee import BgeePipeline
 from dipper_spark.sources.ucscbands import UcscBandsPipeline
 from dipper_spark.sources.clinvar import ClinVarPipeline
 from dipper_spark.sources.mgi import MgiPipeline
+from dipper_spark.sources.panther import PantherPipeline
+from dipper_spark.sources.gwascatalog import GwasCatalogPipeline
+from dipper_spark.sources.mpd import MpdPipeline
 
 __all__ = [
     "UcscBandsPipeline",
