@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dipper_spark.functions.text import tokens, word_shingles
+from dipper_spark.operators.util import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, id_col: str, key: Column, min_group: int = 1) -> DataFrame:
@@ -51,7 +52,7 @@ def jaccard_pairs(
     shingles first (stopword-shingle pruning) or use minhash_lsh_pairs which
     bounds candidate generation by construction.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(ensure_parallelism(df), id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -81,12 +82,27 @@ def minhash_signatures(
     property the oracle check needs).  One explode + one groupBy computing all
     K mins as parallel aggregates — a single shuffle regardless of K.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
+    sets = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("sh_set"),
+    )
+    return _signatures_from_sets(sets, num_perm).drop("sh_set")
+
+
+def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
+    """Per-row ``array_min(transform(...))`` — zero shuffle: each permutation
+    min is computed inside the row, so signature building is a pure map stage
+    (vs the naive explode + groupBy which shuffles every shingle)."""
+    # SQL-text lambdas, NOT F.transform(python_lambda): pyspark 4.1 reuses
+    # lambda-variable ids across multiple higher-order functions in one
+    # select, silently mixing the k values (verified — per-expression results
+    # differ from the combined select).  expr() parses each lambda into its
+    # own scope.
+    sigs = [
+        F.expr(f"array_min(transform(sh_set, s -> md5(concat('{k}:', s))))").alias(f"mh{k}")
         for k in range(num_perm)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return sets.select("id", "sh_set", *sigs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, num_perm: int = 8, rows_per_band: int = 2) -> DataFrame:
@@ -142,13 +158,15 @@ def minhash_lsh_pairs(
     array_intersect on per-doc shingle sets.  The verify join is proportional
     to candidates, not to corpus².
     """
-    cands = lsh_candidate_pairs(
-        minhash_signatures(df, id_col, text_col, n, num_perm), num_perm, rows_per_band
-    )
+    # one scan: shingle sets feed BOTH the signatures (map-side array_min,
+    # no shuffle) and the exact-Jaccard verification join
+    df = ensure_parallelism(df)
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens(text_col), n)).alias("sh_set"),
     )
+    sigs = _signatures_from_sets(sets, num_perm).drop("sh_set")
+    cands = lsh_candidate_pairs(sigs, num_perm, rows_per_band)
     withsets = (
         cands.join(sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
         .join(sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")
@@ -171,7 +189,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Column
     one groupBy with ``bits`` parallel sums.
     """
     assert bits % 4 == 0 and bits <= 32
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
     h = F.md5(F.col("tok"))

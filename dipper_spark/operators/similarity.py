@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from dipper_spark.functions.vectors import cosine
 from dipper_spark.operators.windows import topk_per_group
+from dipper_spark.operators.util import ensure_parallelism
 
 
 def cosine_topk(
@@ -32,7 +33,7 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     )
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = ensure_parallelism(corpus).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
     scored = q.join(c, F.lit(True))
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -57,7 +58,7 @@ def assign_buckets(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     c = F.broadcast(
         centroids.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
     )
-    scored = vectors.join(c, F.lit(True)).select(
+    scored = ensure_parallelism(vectors).join(c, F.lit(True)).select(
         "vec_id", "embedding", "cent_id", cosine("embedding", "cent_emb").alias("cent_cos")
     )
     return (
@@ -117,6 +118,7 @@ def blocked_neardup(emb: DataFrame, block_col: str = "label", threshold: float =
     Blocking turns all-pairs O(n²) into sum of per-bucket quadratics — the
     standard scale move; bucket skew is handled by AQE skew-join splitting.
     """
+    emb = ensure_parallelism(emb)
     a = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"), F.col(block_col).alias("b"))
     b = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"), F.col(block_col).alias("b"))
     return (
