@@ -1,0 +1,154 @@
+"""Multimodal column plumbing: schema stability, Arrow batch shapes,
+determinism, metadata-only pruning (SURVEY.md §2 beyond-reference)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipper_spark.multimodal import (
+    attach_media,
+    byte_histogram_features,
+    decode_media,
+    media_stats,
+    resize_image,
+    sample_frames,
+)
+from dipper_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return attach_media(load_table(spark, sf_dir, "documents")).cache()
+
+
+class TestAttach:
+    def test_schema_and_modalities(self, media):
+        assert dict(media.dtypes)["media"] == "binary"
+        meta_fields = {f.name for f in media.schema["media_meta"].dataType.fields}
+        assert meta_fields == {"modality", "mime", "width", "height", "sample_rate", "n_frames", "n_bytes"}
+        mods = {r[0] for r in media.select("media_meta.modality").distinct().collect()}
+        assert mods == {"image", "audio", "video"}
+
+    def test_bytes_match_text(self, media):
+        bad = media.filter(
+            F.octet_length("media") != F.octet_length(F.encode("text", "UTF-8"))
+        ).count()
+        assert bad == 0
+        # n_bytes metadata agrees with the payload
+        assert media.filter(F.col("media_meta.n_bytes") != F.octet_length("media")).count() == 0
+
+    def test_modality_metadata_contract(self, media):
+        # audio: sample_rate set, no dims; image: 1 frame + dims; video: frames + dims
+        assert media.filter((F.col("media_meta.modality") == "audio") & F.col("media_meta.width").isNotNull()).count() == 0
+        assert media.filter((F.col("media_meta.modality") == "image") & (F.col("media_meta.n_frames") != 1)).count() == 0
+        assert media.filter(
+            (F.col("media_meta.modality") == "video")
+            & (F.col("media_meta.n_frames") < 1)
+        ).count() == 0
+
+
+class TestDecode:
+    def test_strict_raises_without_codecs(self, media):
+        with pytest.raises(NotImplementedError):
+            decode_media(media, strict=True)
+
+    def test_fake_decode_shape_and_determinism(self, media):
+        out = decode_media(media)
+        assert [f.name for f in out.schema.fields] == ["doc_id", "modality", "decoded", "decode_ok"]
+        joined = (
+            out.alias("d")
+            .join(media.alias("m"), "doc_id")
+            .select("d.decoded", "m.media")
+            .limit(20)
+            .collect()
+        )
+        for r in joined:
+            assert r.decoded == bytes(reversed(r.media))
+
+    def test_rowcount_preserved(self, media):
+        assert decode_media(media).count() == media.count()
+
+
+class TestFeatures:
+    def test_fixed_dim_and_norm(self, media):
+        out = byte_histogram_features(media, bins=16)
+        rows = out.limit(50).collect()
+        assert all(len(r.features) == 16 for r in rows)
+        for r in rows:
+            assert abs(sum(r.features) - 1.0) < 1e-3  # normalized histogram
+
+    def test_feeds_similarity_operators(self, media, spark):
+        # the feature column is a drop-in embedding for the ANN operators
+        from dipper_spark.operators.similarity import cosine_topk
+
+        emb = byte_histogram_features(media).select(
+            F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+        )
+        res = cosine_topk(emb.limit(5), emb, k=3)
+        assert res.groupBy("query_id").count().filter("count > 3").count() == 0
+
+
+class TestResizeAndFrames:
+    def test_resize_only_images(self, media):
+        out = resize_image(media, 224, 224)
+        assert out.filter((F.col("media_meta.modality") == "image") & (F.col("media_meta.width") != 224)).count() == 0
+        # non-image metadata untouched (joined against the pre-resize values)
+        changed = (
+            out.alias("o")
+            .join(media.alias("m"), "doc_id")
+            .filter(
+                (F.col("m.media_meta.modality") != "image")
+                & (
+                    F.col("o.media_meta.width").eqNullSafe(F.col("m.media_meta.width")) == F.lit(False)
+                )
+            )
+            .count()
+        )
+        assert changed == 0
+        # media bytes pass through
+        assert dict(out.dtypes)["media"] == "binary"
+
+    def test_frame_sampling_fanout(self, media):
+        frames = sample_frames(media, every_n=5)
+        vids = media.filter(F.col("media_meta.modality") == "video").select(
+            "doc_id", F.col("media_meta.n_frames").alias("nf")
+        )
+        got = frames.groupBy("doc_id").count().join(vids, "doc_id").collect()
+        for r in got:
+            expect = len(range(0, r.nf, 5))
+            assert r["count"] == expect
+
+    def test_frame_bytes_are_slices(self, media):
+        one = (
+            media.filter((F.col("media_meta.modality") == "video") & (F.col("media_meta.n_frames") >= 6))
+            .limit(1)
+        )
+        row = one.select("doc_id", "media", "media_meta.n_frames").collect()[0]
+        frames = {r.frame_idx: r.frame for r in sample_frames(one, every_n=5).collect()}
+        step = max(1, len(row.media) // row.n_frames)
+        assert frames[0] == bytes(row.media[0:step])
+
+
+class TestStats:
+    def test_stats_values(self, media):
+        rows = {r.modality: r for r in media_stats(media).collect()}
+        assert set(rows) == {"image", "audio", "video"}
+        total = sum(r.n_media for r in rows.values())
+        assert total == media.count()
+
+    def test_metadata_only_plan_prunes_media(self, spark, sf_dir):
+        # write media to parquet, re-read, and check the scan ReadSchema
+        import tempfile
+
+        media = attach_media(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "media", "media_meta"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            media.write.mode("overwrite").parquet(d + "/media")
+            re = spark.read.parquet(d + "/media")
+            plan = media_stats(re)._jdf.queryExecution().executedPlan().toString()
+            assert "media_meta" in plan
+            # the binary payload column must not be read for metadata stats
+            import re as _re
+
+            readschema = _re.search(r"ReadSchema: ([^\n]+)", plan)
+            assert readschema and "media:" not in readschema.group(1).replace("media_meta", "")
