@@ -1,0 +1,86 @@
+"""Query catalog, part 3: multimodal binary-column operators.
+
+The media table is derived deterministically from ``documents`` by
+``attach_media`` (bytes = utf-8 payload, modality cycles by doc_id), so the
+DuckDB oracle can recompute the metadata side exactly.  The decode /
+feature-extraction stages run through real ``mapInPandas`` plumbing with the
+codec stubbed (this container has no PIL/ffmpeg); the frame-sampling fan-out
+count IS oracle-checkable (ceil(n_frames / every_n)), which pins the
+generator-UDF row semantics from SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dipper_spark.multimodal import (
+    attach_media,
+    byte_histogram_features,
+    media_stats,
+    sample_frames,
+)
+from dipper_spark.plans.catalog import register
+from dipper_spark.session import load_table
+
+MODALITY_SQL = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+@register(
+    "q_media_stats",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             {MODALITY_SQL} AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT modality,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(avg(n_bytes), 2) AS avg_bytes,
+           CAST(sum(CASE modality WHEN 'video' THEN doc_id % 30 + 1
+                                  WHEN 'image' THEN 1 ELSE 0 END) AS BIGINT) AS total_frames
+    FROM m GROUP BY modality ORDER BY modality
+    """,
+)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media inventory — must never scan the binary payload."""
+    return media_stats(attach_media(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "q_media_frames",
+    f"""
+    WITH m AS (
+      SELECT doc_id, doc_id % 30 + 1 AS n_frames
+      FROM documents WHERE {MODALITY_SQL} = 'video')
+    SELECT doc_id,
+           CAST((n_frames + 4) // 5 AS BIGINT) AS n_sampled
+    FROM m
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample fan-out: the generator mapInPandas emits exactly
+    ceil(n_frames/5) rows per video — checked against closed-form SQL."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return (
+        sample_frames(media, every_n=5)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register("q_media_features")  # no SQL oracle: numpy byte-histogram over blobs
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction; rows-only driver check (the histogram
+    math itself is covered by tests/test_multimodal.py determinism tests)."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    feats = byte_histogram_features(media, bins=16)
+    return feats.select(
+        "doc_id",
+        "modality",
+        F.size("features").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v.cast("double")), 3).alias(
+            "mass"
+        ),
+    )
