@@ -23,6 +23,7 @@ from dipper_spark.sources.mgi import MgiPipeline
 from dipper_spark.sources.panther import PantherPipeline
 from dipper_spark.sources.gwascatalog import GwasCatalogPipeline
 from dipper_spark.sources.mpd import MpdPipeline
+from dipper_spark.sources.ncbigene import NcbiGenePipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -37,4 +38,5 @@ __all__ = [
     "run_sources",
     "HpoaPipeline",
     "CtdPipeline",
+    "NcbiGenePipeline",
 ]

@@ -1,0 +1,198 @@
+"""NCBIGene: typed gene classes, dbxref equivalency dispatch, chrom/band
+placement, history deprecation, gene2pubmed, gene_group orthology self-join.
+
+Fixture schema: FIXTURES.md §6 (reference contract NCBIGene.py:46-99)."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipper_spark.sources import get_pipeline
+
+INFO_COLS = get_pipeline("ncbigene").files["gene_info"].columns
+
+
+def _info_row(**kw):
+    row = {c: "-" for c in INFO_COLS}
+    row.update(kw)
+    return "\t".join(row[c] for c in INFO_COLS)
+
+
+GENE_INFO = "\n".join(
+    [
+        "#" + "\t".join(INFO_COLS),
+        # protein-coding human gene: full decoration incl. band placement
+        _info_row(
+            tax_id="9606", GeneID="8", Symbol="A2MP1", Synonyms="A2MP",
+            dbXrefs="MIM:614444|HGNC:HGNC:8|Ensembl:ENSG00000256069|HPRD:11479|Vega:OTTHUMG1",
+            chromosome="12", map_location="12p13.31", description="pseudogene A2MP1",
+            type_of_gene="pseudo",
+            Full_name_from_nomenclature_authority="alpha-2-macroglobulin pseudogene 1",
+            Other_designations="pregnancy zone protein family",
+        ),
+        # sequence feature (individual, not class); X|Y PAR explode
+        _info_row(
+            tax_id="9606", GeneID="17", Symbol="AAVS1", chromosome="X|Y",
+            map_location="Xp22.33; Yp11.3", type_of_gene="other",
+        ),
+        # ambiguous multi-chrom → no placement; NEWENTRY → no label
+        _info_row(tax_id="10090", GeneID="30188", Symbol="NEWENTRY", chromosome="10|19|3",
+                  type_of_gene="protein-coding"),
+        # filtered: taxon not configured
+        _info_row(tax_id="4932", GeneID="999", Symbol="YAL1", type_of_gene="protein-coding"),
+        "",
+    ]
+)
+
+HIST = "\n".join(
+    [
+        "#tax_id\tGeneID\tDiscontinued_GeneID\tDiscontinued_Symbol\tDiscontinue_Date",
+        "9606\t8\t280\tA2MP-OLD\t20050510",
+        "9606\t-\t281\tGONE\t20050510",  # no replacement → dropped
+        "4932\t7\t282\tYEAST\t20050510",  # taxon filtered
+        "",
+    ]
+)
+
+G2P = "\n".join(
+    [
+        "#tax_id\tGeneID\tPubMed_ID",
+        "9606\t8\t9873079",
+        "9606\t8\t9873079",  # dup collapses
+        "4932\t999\t1\t",  # taxon filtered
+        "",
+    ]
+)
+
+GRP = "\n".join(
+    [
+        "#tax_id\tGeneID\trelationship\tOther_tax_id\tOther_GeneID",
+        "9606\t8\tOrtholog\t10090\t11287",
+        "9606\t8\tOrtholog\t7955\t30188",
+        "9606\t8\tRegion member\t9606\t1234",  # non-ortholog dropped
+        "",
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark, tmp_path_factory):
+    raw = tmp_path_factory.mktemp("ncbigene_raw")
+    src = get_pipeline("ncbigene")
+    files = {"gene_info": GENE_INFO, "gene_history": HIST, "gene2pubmed": G2P, "gene_group": GRP}
+    for key, content in files.items():
+        with gzip.open(raw / src.files[key].file, "wt") as fh:
+            fh.write(content)
+    return src.transform(spark, str(raw)).cache()
+
+
+def _spo(df):
+    return {(r.subject, r.predicate, r.object) for r in df.collect()}
+
+
+class TestGeneInfo:
+    def test_typed_class_with_label(self, graph):
+        t = _spo(graph.filter(F.col("subject") == "NCBIGene:8"))
+        assert ("NCBIGene:8", "rdf:type", "owl:Class") in t
+        assert ("NCBIGene:8", "rdf:type", "SO:0000336") in t  # pseudo
+        assert ("NCBIGene:8", "rdfs:label", "A2MP1") in t
+        assert ("NCBIGene:8", "IAO:0000115", "pseudogene A2MP1") in t
+        assert ("NCBIGene:8", "RO:0002162", "NCBITaxon:9606") in t
+
+    def test_sequence_feature_is_individual(self, graph):
+        t = _spo(graph.filter(F.col("subject") == "NCBIGene:17"))
+        assert ("NCBIGene:17", "rdf:type", "owl:NamedIndividual") in t
+        assert ("NCBIGene:17", "rdf:type", "SO:0000110") in t
+        assert not any(o == "owl:Class" for _, _, o in t)
+
+    def test_newentry_unlabeled(self, graph):
+        labels = graph.filter(
+            (F.col("subject") == "NCBIGene:30188") & (F.col("predicate") == "rdfs:label")
+        ).count()
+        assert labels == 0
+
+    def test_taxon_filter(self, graph):
+        assert graph.filter(F.col("subject") == "NCBIGene:999").count() == 0
+
+    def test_synonyms(self, graph):
+        t = _spo(graph.filter(F.col("predicate").isin("OIO:hasRelatedSynonym", "OIO:hasExactSynonym")))
+        assert ("NCBIGene:8", "OIO:hasExactSynonym", "alpha-2-macroglobulin pseudogene 1") in t
+        assert ("NCBIGene:8", "OIO:hasRelatedSynonym", "A2MP") in t
+        assert ("NCBIGene:8", "OIO:hasRelatedSynonym", "pregnancy zone protein family") in t
+        # history symbol becomes a synonym of the survivor
+        assert ("NCBIGene:8", "OIO:hasRelatedSynonym", "A2MP-OLD") in t
+
+
+class TestDbxrefDispatch:
+    def test_destutter_and_equivalence(self, graph):
+        t = _spo(graph.filter(F.col("predicate") == "owl:equivalentClass"))
+        assert ("NCBIGene:8", "owl:equivalentClass", "OMIM:614444") in t  # MIM→OMIM
+        assert ("NCBIGene:8", "owl:equivalentClass", "HGNC:8") in t       # HGNC:HGNC destutter
+
+    def test_hprd_is_gene_product(self, graph):
+        t = _spo(graph.filter(F.col("predicate") == "RO:0002205"))
+        assert ("NCBIGene:8", "RO:0002205", "HPRD:11479") in t
+
+    def test_ensembl_is_loose_xref(self, graph):
+        t = _spo(graph.filter(F.col("predicate") == "OIO:hasDbXref"))
+        assert ("NCBIGene:8", "OIO:hasDbXref", "ENSEMBL:ENSG00000256069") in t
+        assert not any(
+            o == "ENSEMBL:ENSG00000256069" for _, p, o in _spo(graph) if p == "owl:equivalentClass"
+        )
+
+    def test_vega_filtered(self, graph):
+        assert graph.filter(F.col("object").contains("OTTHUMG")).count() == 0
+
+
+class TestPlacement:
+    def test_band_level(self, graph):
+        rows = graph.filter(
+            (F.col("subject") == "NCBIGene:8") & (F.col("predicate") == "RO:0002525")
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].object.endswith("9606chr12p13.31")
+
+    def test_ambiguous_chrom_skipped(self, graph):
+        assert graph.filter(
+            (F.col("subject") == "NCBIGene:30188") & (F.col("predicate") == "RO:0002525")
+        ).count() == 0
+
+    def test_par_explodes_both(self, graph):
+        objs = {
+            r.object
+            for r in graph.filter(
+                (F.col("subject") == "NCBIGene:17") & (F.col("predicate") == "RO:0002525")
+            ).collect()
+        }
+        # 'Xp22.33; Yp11.3' doesn't match the single-band regexp → chromosome level
+        assert any("9606chrX" in o for o in objs) and any("9606chrY" in o for o in objs)
+
+
+class TestHistoryPubsOrthology:
+    def test_deprecation(self, graph):
+        t = _spo(graph.filter(F.col("subject") == "NCBIGene:280"))
+        assert ("NCBIGene:280", "owl:deprecated", "true") in t
+        assert ("NCBIGene:280", "IAO:0100001", "NCBIGene:8") in t
+        # dropped when replacement missing; taxon filtered
+        assert graph.filter(F.col("subject") == "NCBIGene:281").count() == 0
+        assert graph.filter(F.col("subject") == "NCBIGene:282").count() == 0
+
+    def test_gene2pubmed(self, graph):
+        t = _spo(graph.filter(F.col("subject") == "PMID:9873079"))
+        assert ("PMID:9873079", "IAO:0000136", "NCBIGene:8") in t
+        assert ("PMID:9873079", "rdf:type", "IAO:0000013") in t
+        assert graph.filter(F.col("subject") == "PMID:1").count() == 0
+
+    def test_ortholog_pairs_through_anchor(self, graph):
+        t = _spo(graph.filter(F.col("predicate") == "RO:HOM0000017"))
+        # anchor 8 ↔ both members, and members pairwise through the anchor
+        assert ("NCBIGene:8", "RO:HOM0000017", "NCBIGene:11287") in t
+        assert ("NCBIGene:11287", "RO:HOM0000017", "NCBIGene:8") in t
+        assert ("NCBIGene:11287", "RO:HOM0000017", "NCBIGene:30188") in t
+        # non-Ortholog relationship rows contribute nothing
+        assert not any("1234" in o for _, _, o in t)
+
+    def test_ortholog_taxon_decoration(self, graph):
+        t = _spo(graph.filter(F.col("predicate") == "RO:0002162"))
+        assert ("NCBIGene:11287", "RO:0002162", "NCBITaxon:10090") in t
