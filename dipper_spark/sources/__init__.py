@@ -24,6 +24,7 @@ from dipper_spark.sources.panther import PantherPipeline
 from dipper_spark.sources.gwascatalog import GwasCatalogPipeline
 from dipper_spark.sources.mpd import MpdPipeline
 from dipper_spark.sources.ncbigene import NcbiGenePipeline
+from dipper_spark.sources.impc import ImpcPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -39,4 +40,5 @@ __all__ = [
     "HpoaPipeline",
     "CtdPipeline",
     "NcbiGenePipeline",
+    "ImpcPipeline",
 ]
