@@ -25,6 +25,7 @@ from dipper_spark.sources.gwascatalog import GwasCatalogPipeline
 from dipper_spark.sources.mpd import MpdPipeline
 from dipper_spark.sources.ncbigene import NcbiGenePipeline
 from dipper_spark.sources.impc import ImpcPipeline
+from dipper_spark.sources.reactome import ReactomePipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -41,4 +42,5 @@ __all__ = [
     "CtdPipeline",
     "NcbiGenePipeline",
     "ImpcPipeline",
+    "ReactomePipeline",
 ]
