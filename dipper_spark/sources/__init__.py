@@ -26,6 +26,7 @@ from dipper_spark.sources.mpd import MpdPipeline
 from dipper_spark.sources.ncbigene import NcbiGenePipeline
 from dipper_spark.sources.impc import ImpcPipeline
 from dipper_spark.sources.reactome import ReactomePipeline
+from dipper_spark.sources.animalqtldb import AnimalQtldbPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -43,4 +44,5 @@ __all__ = [
     "NcbiGenePipeline",
     "ImpcPipeline",
     "ReactomePipeline",
+    "AnimalQtldbPipeline",
 ]
