@@ -27,6 +27,7 @@ from dipper_spark.sources.ncbigene import NcbiGenePipeline
 from dipper_spark.sources.impc import ImpcPipeline
 from dipper_spark.sources.reactome import ReactomePipeline
 from dipper_spark.sources.animalqtldb import AnimalQtldbPipeline
+from dipper_spark.sources.orphanet import OrphanetPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -45,4 +46,5 @@ __all__ = [
     "ImpcPipeline",
     "ReactomePipeline",
     "AnimalQtldbPipeline",
+    "OrphanetPipeline",
 ]
