@@ -28,6 +28,7 @@ from dipper_spark.sources.impc import ImpcPipeline
 from dipper_spark.sources.reactome import ReactomePipeline
 from dipper_spark.sources.animalqtldb import AnimalQtldbPipeline
 from dipper_spark.sources.orphanet import OrphanetPipeline
+from dipper_spark.sources.omim import OmimPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -47,4 +48,5 @@ __all__ = [
     "ReactomePipeline",
     "AnimalQtldbPipeline",
     "OrphanetPipeline",
+    "OmimPipeline",
 ]
