@@ -29,6 +29,7 @@ from dipper_spark.sources.reactome import ReactomePipeline
 from dipper_spark.sources.animalqtldb import AnimalQtldbPipeline
 from dipper_spark.sources.orphanet import OrphanetPipeline
 from dipper_spark.sources.omim import OmimPipeline
+from dipper_spark.sources.zfin import ZfinPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -49,4 +50,5 @@ __all__ = [
     "AnimalQtldbPipeline",
     "OrphanetPipeline",
     "OmimPipeline",
+    "ZfinPipeline",
 ]
