@@ -30,6 +30,7 @@ from dipper_spark.sources.animalqtldb import AnimalQtldbPipeline
 from dipper_spark.sources.orphanet import OrphanetPipeline
 from dipper_spark.sources.omim import OmimPipeline
 from dipper_spark.sources.zfin import ZfinPipeline
+from dipper_spark.sources.udp import UdpPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -51,4 +52,5 @@ __all__ = [
     "OrphanetPipeline",
     "OmimPipeline",
     "ZfinPipeline",
+    "UdpPipeline",
 ]
