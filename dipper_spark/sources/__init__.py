@@ -31,6 +31,7 @@ from dipper_spark.sources.orphanet import OrphanetPipeline
 from dipper_spark.sources.omim import OmimPipeline
 from dipper_spark.sources.zfin import ZfinPipeline
 from dipper_spark.sources.udp import UdpPipeline
+from dipper_spark.sources.biogrid import BioGridPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -53,4 +54,5 @@ __all__ = [
     "OmimPipeline",
     "ZfinPipeline",
     "UdpPipeline",
+    "BioGridPipeline",
 ]
