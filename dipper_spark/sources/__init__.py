@@ -32,6 +32,7 @@ from dipper_spark.sources.omim import OmimPipeline
 from dipper_spark.sources.zfin import ZfinPipeline
 from dipper_spark.sources.udp import UdpPipeline
 from dipper_spark.sources.biogrid import BioGridPipeline
+from dipper_spark.sources.kegg import KeggPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -55,4 +56,5 @@ __all__ = [
     "ZfinPipeline",
     "UdpPipeline",
     "BioGridPipeline",
+    "KeggPipeline",
 ]
