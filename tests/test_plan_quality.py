@@ -1,0 +1,111 @@
+"""Physical-plan audits: the properties we designed for must be visible in
+the executed plans (pushdown, pruning, broadcast joins, codegen, no
+accidental cartesian products).  These are the `.explain("formatted")`
+iterations frozen as assertions so a regression (a filter that stops
+reaching the scan, a broadcast that silently becomes a shuffle join) fails
+CI instead of quietly costing 100× at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipper_spark.plans import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_plan_of(df) -> str:
+    """AQE finalizes the physical plan only on execution — run the query
+    (tiny at test SF), then read the final adaptive plan."""
+    df.collect()  # count() would be a separate queryExecution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+class TestPushdownAndPruning:
+    def test_filter_reaches_parquet_scan(self, spark, sf):
+        # q_score_threshold: events.value > threshold must be a PushedFilter
+        plan = QUERIES["q_score_threshold"](spark, sf)._jdf.queryExecution().toString()
+        assert "PushedFilters: [" in plan
+        assert "GreaterThan" in plan or "IsNotNull" in plan
+
+    def test_column_pruning_on_wide_table(self, spark, sf):
+        # pricing summary touches 7 of lineitem's 16 columns; the ReadSchema
+        # must not include the untouched ones
+        plan = QUERIES["q_pricing_summary"](spark, sf)._jdf.queryExecution().toString()
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read and "l_comment" not in read[0] and "l_partkey" not in read[0]
+
+    def test_media_stats_prunes_binary_payload(self, spark, sf):
+        from dipper_spark.multimodal import attach_media, media_stats
+        from dipper_spark.session import load_table
+
+        # over parquet-backed media the payload column is never read; over
+        # the derived frame the projection list must not carry 'media' into
+        # the aggregate either
+        plan = plan_of(media_stats(attach_media(load_table(spark, sf, "documents"))))
+        agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+        assert agg_lines and all("encode" not in ln for ln in agg_lines)
+
+
+class TestJoinStrategies:
+    def test_star_join_broadcasts_dims(self, spark, sf):
+        plan = plan_of(QUERIES["q_star_join_revenue"](spark, sf))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan  # all dims are broadcast-sized
+
+    def test_range_join_is_not_cartesian(self, spark, sf):
+        plan = plan_of(QUERIES["q_range_join"](spark, sf))
+        assert "CartesianProduct" not in plan
+
+    def test_lsh_candidate_join_shuffles_on_band_key(self, spark, sf):
+        # minhash-LSH must join candidates on band buckets — never an
+        # all-pairs nested loop over the corpus
+        plan = plan_of(QUERIES["q_minhash_lsh"](spark, sf))
+        assert "CartesianProduct" not in plan
+
+    def test_cosine_topk_is_deliberate_broadcast_product(self, spark, sf):
+        # brute-force ANN is an intentional broadcast nested-loop (queries
+        # side is tiny); the corpus side must NOT be the broadcast side
+        plan = plan_of(QUERIES["q_cosine_topk"](spark, sf))
+        assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestCodegen:
+    def test_headline_aggregate_is_whole_stage_codegen(self, spark, sf):
+        # the '*(n)' stage prefix is the WholeStageCodegen marker in
+        # executedPlan.toString (explain("formatted") spells it out)
+        plan = final_plan_of(QUERIES["q_pricing_summary"](spark, sf))
+        assert "*(1)" in plan and "HashAggregate" in plan
+
+    def test_no_python_udf_in_sql_queries(self, spark, sf):
+        # every oracle-checked relational query stays JVM-side; Python
+        # appears only in the explicitly-Arrow paths (multimodal, xml scan)
+        for name in ("q_pricing_summary", "q_star_join_revenue", "q_topk_per_group",
+                     "q_minhash_lsh", "q_simhash", "q_lang_id"):
+            plan = plan_of(QUERIES[name](spark, sf))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+
+class TestShuffleEconomy:
+    def test_dedup_exact_single_shuffle(self, spark, sf):
+        # exact dedup = one hash-agg pair (partial+final) → exactly one
+        # exchange below the final aggregate
+        plan = plan_of(QUERIES["q_dedup_exact"](spark, sf))
+        assert plan.count("Exchange") <= 2  # agg shuffle + optional AQE read
+
+    def test_minhash_signatures_no_shuffle(self, spark, sf):
+        from dipper_spark.operators.dedup import minhash_signatures
+        from dipper_spark.session import load_table
+
+        docs = load_table(spark, sf, "documents")
+        plan = plan_of(minhash_signatures(docs, "doc_id", "text", num_perm=8))
+        # signature building is a pure map stage: the only exchange allowed
+        # is the under-parallel-scan guard repartition
+        assert plan.count("Exchange hashpartitioning") == 0
