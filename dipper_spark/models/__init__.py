@@ -34,10 +34,20 @@ from dipper_spark.models.genotype import (
 )
 from dipper_spark.models.sepio import evidence_triples, provenance_triples
 from dipper_spark.models.dataset import dataset_metadata_triples
+from dipper_spark.models.context import (
+    environment_triples,
+    environmental_condition_triples,
+    family_triples,
+    reference_triples,
+)
 
 __all__ = [
     "association_triples",
     "class_triples",
+    "environment_triples",
+    "environmental_condition_triples",
+    "family_triples",
+    "reference_triples",
     "d2p_association_triples",
     "dataset_metadata_triples",
     "deprecation_triples",

@@ -33,6 +33,7 @@ from dipper_spark.sources.zfin import ZfinPipeline
 from dipper_spark.sources.udp import UdpPipeline
 from dipper_spark.sources.biogrid import BioGridPipeline
 from dipper_spark.sources.kegg import KeggPipeline
+from dipper_spark.sources.coriell import CoriellPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -57,4 +58,5 @@ __all__ = [
     "UdpPipeline",
     "BioGridPipeline",
     "KeggPipeline",
+    "CoriellPipeline",
 ]
