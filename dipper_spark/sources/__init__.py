@@ -34,6 +34,7 @@ from dipper_spark.sources.udp import UdpPipeline
 from dipper_spark.sources.biogrid import BioGridPipeline
 from dipper_spark.sources.kegg import KeggPipeline
 from dipper_spark.sources.coriell import CoriellPipeline
+from dipper_spark.sources.hgnc import HgncPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -59,4 +60,5 @@ __all__ = [
     "BioGridPipeline",
     "KeggPipeline",
     "CoriellPipeline",
+    "HgncPipeline",
 ]
