@@ -38,6 +38,9 @@ HEADLINE = [
     "q_cosine_topk",
     "q_ann_ivf",
     "q_embedding_neardup",
+    # multimodal columns
+    "q_media_stats",
+    "q_media_features",
 ]
 
 
