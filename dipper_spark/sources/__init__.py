@@ -35,6 +35,7 @@ from dipper_spark.sources.biogrid import BioGridPipeline
 from dipper_spark.sources.kegg import KeggPipeline
 from dipper_spark.sources.coriell import CoriellPipeline
 from dipper_spark.sources.hgnc import HgncPipeline
+from dipper_spark.sources.mychem import MyChemPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -61,4 +62,5 @@ __all__ = [
     "KeggPipeline",
     "CoriellPipeline",
     "HgncPipeline",
+    "MyChemPipeline",
 ]

@@ -1,0 +1,93 @@
+"""MyChem: staged-JSON scan with explicit nested schema, action minting,
+bioactivity-over-druguse precedence (reference MyChem.py:40-175)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipper_spark.sources import get_pipeline
+
+DRUGBANK = "\n".join(
+    [
+        json.dumps({
+            "unii": {"unii": "9100L32L2N"},
+            "drugbank": {
+                "drugbank_id": "DB00945",
+                "targets": [
+                    {"uniprot": "P23219", "name": "Prostaglandin G/H synthase 1",
+                     "actions": ["inhibitor", "positive allosteric modulator"]},
+                ],
+            },
+        }),
+        # no unii → skipped
+        json.dumps({"drugbank": {"drugbank_id": "DB99999", "targets": []}}),
+        "",
+    ]
+)
+
+DRUGCENTRAL = "\n".join(
+    [
+        json.dumps({
+            "unii": {"unii": "R16CO5Y76E"},
+            "drugcentral": {
+                "bioactivity": [{"uniprot_id": "P35354|P23219", "target_class": "Enzyme", "target": "COX"}],
+            },
+        }),
+        json.dumps({
+            "unii": {"unii": "362O9ITL9D"},
+            "drugcentral": {
+                "drug_use": [
+                    {"relation": "indication", "snomed_id": "38341003", "snomed_name": "Hypertensive disorder"},
+                    {"relation": "contraindication", "snomed_id": "1000", "snomed_name": "X"},
+                ],
+            },
+        }),
+        "",
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark, tmp_path_factory):
+    raw = tmp_path_factory.mktemp("mychem_raw")
+    src = get_pipeline("mychem")
+    (raw / src.files["drugbank"].file).write_text(DRUGBANK)
+    (raw / src.files["drugcentral"].file).write_text(DRUGCENTRAL)
+    return src.transform(spark, str(raw)).cache()
+
+
+def _spo(df):
+    return {(r.subject, r.predicate, r.object) for r in df.collect()}
+
+
+def test_action_edges_minted(graph):
+    t = _spo(graph.filter(F.col("subject") == "UNII:9100L32L2N"))
+    assert ("UNII:9100L32L2N", "MONARCH:inhibitor", "UniProtKB:P23219") in t
+    assert ("UNII:9100L32L2N", "MONARCH:positive_allosteric_modulator", "UniProtKB:P23219") in t
+    assert ("UNII:9100L32L2N", "rdfs:subClassOf", "CHEBI:23367") in t
+
+
+def test_action_subproperty_and_target_typing(graph):
+    t = _spo(graph)
+    assert ("MONARCH:inhibitor", "rdfs:subPropertyOf", "RO:0002436") in t
+    assert ("UniProtKB:P23219", "rdfs:subClassOf", "SO:0000104") in t
+    assert ("UniProtKB:P23219", "rdfs:label", "Prostaglandin G/H synthase 1") in t
+    assert ("DrugBank:DB00945", "owl:equivalentClass", "UNII:9100L32L2N") in t
+
+
+def test_uniprot_pipe_split(graph):
+    t = _spo(graph.filter(F.col("predicate") == "RO:0002436"))
+    assert ("UNII:R16CO5Y76E", "RO:0002436", "UniProtKB:P35354") in t
+    assert ("UNII:R16CO5Y76E", "RO:0002436", "UniProtKB:P23219") in t
+
+
+def test_indications_skip_contraindication(graph):
+    t = _spo(graph.filter(F.col("predicate") == "RO:0002606"))
+    assert t == {("UNII:362O9ITL9D", "RO:0002606", "SNOMED:38341003")}
+    assert graph.filter(F.col("object") == "SNOMED:1000").count() == 0
+    assert ("SNOMED:38341003", "rdfs:label", "Hypertensive disorder") in _spo(graph)
+
+
+def test_recordless_unii_skipped(graph):
+    assert graph.filter(F.col("subject") == "DrugBank:DB99999").count() == 0
