@@ -36,6 +36,7 @@ from dipper_spark.sources.kegg import KeggPipeline
 from dipper_spark.sources.coriell import CoriellPipeline
 from dipper_spark.sources.hgnc import HgncPipeline
 from dipper_spark.sources.mychem import MyChemPipeline
+from dipper_spark.sources.ensembl import EnsemblPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -63,4 +64,5 @@ __all__ = [
     "CoriellPipeline",
     "HgncPipeline",
     "MyChemPipeline",
+    "EnsemblPipeline",
 ]
