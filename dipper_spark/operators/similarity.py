@@ -51,6 +51,65 @@ def cosine_topk(
              F.col("rank").cast("long").alias("rank"))
 
 
+def cosine_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The 100 TB brute-force path: Arrow-batched numpy matmul.
+
+    Same contract and results as :func:`cosine_topk`, different physics: the
+    per-pair higher-order-function dot product becomes one BLAS
+    ``Q_norm @ C_norm.T`` per Arrow batch, and each batch keeps only its own
+    top-k per query (partial top-k) — so the shuffle into the global top-k
+    carries O(batches x queries x k) rows instead of |corpus| x |queries|.
+    The query matrix rides the task closure (the broadcast side).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r.vec_id for r in q_rows])
+    qm = np.asarray([r.embedding for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm @ cm.T  # (n_queries, n_batch)
+            n_ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                mask = n_ids != qid if exclude_self else np.ones(len(row), bool)
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                # partial top-k within the batch (ties resolved globally later)
+                top = idx[np.argsort(-row[idx], kind="stable")[: k + 1]]
+                out_q.extend([qid] * len(top))
+                out_n.extend(n_ids[top])
+                out_s.extend(row[top])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
+
+    scored = ensure_parallelism(corpus).select("vec_id", "embedding").mapInPandas(
+        score_batches, "query_id long, neighbor_id long, cos_sim double"
+    )
+    return topk_per_group(
+        scored,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+             F.col("rank").cast("long").alias("rank"))
+
+
 def assign_buckets(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF assignment: each vector goes to its max-cosine centroid
     (deterministic ties: lowest centroid id).  Centroids are broadcast; the

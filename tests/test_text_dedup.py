@@ -136,3 +136,16 @@ def test_cosine_and_ivf_topk(spark):
     # IVF searches only the query's own bucket -> neighbors share the cluster
     assert all(r.neighbor_id % 3 == r.query_id % 3 for r in ivf)
     assert all(r.cos_sim <= 1.000001 for r in ivf)
+
+
+class TestArrowCosine:
+    def test_arrow_matches_expr_topk(self, spark, sf_dir):
+        """cosine_topk_arrow must agree with the expression-based baseline."""
+        from dipper_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+        from dipper_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.limit(5)
+        a = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk(q, emb, k=3).collect()}
+        b = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk_arrow(q, emb, k=3).collect()}
+        assert a == b
