@@ -37,6 +37,7 @@ from dipper_spark.sources.coriell import CoriellPipeline
 from dipper_spark.sources.hgnc import HgncPipeline
 from dipper_spark.sources.mychem import MyChemPipeline
 from dipper_spark.sources.ensembl import EnsemblPipeline
+from dipper_spark.sources.sgd import SgdPipeline
 
 __all__ = [
     "UcscBandsPipeline",
@@ -65,4 +66,5 @@ __all__ = [
     "HgncPipeline",
     "MyChemPipeline",
     "EnsemblPipeline",
+    "SgdPipeline",
 ]
