@@ -17,68 +17,11 @@ from itertools import chain
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: a representative subset of dipper/curie_map.yaml (the real map is data, not
-#: code — pipelines pass their own); '_' is the bnode pseudo-prefix.
-DEFAULT_CURIE_MAP = {
-    "": "https://monarchinitiative.org/",
-    "_": "https://monarchinitiative.org/.well-known/genid/",
-    "MONARCH": "https://monarchinitiative.org/MONARCH_",
-    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
-    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
-    "owl": "http://www.w3.org/2002/07/owl#",
-    "xsd": "http://www.w3.org/2001/XMLSchema#",
-    "dc": "http://purl.org/dc/terms/",
-    "foaf": "http://xmlns.com/foaf/0.1/",
-    "faldo": "http://biohackathon.org/resource/faldo#",
-    "OBO": "http://purl.obolibrary.org/obo/",
-    "OIO": "http://www.geneontology.org/formats/oboInOwl#",
-    "HP": "http://purl.obolibrary.org/obo/HP_",
-    "MP": "http://purl.obolibrary.org/obo/MP_",
-    "GO": "http://purl.obolibrary.org/obo/GO_",
-    "NCBITaxon": "http://purl.obolibrary.org/obo/NCBITaxon_",
-    "NCBIGene": "https://www.ncbi.nlm.nih.gov/gene/",
-    "OMIM": "https://omim.org/entry/",
-    "MGI": "http://www.informatics.jax.org/accession/MGI:",
-    "ZFIN": "http://zfin.org/",
-    "ClinVar": "http://www.ncbi.nlm.nih.gov/clinvar/",
-    "dbSNP": "https://www.ncbi.nlm.nih.gov/projects/SNP/snp_ref.cgi?rs=",
-    "STRING": "https://string-db.org/network/",
-    "UniProtKB": "http://identifiers.org/uniprot/",
-    "ECO": "http://purl.obolibrary.org/obo/ECO_",
-    "RO": "http://purl.obolibrary.org/obo/RO_",
-    "GENO": "http://purl.obolibrary.org/obo/GENO_",
-    "SEPIO": "http://purl.obolibrary.org/obo/SEPIO_",
-    "biolink": "https://w3id.org/biolink/vocab/",
-    # vocab used by the model emitters (dipper/curie_map.yaml entries)
-    "OBAN": "http://purl.org/oban/",
-    "IAO": "http://purl.obolibrary.org/obo/IAO_",
-    "SIO": "http://semanticscience.org/resource/SIO_",
-    "PATO": "http://purl.obolibrary.org/obo/PATO_",
-    "BFO": "http://purl.obolibrary.org/obo/BFO_",
-    "SO": "http://purl.obolibrary.org/obo/SO_",
-    "UBERON": "http://purl.obolibrary.org/obo/UBERON_",
-    "DOID": "http://purl.obolibrary.org/obo/DOID_",
-    "MESH": "http://id.nlm.nih.gov/mesh/",
-    "PMID": "http://www.ncbi.nlm.nih.gov/pubmed/",
-    "ISBN-13": "https://monarchinitiative.org/ISBN13_",
-    "ORPHA": "http://www.orpha.net/ORDO/Orphanet_",
-    "DECIPHER": "https://decipher.sanger.ac.uk/syndrome/",
-    "ENSEMBL": "http://identifiers.org/ensembl/",
-    "WormBase": "https://www.wormbase.org/get?name=",
-    "FlyBase": "http://flybase.org/reports/",
-    "GO_REF": "http://www.geneontology.org/cgi-bin/references.cgi#GO_REF:",
-    "REACT": "http://www.reactome.org/PathwayBrowser/#/",
-    "DATA": "http://edamontology.org/data_",
-    "ClinVarVariant": "http://www.ncbi.nlm.nih.gov/clinvar/variation/",
-    "UCSC": "ftp://hgdownload.soe.ucsc.edu/goldenPath/",
-    "PANTHER": "http://www.pantherdb.org/panther/family.do?clsAccession=",
-    # dataset metadata vocabularies (dipper/models/Dataset.py)
-    "void": "http://rdfs.org/ns/void#",
-    "pav": "http://purl.org/pav/",
-    "dcat": "http://www.w3.org/ns/dcat#",
-    "dctypes": "http://purl.org/dc/dcmitype/",
-    "cito": "http://purl.org/spar/cito/",
-}
+from dipper_spark.core.curie_data import FULL_CURIE_MAP
+
+#: the full prefix registry (reference: dipper/curie_map.yaml via
+#: core/curie_data.py) — every prefix any registered pipeline emits resolves.
+DEFAULT_CURIE_MAP = FULL_CURIE_MAP
 
 
 class CurieMap:
@@ -97,21 +40,56 @@ class CurieMap:
             *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in self.mapping.items())
         )
 
-    def expand(self, col: Column | str) -> Column:
+    def expand(self, col: Column | str, *, strict: bool = False) -> Column:
         """CURIE -> IRI (reference: CurieUtil.get_uri, CurieUtil.py:60-67).
 
         Already-absolute IRIs (http/https/ftp scheme) pass through; unknown
         prefixes yield NULL (the reference logs an error and returns None).
+        With ``strict=True`` an unresolvable non-null term raises at execution
+        time instead — the sink-side guard against silently emitting
+        ``<null>`` IRIs (the reference's graph layer likewise raises on
+        un-mapped terms rather than writing corrupt RDF).
         """
         c = F.col(col) if isinstance(col, str) else col
         prefix = F.split(c, ":").getItem(0)
         # everything after the FIRST ':' (locals may themselves contain ':')
         local = F.substr(c, F.instr(c, F.lit(":")) + F.lit(1), F.length(c))
         base = self._map_expr()[prefix]
+        if strict:
+            fallback = F.when(
+                c.isNotNull(),
+                F.raise_error(
+                    F.concat(F.lit("unresolvable CURIE (no prefix mapping): "), c)
+                ),
+            )
+        else:
+            fallback = F.lit(None)
         return (
             F.when(F.lower(prefix).isin("http", "https", "ftp"), c)
             .when(base.isNotNull(), F.concat(base, local))
-            .otherwise(F.lit(None))
+            .otherwise(fallback)
+        )
+
+    def expand_str(self, curie: str) -> str:
+        """Driver-side expansion of a single CURIE string (for graph IRIs,
+        file headers — anything decided before the plan runs)."""
+        if curie.split(":", 1)[0].lower() in ("http", "https", "ftp"):
+            return curie
+        prefix, _, local = curie.partition(":")
+        if prefix not in self.mapping:
+            raise KeyError(f"unresolvable CURIE (no prefix mapping): {curie}")
+        return self.mapping[prefix] + local
+
+    def unresolved(self, col: Column | str) -> Column:
+        """Boolean column: term is a CURIE whose prefix has no mapping —
+        use to route rejects instead of raising (P2-style reject frame)."""
+        c = F.col(col) if isinstance(col, str) else col
+        prefix = F.split(c, ":").getItem(0)
+        return (
+            c.isNotNull()
+            & ~c.startswith("_")
+            & ~F.lower(prefix).isin("http", "https", "ftp")
+            & self._map_expr()[prefix].isNull()
         )
 
     def contract(self, col: Column | str) -> Column:

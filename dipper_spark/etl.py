@@ -26,6 +26,7 @@ FORMATS = ("nt", "nquads", "ttl", "parquet")
 
 def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
     from dipper_spark.core import union_graphs
+    from dipper_spark.core.curie import CurieMap
     from dipper_spark.io import to_nquads, write_graph_parquet, write_nt, write_turtle
     from dipper_spark.models import dataset_metadata_triples
     from dipper_spark.quality import add_property_axioms, default_property_table
@@ -74,9 +75,12 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         if args.dest_fmt == "nt":
             write_nt(out, f"{dest}{suffix}.nt", skolemize=args.skolemize)
         elif args.dest_fmt == "nquads":
-            to_nquads(out, skolemize=args.skolemize).orderBy("line").write.mode(
-                "overwrite"
-            ).text(f"{dest}{suffix}.nq")
+            # per-source graph IRI, as the reference names each source graph
+            # MonarchData:<src>.ttl (Source.py:186-190)
+            graph_iri = CurieMap().expand_str(f"MonarchData:{name}.ttl")
+            to_nquads(out, graph_iri=graph_iri, skolemize=args.skolemize).orderBy(
+                "line"
+            ).write.mode("overwrite").text(f"{dest}{suffix}.nq")
         elif args.dest_fmt == "ttl":
             write_turtle(out, f"{dest}{suffix}.ttl")
         else:

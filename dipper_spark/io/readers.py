@@ -88,7 +88,10 @@ def read_delim(
         reader = reader.option("comment", comment)
     df = reader.csv(path)
     if header:
-        received = [c.lstrip(header_prefix) if header_prefix else c for c in df.columns]
+        received = list(df.columns)
+        if header_prefix and received:
+            # literal prefix strip on the FIRST cell only (NCBI '#tax_id')
+            received[0] = received[0].removeprefix(header_prefix)
         if received != df.columns:
             df = df.toDF(*received)
         if columns:

@@ -25,40 +25,40 @@ from dipper_spark.core.curie import CurieMap
 from dipper_spark.core.literals import nt_escape, skolemize_bnode
 
 
-def _term_iri(col: str, curie_map: CurieMap, skolemize: bool) -> Column:
+def _term_iri(col: str, curie_map: CurieMap, skolemize: bool, strict: bool) -> Column:
     """Resource term -> absolute IRI (reference: StreamedGraph._getnode,
     StreamedGraph.py:134-153): bnodes kept (or skolemized), http/ftp pass
     through, CURIEs expanded."""
     c = F.col(col)
     bnode = skolemize_bnode(c) if skolemize else c
-    return F.when(c.startswith("_"), bnode).otherwise(curie_map.expand(c))
+    return F.when(c.startswith("_"), bnode).otherwise(curie_map.expand(c, strict=strict))
 
 
-def _nt_subject(curie_map: CurieMap, skolemize: bool) -> Column:
+def _nt_subject(curie_map: CurieMap, skolemize: bool, strict: bool) -> Column:
     c = F.col("subject")
     if skolemize:
-        return F.format_string("<%s>", _term_iri("subject", curie_map, True))
+        return F.format_string("<%s>", _term_iri("subject", curie_map, True, strict))
     return F.when(c.startswith("_"), F.concat(F.lit("_:"), F.regexp_replace(c, r"^_:?", ""))).otherwise(
-        F.format_string("<%s>", curie_map.expand(c))
+        F.format_string("<%s>", curie_map.expand(c, strict=strict))
     )
 
 
-def _nt_object(curie_map: CurieMap, skolemize: bool) -> Column:
+def _nt_object(curie_map: CurieMap, skolemize: bool, strict: bool) -> Column:
     """Object term: IRI, bnode, plain literal or typed literal
     (reference: StreamedGraph.serialize, StreamedGraph.py:92-113)."""
     c = F.col("object")
     typed = F.format_string(
-        '"%s"^^<%s>', nt_escape(c), curie_map.expand("datatype")
+        '"%s"^^<%s>', nt_escape(c), curie_map.expand("datatype", strict=strict)
     )
     plain = F.format_string('"%s"', nt_escape(c))
     if skolemize:
         resource = F.when(c.startswith("_"), F.format_string("<%s>", skolemize_bnode(c))).otherwise(
-            F.format_string("<%s>", curie_map.expand(c))
+            F.format_string("<%s>", curie_map.expand(c, strict=strict))
         )
     else:
         resource = F.when(
             c.startswith("_"), F.concat(F.lit("_:"), F.regexp_replace(c, r"^_:?", ""))
-        ).otherwise(F.format_string("<%s>", curie_map.expand(c)))
+        ).otherwise(F.format_string("<%s>", curie_map.expand(c, strict=strict)))
     return (
         F.when(~F.col("is_literal"), resource)
         .when(F.col("datatype").isNotNull(), typed)
@@ -67,39 +67,60 @@ def _nt_object(curie_map: CurieMap, skolemize: bool) -> Column:
 
 
 def to_nt(
-    df: DataFrame, curie_map: CurieMap | None = None, *, skolemize: bool = False
+    df: DataFrame, curie_map: CurieMap | None = None, *, skolemize: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
     """Triples -> one-column DataFrame of ntriples lines.
 
     Bit-compatible with StreamedGraph's ``<s> <p> <o> .`` /
     ``<s> <p> "lit"^^<dt> .`` formatting (StreamedGraph.py:97-113).
+
+    ``strict`` (default) raises on a CURIE whose prefix has no mapping rather
+    than formatting a ``<null>`` IRI; set False only for exploratory dumps.
     """
     cm = curie_map or CurieMap()
     return df.select(
         F.format_string(
             "%s <%s> %s .",
-            _nt_subject(cm, skolemize),
-            cm.expand("predicate"),
-            _nt_object(cm, skolemize),
+            _nt_subject(cm, skolemize, strict),
+            cm.expand("predicate", strict=strict),
+            _nt_object(cm, skolemize, strict),
         ).alias("line")
     )
 
 
 def to_nquads(
     df: DataFrame, curie_map: CurieMap | None = None, *, graph_iri: str | None = None,
-    skolemize: bool = False,
+    skolemize: bool = False, strict: bool = True,
 ) -> DataFrame:
-    """Triples -> nquads lines; 4th term from ``graph_id`` (or a constant
-    graph IRI).  Reference formats nquads via rdflib (Source.write,
-    Source.py:192-198); per-source graph ids become the quad graph term."""
+    """Triples -> nquads lines; 4th term from ``graph_id`` where it resolves,
+    else the fallback ``graph_iri`` (reference names each source graph
+    ``MonarchData:<src>.ttl``, Source.py:186-190).  Reference formats nquads
+    via rdflib (Source.write, Source.py:192-198); per-source graph ids become
+    the quad graph term.  A bare (un-prefixed) or null ``graph_id`` falls back
+    to ``graph_iri``; with neither resolvable, strict mode raises.
+    """
     cm = curie_map or CurieMap()
-    graph = F.lit(graph_iri) if graph_iri else cm.expand("graph_id")
+    resolved = F.when(
+        F.col("graph_id").isNotNull() & F.col("graph_id").contains(":"),
+        cm.expand("graph_id"),
+    )
+    graph = F.coalesce(resolved, F.lit(graph_iri))
+    if strict:
+        graph = F.when(graph.isNotNull(), graph).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unresolvable graph term (pass graph_iri): "),
+                    F.coalesce(F.col("graph_id"), F.lit("<null graph_id>")),
+                )
+            )
+        )
     return df.select(
         F.format_string(
             "%s <%s> %s <%s> .",
-            _nt_subject(cm, skolemize),
-            cm.expand("predicate"),
-            _nt_object(cm, skolemize),
+            _nt_subject(cm, skolemize, strict),
+            cm.expand("predicate", strict=strict),
+            _nt_object(cm, skolemize, strict),
             graph,
         ).alias("line")
     )
@@ -108,6 +129,7 @@ def to_nquads(
 def write_nt(
     df: DataFrame, path: str, curie_map: CurieMap | None = None, *,
     canonical: bool = True, dedup: bool = True, skolemize: bool = False,
+    strict: bool = True,
 ) -> None:
     """nt sink.  ``canonical`` applies the StreamedGraph downstream contract
     (sort then uniquify, StreamedGraph.py:15-16) for byte-stable output; the
@@ -116,7 +138,7 @@ def write_nt(
     out = df
     if dedup:
         out = out.dropDuplicates(["subject", "predicate", "object"])
-    lines = to_nt(out, curie_map, skolemize=skolemize)
+    lines = to_nt(out, curie_map, skolemize=skolemize, strict=strict)
     if canonical:
         lines = lines.orderBy("line")
     lines.write.mode("overwrite").text(path)

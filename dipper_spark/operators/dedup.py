@@ -40,36 +40,61 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity >= threshold.
 
-    Inverted-index formulation: self-join on the shingle (docs sharing no
-    shingle never meet), count shared shingles, then J = |∩|/(|A|+|B|-|∩|).
+    Inverted-index formulation in two stages:
 
-    Scale note: fan-out is bounded by shingle-bucket sizes; hot shingles
-    (boilerplate) explode quadratically — at scale, drop top-frequency
-    shingles first (stopword-shingle pruning) or use minhash_lsh_pairs which
-    bounds candidate generation by construction.
+    1. **candidates** — self-equi-join on the shingle (docs sharing no shingle
+       never meet).  With ``max_doc_freq`` set, shingles appearing in more
+       than that many documents are dropped from the index FIRST (broadcast
+       anti-join against the small hot-shingle table) — one boilerplate
+       shingle shared by 1M docs would otherwise mint 10¹² candidate rows.
+    2. **verify** — exact Jaccard via ``array_intersect`` over the full
+       per-doc shingle sets, so pruning never distorts the similarity value
+       of a surfaced pair.
+
+    Approximation contract: with pruning on, a pair whose ONLY shared
+    shingles are hot ones is missed (pure-boilerplate duplicates) — the
+    standard doc-frequency-pruning trade; ``minhash_lsh_pairs`` bounds
+    candidates by construction instead.  ``max_doc_freq=None`` is exact.
     """
-    sh = shingle_table(ensure_parallelism(df), id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sets = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("sh_set"),
     )
-    j = (
-        inter.join(sizes.withColumnRenamed("id", "id_1").withColumnRenamed("n_sh", "n_1"), "id_1")
-        .join(sizes.withColumnRenamed("id", "id_2").withColumnRenamed("n_sh", "n_2"), "id_2")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_doc_freq)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    cands = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .distinct()
     )
-    return j.filter(F.col("jaccard") >= threshold).select("id_1", "id_2", "jaccard")
+    withsets = (
+        cands.join(sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
+        .join(sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")
+    )
+    inter = F.size(F.array_intersect("set_1", "set_2"))
+    union = F.size("set_1") + F.size("set_2") - inter
+    return (
+        withsets.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
 
 
 def minhash_signatures(
@@ -207,20 +232,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Column
     return sums.select("id", fp.cast("long").alias("simhash"))
 
 
-def simhash_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+def simhash_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, via pigeonhole bit-band
+    blocking: split the ``bits``-bit fingerprint into ``max_hamming + 1``
+    bands — distance <= k forces at least one band to match exactly — then
+    equi-join on (band index, band value) and verify true Hamming distance on
+    the candidates only.
 
-    All-pairs formulation for verification-scale data; the 100 TB path blocks
-    on bit-bands first (pigeonhole: distance <= k ⇒ equal in one of k+1
-    bands), turning this into an equi-join exactly like LSH banding.
+    This is the same shuffle discipline as LSH banding: the join key is the
+    band value, candidate volume is bounded by band-bucket collisions, never
+    all-pairs.  Only when ``max_hamming >= bits`` (every pair can qualify, so
+    no band is guaranteed to match) does it fall back to the exact all-pairs
+    form — a verification-scale setting, not a production one.
     """
-    a, b = sim.alias("a"), sim.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"), "hamming"
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        a, b = sim.alias("a"), sim.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"), "hamming")
         )
+    # band widths as equal as possible: the first (bits % n_bands) bands get
+    # one extra bit
+    base, extra = divmod(bits, n_bands)
+    bands, offset = [], 0
+    for j in range(n_bands):
+        width = base + (1 if j < extra else 0)
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright("simhash", offset).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+        offset += width
+    banded = sim.select("id", "simhash", F.explode(F.array(*bands)).alias("bk")).select(
+        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"), ham.cast("long").alias("hamming"))
+        # a pair can collide in several bands → dedup AFTER the verify filter
+        # so the distinct runs on the (small) accepted set
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -89,8 +89,11 @@ def cosine_topk_arrow(
                 idx = np.nonzero(mask)[0]
                 if len(idx) == 0:
                     continue
-                # partial top-k within the batch (ties resolved globally later)
-                top = idx[np.argsort(-row[idx], kind="stable")[: k + 1]]
+                # partial top-k within the batch; ties sorted by neighbor_id
+                # so truncation keeps the same rows the global tie-break
+                # (cos desc, neighbor_id asc) would select
+                order = np.lexsort((n_ids[idx], -row[idx]))
+                top = idx[order[: k + 1]]
                 out_q.extend([qid] * len(top))
                 out_n.extend(n_ids[top])
                 out_s.extend(row[top])

@@ -256,10 +256,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming <= 1 (all-pairs verification form;
-    banded blocking is the scale path, see operators.dedup.simhash_pairs)."""
+    """SimHash near-dup pairs at Hamming <= 1 via pigeonhole bit-band
+    blocking (2 bands of 8 bits; equi-join on band value, Hamming verified on
+    candidates only — the oracle keeps the equivalent all-pairs form, which is
+    fine at oracle scale)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(simhash(docs, "doc_id", "text", 16), max_hamming=1)
+    return simhash_pairs(simhash(docs, "doc_id", "text", 16), max_hamming=1, bits=16)
 
 
 # ---- embedding similarity ---------------------------------------------------

@@ -140,15 +140,15 @@ class TestNtSink:
         )
         lines = {r.line for r in to_nt(df).collect()}
         assert (
-            "<https://omim.org/entry/123> <http://purl.obolibrary.org/obo/RO_0002200> "
+            "<http://omim.org/entry/123> <http://purl.obolibrary.org/obo/RO_0002200> "
             "<http://purl.obolibrary.org/obo/HP_0000001> ." in lines
         )
         assert (
-            '<https://omim.org/entry/123> <http://www.w3.org/2000/01/rdf-schema#label> '
+            '<http://omim.org/entry/123> <http://www.w3.org/2000/01/rdf-schema#label> '
             '"say \\"hi\\"\\\\now" .' in lines
         )
         assert (
-            "<https://omim.org/entry/123> <http://purl.obolibrary.org/obo/SEPIO_0000001> "
+            "<http://omim.org/entry/123> <http://purl.obolibrary.org/obo/SEPIO_0000001> "
             '"0.5"^^<http://www.w3.org/2001/XMLSchema#double> .' in lines
         )
         assert any(line.startswith("_:babc ") for line in lines)
@@ -162,6 +162,51 @@ class TestNtSink:
         df = _triples(spark, [("HP:1", "rdf:type", "owl:Class", False, None, "MONARCH:hpoa")])
         line = to_nquads(df).collect()[0].line
         assert line.endswith("<https://monarchinitiative.org/MONARCH_hpoa> .")
+
+    def test_nquads_bare_graph_id_falls_back_to_graph_iri(self, spark):
+        # bare source names ('hpoa') and NULL graph_ids must take the explicit
+        # per-source graph IRI, never render '<null>' (ADVICE r1 medium)
+        df = _triples(
+            spark,
+            [
+                ("HP:1", "rdf:type", "owl:Class", False, None, "hpoa"),
+                ("HP:2", "rdf:type", "owl:Class", False, None, None),
+            ],
+        )
+        lines = {r.line for r in to_nquads(df, graph_iri="http://example.org/g/hpoa").collect()}
+        assert all(line.endswith("<http://example.org/g/hpoa> .") for line in lines)
+        assert not any("null" in line for line in lines)
+
+    def test_nquads_unresolvable_graph_raises_strict(self, spark):
+        df = _triples(spark, [("HP:1", "rdf:type", "owl:Class", False, None, None)])
+        with pytest.raises(Exception, match="unresolvable graph term"):
+            to_nquads(df).collect()
+
+    def test_nt_unknown_prefix_raises_strict(self, spark):
+        # an unmapped prefix must fail loudly, not emit '<null>' (ADVICE r1 high)
+        df = _triples(
+            spark, [("NOSUCHPREFIX:1", "rdf:type", "owl:Class", False, None, None)]
+        )
+        with pytest.raises(Exception, match="unresolvable CURIE"):
+            to_nt(df).collect()
+        # non-strict keeps the permissive (reference-logged) behavior
+        assert "null" in to_nt(df, strict=False).collect()[0].line
+
+    def test_nt_source_minted_prefixes_resolve(self, spark):
+        # prefixes minted by registered pipelines but absent from round-1's
+        # DEFAULT_CURIE_MAP silently corrupted CLI output (ADVICE r1 high)
+        minted = [
+            "Coriell:X", "CoriellFamily:F1", "BIOGRID:1", "SGD:S0001",
+            "IMPC-proc:7", "AQTLPub:123", "AQTLTrait:45", "GWAS:rs1", "UNII:u1",
+            "DrugBank:DB01", "MPD-assay:9", "MPD-strain:3", "dbSNPIndividual:22",
+            "HGNC_SYMBOL:BRCA1", "SNOMED:111", "KEGG-hsa:5216", "ISBN:12345",
+        ]
+        df = _triples(
+            spark, [(m, "rdfs:label", "x", True, None, None) for m in minted]
+        )
+        lines = to_nt(df).collect()  # strict: raises if any prefix is unmapped
+        assert len(lines) == len(minted)
+        assert not any(ln.line.startswith("<null>") for ln in lines)
 
     def test_write_nt_canonical_sorted_dedup(self, spark, tmp_path):
         df = _triples(

@@ -69,6 +69,15 @@ class TestJoinStrategies:
         plan = plan_of(QUERIES["q_minhash_lsh"](spark, sf))
         assert "CartesianProduct" not in plan
 
+    def test_simhash_pairs_is_banded_equi_join(self, spark, sf):
+        # pigeonhole bit-band blocking: the pair search must be a hash/merge
+        # equi-join on the band value, never an all-pairs nested loop (the
+        # round-1 plan that dies at scale)
+        plan = plan_of(QUERIES["q_simhash_pairs"](spark, sf))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
     def test_cosine_topk_is_deliberate_broadcast_product(self, spark, sf):
         # brute-force ANN is an intentional broadcast nested-loop (queries
         # side is tiny); the corpus side must NOT be the broadcast side

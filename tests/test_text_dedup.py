@@ -74,6 +74,51 @@ def test_jaccard_and_minhash_agree_on_planted_dups(spark, docs):
         assert exact.get(pair) == j
 
 
+def test_jaccard_hot_shingle_pruning(spark):
+    # 6 docs all share one boilerplate opening; only 1/2 are real near-dups.
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " alpha beta gamma delta zeta"),
+        (3, boiler + " one two three four five"),
+        (4, boiler + " six seven eight nine ten"),
+        (5, boiler + " red orange yellow green blue"),
+        (6, boiler + " cold warm hot cool mild"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.5).collect()
+    }
+    # pruning shingles shared by >3 docs removes the boilerplate from the
+    # index; the surviving near-dup pair keeps its EXACT jaccard value
+    pruned = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", 3, threshold=0.5, max_doc_freq=3
+        ).collect()
+    }
+    assert (1, 2) in pruned and pruned[(1, 2)] == exact[(1, 2)]
+    # boilerplate-only pairs (e.g. 3-4) are below threshold either way
+    assert (3, 4) not in pruned
+
+    # the candidate-generation stage itself must shrink: with the boilerplate
+    # pruned, docs sharing ONLY hot shingles never meet in the self-join
+    from dipper_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(docs, "doc_id", "text", 3)
+    hot = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter("df > 3")
+    )
+    kept = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    n_cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id").distinct().count()
+    )
+    assert n_cand == 1  # only the true near-dup pair survives candidate gen
+
+
 def test_minhash_signature_shape(spark, docs):
     sig = minhash_signatures(docs.filter("doc_id < 4"), "doc_id", "text", 3, num_perm=8)
     assert sig.columns == ["id"] + [f"mh{k}" for k in range(8)]
@@ -97,6 +142,30 @@ def test_simhash_dup_distance_zero(spark, docs):
     assert pairs[(1, 5)] == 0
     # near-dup differs in few bits; disjoint docs in many
     assert pairs[(1, 2)] <= pairs[(1, 3)]
+
+
+def test_simhash_banded_matches_all_pairs(spark, docs):
+    # banded blocking (max_hamming < bits) must return EXACTLY the pairs the
+    # all-pairs form finds — pigeonhole guarantees no candidate is missed
+    sim = simhash(docs, "doc_id", "text", bits=16)
+    for k in (0, 1, 3, 7):
+        banded = {
+            (r.id_1, r.id_2, r.hamming)
+            for r in simhash_pairs(sim, max_hamming=k, bits=16).collect()
+        }
+        a, b = sim.alias("a"), sim.alias("b")
+        brute = {
+            (r.id_1, r.id_2, r.hamming)
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_1"),
+                F.col("b.id").alias("id_2"),
+                F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS LONG)").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= k)
+            .collect()
+        }
+        assert banded == brute, f"max_hamming={k}"
 
 
 def test_quality_lang_fingerprint(spark, docs):
