@@ -70,17 +70,39 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_media_features")  # no SQL oracle: numpy byte-histogram over blobs
+@register(
+    "q_media_features",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, {MODALITY_SQL} AS modality,
+             unnest(regexp_split_to_array(text, '')) AS c
+      FROM documents),
+    b AS (SELECT doc_id, modality, ord(c) // 16 AS bin FROM ch)
+    SELECT doc_id, modality, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM b GROUP BY doc_id, modality, bin
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction; rows-only driver check (the histogram
-    math itself is covered by tests/test_multimodal.py determinism tests)."""
+    """Arrow-batched byte-histogram feature extraction, hard-checked: the
+    normalized float32 histogram is inverted back to exact integer byte
+    counts (``round(frac * n_bytes)`` — exact while counts < 2^23), which
+    DuckDB recomputes from character codes (the synthetic corpus is pure
+    ASCII, so code point == UTF-8 byte).  Bins with zero mass are dropped on
+    both sides."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     feats = byte_histogram_features(media, bins=16)
-    return feats.select(
-        "doc_id",
-        "modality",
-        F.size("features").alias("dim"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v.cast("double")), 3).alias(
-            "mass"
-        ),
+    lens = media.select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes"))
+    hist = feats.select(
+        "doc_id", "modality", F.posexplode("features").alias("bin", "frac")
+    )
+    return (
+        hist.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "modality",
+            F.col("bin").cast("long").alias("bin"),
+            F.round(F.col("frac").cast("double") * F.col("n_bytes")).cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
     )
