@@ -19,6 +19,8 @@ from itertools import chain
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dipper_spark.core.vocab_data import GLOBAL_TERMS, LOCAL_TT
+
 
 def _map_expr(mapping: dict[str, str]) -> Column:
     if not mapping:
@@ -30,6 +32,24 @@ class TranslationTable:
     def __init__(self, globaltt: dict[str, str] | None = None, localtt: dict[str, str] | None = None):
         self.globaltt = dict(globaltt or {})
         self.localtt = dict(localtt or {})
+
+    @classmethod
+    def for_source(cls, name: str | None = None) -> "TranslationTable":
+        """The production resolve chain: full global table (738 entries,
+        core/vocab_data.py) + the named source's local table.  ``name=None``
+        gives globaltt-only resolution."""
+        return cls(GLOBAL_TERMS, LOCAL_TT.get(name, {}) if name else {})
+
+    def resolve_str(self, label: str, default: str | None = None) -> str:
+        """Driver-side resolve with the same fallback chain as
+        :meth:`resolve` — for constants decided before the plan runs."""
+        local = self.localtt.get(label)
+        if local is not None:
+            return self.globaltt.get(local, local)
+        hit = self.globaltt.get(label)
+        if hit is not None:
+            return hit
+        return default if default is not None else label
 
     def resolve(self, col: Column | str, default: Column | str | None = None) -> Column:
         """The Source.resolve fallback chain as one coalesce expression:

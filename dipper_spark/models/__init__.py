@@ -15,6 +15,7 @@ from dipper_spark.models.model import (
     individual_triples,
     membership_triples,
     pairwise_triples,
+    restriction_triples,
     synonym_triples,
     xref_triples,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "membership_triples",
     "orthology_triples",
     "pairwise_triples",
+    "restriction_triples",
     "provenance_triples",
     "synonym_triples",
     "vslc_triples",

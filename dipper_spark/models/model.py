@@ -135,3 +135,31 @@ def deprecation_triples(df: DataFrame, id_col: str, replaced_by_col: str | None 
         id_col, F.lit(T.REPLACED_BY), replaced_by_col, is_literal=False, graph_id=graph_id,
     )
     return union_graphs(dep, rep)
+
+
+def restriction_triples(
+    df: DataFrame,
+    class_col: str,
+    property_id: str,
+    value_col: str,
+    graph_id: str | None = None,
+) -> DataFrame:
+    """Model.addOWLPropertyClassRestriction (Model.py:190-227): the class is
+    a subClassOf an anonymous ``owl:Restriction`` bnode on ``property_id``
+    with ``owl:someValuesFrom`` the value.  The bnode id is the digest of
+    ``property-value`` (shared across classes with the same restriction,
+    exactly like the reference), and it carries the same debug label.
+    """
+    from dipper_spark.core.ids import digest_id
+
+    key = F.concat_ws("-", F.lit(property_id), _col(value_col))
+    withb = df.filter(_col(value_col).isNotNull()).withColumn(
+        "_rb", F.concat(F.lit("_:"), digest_id(key))
+    ).withColumn("_rlabel", key)
+    return union_graphs(
+        make_triples(withb, "_rb", F.lit(T.TYPE), F.lit(T.RESTRICTION), is_literal=False, graph_id=graph_id),
+        make_triples(withb, "_rb", F.lit(T.LABEL), "_rlabel", is_literal=True, graph_id=graph_id),
+        make_triples(withb, "_rb", F.lit(T.ON_PROPERTY), F.lit(property_id), is_literal=False, graph_id=graph_id),
+        make_triples(withb, "_rb", F.lit(T.SOME_VALUES_FROM), value_col, is_literal=False, graph_id=graph_id),
+        make_triples(withb, class_col, F.lit(T.SUBCLASS_OF), "_rb", is_literal=False, graph_id=graph_id),
+    )

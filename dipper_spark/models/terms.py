@@ -17,6 +17,9 @@ EQUIVALENT_CLASS = "owl:equivalentClass"
 DEPRECATED = "owl:deprecated"
 CLASS = "owl:Class"
 NAMED_INDIVIDUAL = "owl:NamedIndividual"
+RESTRICTION = "owl:Restriction"
+ON_PROPERTY = "owl:onProperty"
+SOME_VALUES_FROM = "owl:someValuesFrom"
 
 # annotation vocabulary (Model.py:10-14 canned patterns)
 DEFINITION = "IAO:0000115"

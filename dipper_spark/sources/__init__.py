@@ -38,8 +38,10 @@ from dipper_spark.sources.hgnc import HgncPipeline
 from dipper_spark.sources.mychem import MyChemPipeline
 from dipper_spark.sources.ensembl import EnsemblPipeline
 from dipper_spark.sources.sgd import SgdPipeline
+from dipper_spark.sources.omia import OmiaPipeline
 
 __all__ = [
+    "OmiaPipeline",
     "UcscBandsPipeline",
     "BgeePipeline",
     "GeneOntologyPipeline",
