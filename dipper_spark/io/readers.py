@@ -163,7 +163,10 @@ def read_gff(spark: SparkSession, path: str | list[str], limit: int | None = Non
         F.col("start").cast("long").alias("start"),
         F.col("end").cast("long").alias("end"),
         "score", "strand", "frame",
-        F.expr(r"str_to_map(attributes, ';\s*', '=')").alias("attributes"),
+        # NB: str_to_map delimiters are regexes parsed from a SQL string
+        # literal — '\s' would lose its backslash and become ';s*', silently
+        # eating the leading 's' of the next attribute key ('strain'→'train')
+        F.expr("str_to_map(attributes, ';[ ]*', '=')").alias("attributes"),
     )
 
 

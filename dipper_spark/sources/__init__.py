@@ -39,9 +39,11 @@ from dipper_spark.sources.mychem import MyChemPipeline
 from dipper_spark.sources.ensembl import EnsemblPipeline
 from dipper_spark.sources.sgd import SgdPipeline
 from dipper_spark.sources.omia import OmiaPipeline
+from dipper_spark.sources.wormbase import WormBasePipeline
 
 __all__ = [
     "OmiaPipeline",
+    "WormBasePipeline",
     "UcscBandsPipeline",
     "BgeePipeline",
     "GeneOntologyPipeline",
