@@ -40,10 +40,35 @@ from dipper_spark.sources.ensembl import EnsemblPipeline
 from dipper_spark.sources.sgd import SgdPipeline
 from dipper_spark.sources.omia import OmiaPipeline
 from dipper_spark.sources.wormbase import WormBasePipeline
+from dipper_spark.sources.rgd import RgdPipeline
+from dipper_spark.sources.xenbase import XenbasePipeline
+from dipper_spark.sources.flybase import FlyBasePipeline
+from dipper_spark.sources.slim import MgiSlimPipeline, ZfinSlimPipeline
+from dipper_spark.sources.monarch import MonarchPipeline
+from dipper_spark.sources.eom import EomPipeline
+from dipper_spark.sources.genereviews import GeneReviewsPipeline
+from dipper_spark.sources.ebi_g2p import EbiGene2PhenPipeline
+from dipper_spark.sources.decipher import DecipherPipeline
+from dipper_spark.sources.mydrug import MyDrugPipeline
+from dipper_spark.sources.mmrrc import MmrrcPipeline
+from dipper_spark.sources.monochrom import MonochromPipeline
 
 __all__ = [
     "OmiaPipeline",
     "WormBasePipeline",
+    "RgdPipeline",
+    "XenbasePipeline",
+    "FlyBasePipeline",
+    "MgiSlimPipeline",
+    "ZfinSlimPipeline",
+    "MonarchPipeline",
+    "EomPipeline",
+    "GeneReviewsPipeline",
+    "EbiGene2PhenPipeline",
+    "DecipherPipeline",
+    "MyDrugPipeline",
+    "MmrrcPipeline",
+    "MonochromPipeline",
     "UcscBandsPipeline",
     "BgeePipeline",
     "GeneOntologyPipeline",
