@@ -21,13 +21,20 @@ import time
 from pyspark.sql import SparkSession
 
 LOG = logging.getLogger("dipper_spark.etl")
-FORMATS = ("nt", "nquads", "ttl", "parquet")
+FORMATS = ("nt", "nquads", "ttl", "rdfxml", "n3", "parquet")
 
 
 def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
     from dipper_spark.core import union_graphs
     from dipper_spark.core.curie import CurieMap
-    from dipper_spark.io import to_nquads, write_graph_parquet, write_nt, write_turtle
+    from dipper_spark.io import (
+        to_nquads,
+        write_graph_parquet,
+        write_n3,
+        write_nt,
+        write_rdfxml,
+        write_turtle,
+    )
     from dipper_spark.models import dataset_metadata_triples
     from dipper_spark.quality import add_property_axioms, default_property_table
     from dipper_spark.session import get_spark
@@ -83,6 +90,10 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
             ).write.mode("overwrite").text(f"{dest}{suffix}.nq")
         elif args.dest_fmt == "ttl":
             write_turtle(out, f"{dest}{suffix}.ttl")
+        elif args.dest_fmt == "rdfxml":
+            write_rdfxml(out, f"{dest}{suffix}.rdf")
+        elif args.dest_fmt == "n3":
+            write_n3(out, f"{dest}{suffix}.n3")
         else:
             write_graph_parquet(out, f"{dest}{suffix}.parquet")
         timings["write"] = round(time.time() - t1, 3)

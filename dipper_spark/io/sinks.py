@@ -237,3 +237,101 @@ def write_graph_parquet(df: DataFrame, path: str, *, partition_by_graph: bool = 
     if partition_by_graph and "graph_id" in df.columns:
         writer = writer.partitionBy("graph_id")
     writer.parquet(path)
+
+
+def _ncname_split(iri: str) -> tuple[str, str] | None:
+    """Split an absolute IRI into (namespace, local) where local is a valid
+    XML NCName — the standard RDF/XML property-element split.  Returns None
+    when no non-empty NCName suffix exists."""
+    import re
+
+    m = re.search(r"[A-Za-z_][\w.-]*$", iri)
+    if not m or m.start() == 0:
+        return None
+    return iri[: m.start()], iri[m.start():]
+
+
+def _xml_escape(text: str) -> str:
+    return (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def render_rdfxml(df: DataFrame, curie_map: CurieMap | None = None) -> str:
+    """RDF/XML rendering, subject-grouped ``rdf:Description`` blocks.
+
+    Reference: the CLI accepts ``--dest_fmt rdfxml`` and hands it to rdflib
+    (dipper-etl.py:137-143, Source.py:192-198 format table).  Same driver-
+    side assembly contract as :func:`render_turtle` (the scale path is
+    write_nt); property elements use the namespace/NCName split every
+    RDF/XML serializer performs, with per-property ``xmlns`` declarations so
+    no global prefix table is needed.
+    """
+    cm = curie_map or CurieMap()
+
+    def expand(term: str) -> str:
+        if term.split(":", 1)[0].lower() in ("http", "https", "ftp"):
+            return term
+        return cm.expand_str(term)
+
+    grouped = (
+        df.dropDuplicates(["subject", "predicate", "object"])
+        .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "subject")
+        .sortWithinPartitions("subject", "predicate", "object")
+    )
+    out: list[str] = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
+    ]
+    cur_subj = None
+    for row in grouped.toLocalIterator():
+        subj = row.subject
+        if subj != cur_subj:
+            if cur_subj is not None:
+                out.append("  </rdf:Description>")
+            if subj.startswith("_"):
+                ref = f'rdf:nodeID="{subj.lstrip("_:")}"'
+            else:
+                ref = f'rdf:about="{_xml_escape(expand(subj))}"'
+            out.append(f"  <rdf:Description {ref}>")
+            cur_subj = subj
+        pred_iri = expand(row.predicate)
+        split = _ncname_split(pred_iri)
+        if split is None:
+            raise ValueError(f"predicate IRI has no NCName local part: {pred_iri}")
+        ns, local = split
+        if row.is_literal:
+            dt = f' rdf:datatype="{_xml_escape(expand(row.datatype))}"' if row.datatype else ""
+            out.append(
+                f'    <{local} xmlns="{_xml_escape(ns)}"{dt}>'
+                f"{_xml_escape(row.object)}</{local}>"
+            )
+        elif row.object.startswith("_"):
+            out.append(
+                f'    <{local} xmlns="{_xml_escape(ns)}" rdf:nodeID="{row.object.lstrip("_:")}"/>'
+            )
+        else:
+            out.append(
+                f'    <{local} xmlns="{_xml_escape(ns)}" '
+                f'rdf:resource="{_xml_escape(expand(row.object))}"/>'
+            )
+    if cur_subj is not None:
+        out.append("  </rdf:Description>")
+    out.append("</rdf:RDF>")
+    return "\n".join(out) + "\n"
+
+
+def write_rdfxml(df: DataFrame, path: str, curie_map: CurieMap | None = None) -> None:
+    """RDF/XML file sink (reference format table, Source.py:192-198)."""
+    with open(path, "w", encoding="utf-8") as handle:
+        handle.write(render_rdfxml(df, curie_map))
+
+
+def write_n3(df: DataFrame, path: str, curie_map: CurieMap | None = None) -> None:
+    """Notation3 file sink.  Every turtle document is valid N3 (turtle is
+    N3's RDF subset), and rdflib's n3 output for a plain RDF graph is its
+    turtle output — so the canonical turtle rendering IS the n3 rendering
+    (reference: Source.py:192-198 maps both through rdflib serialize)."""
+    with open(path, "w", encoding="utf-8") as handle:
+        handle.write(render_turtle(df, curie_map))

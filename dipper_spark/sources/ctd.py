@@ -78,10 +78,12 @@ class CtdPipeline(SourcePipeline):
         )
         rows = self.test_filter(rows, "disease_id", test_mode)
 
+        # definedby is the SOURCE name in the id digest (reference passes
+        # self.name, giving the golden's MONARCH:b6c289df... id)
         assoc = g2p_association_triples(
-            rows, "chem_id", "disease_id", "predicate", graph_id=g,
+            rows, "chem_id", "disease_id", "predicate", definedby=g, graph_id=g,
         )
-        keyed = with_assoc_id(rows, "chem_id", "predicate", "disease_id")
+        keyed = with_assoc_id(rows, "chem_id", "predicate", "disease_id", definedby=g)
 
         # PMID explode (CTD.py:464-480) → evidence + source + ref typing per
         # pub (CTD.py:448-461)
