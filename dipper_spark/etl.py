@@ -49,6 +49,12 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     ap.add_argument("-t", "--test-only", action="store_true", help="test-id subset mode (P6)")
     ap.add_argument("--skolemize", action="store_true", help="skolemize blank nodes")
     ap.add_argument("--no-axioms", action="store_true", help="skip property-axiom enrichment")
+    ap.add_argument(
+        "--fetch", action="store_true",
+        help="stage declared source files into raw-dir before transforming (S1)",
+    )
+    ap.add_argument("--force-fetch", action="store_true", help="re-download even when fresh")
+    ap.add_argument("--cache-base", default=None, help="web-cache base url tried before origin")
     args = ap.parse_args(argv)
 
     own_spark = spark is None
@@ -62,8 +68,15 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     props = default_property_table(spark)
     for name in names:
         timings: dict[str, float] = {}
-        t0 = time.time()
         pipe = get_pipeline(name)
+        if args.fetch:
+            t_f = time.time()
+            staged = pipe.fetch(
+                args.raw_dir, is_dl_forced=args.force_fetch, cache_base=args.cache_base
+            )
+            timings["fetch"] = round(time.time() - t_f, 3)
+            LOG.info("%s: staged %s", name, staged)
+        t0 = time.time()
         graph = pipe.transform(
             spark, args.raw_dir, limit=args.limit, test_mode=args.test_only
         )

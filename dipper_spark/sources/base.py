@@ -54,6 +54,23 @@ class SourcePipeline:
     ) -> DataFrame:
         raise NotImplementedError
 
+    def fetch(
+        self,
+        raw_dir: str,
+        *,
+        is_dl_forced: bool = False,
+        cache_base: str | None = None,
+    ) -> dict[str, str]:
+        """Stage this source's declared files into ``raw_dir`` with
+        conditional-download freshness (S1; Source.get_files/fetch_from_url,
+        Source.py:280-494).  Driver-side network IO — the cluster only scans
+        what lands here.  Returns a per-file staging report."""
+        from dipper_spark.io.staging import stage_files
+
+        return stage_files(
+            self, raw_dir, is_dl_forced=is_dl_forced, cache_base=cache_base
+        )
+
     def test_filter(self, df: DataFrame, col: str, test_mode: bool) -> DataFrame:
         """Test-id subsetting (reference: HPOAnnotations.py:215-221,
         MGI.py:531-533; ids from resources/test_ids.yaml).  A literal isin
