@@ -134,29 +134,91 @@ def assign_buckets(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame, n_centroids: int = 16, n_iter: int = 5
+) -> DataFrame:
+    """Lloyd-refined IVF centroids, fully relational.
+
+    Init = the first ``n_centroids`` vectors (deterministic, same as the
+    unrefined path); each iteration is one distributed assign pass
+    (broadcast max-cosine, :func:`assign_buckets`) followed by an
+    element-wise mean per bucket (posexplode → groupBy(bucket, dim) → avg →
+    re-assemble ordered array).  The driver only orchestrates the loop —
+    per-iteration cost is one shuffle on (bucket, dim), so this scales to
+    any corpus; centroid count stays broadcast-sized by construction.
+    """
+    centroids = vectors.filter(F.col("vec_id") < n_centroids).select(
+        "vec_id", "embedding"
+    )
+    for _ in range(n_iter):
+        assigned = assign_buckets(vectors, centroids)
+        means = (
+            assigned.select("bucket", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("bucket", "dim")
+            .agg(F.avg("v").alias("mean_v"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "mean_v"))),
+                    lambda s: s["mean_v"].cast("float"),
+                ).alias("embedding")
+            )
+        )
+        centroids = means.select(F.col("bucket").alias("vec_id"), "embedding")
+    return centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     n_centroids: int = 16,
     k: int = 5,
+    refine_iters: int = 0,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) approximate top-k: corpus bucketed by nearest centroid;
-    each query searches only its own bucket.
+    """IVF approximate top-k: corpus bucketed by nearest centroid; each
+    query searches its ``nprobe`` closest buckets.
 
-    Centroids here are the first ``n_centroids`` corpus vectors (deterministic
-    — a k-means refinement would drop in without changing the plan).  Scale
-    path: bucket assignment is a broadcast pass; the probe join shuffles on
-    the bucket id, so each query touches ~1/n_centroids of the corpus.
+    ``refine_iters=0`` keeps the deterministic first-N-vectors centroids
+    (engine-portable — the SQL oracle mirrors them); ``refine_iters>0`` runs
+    that many Lloyd iterations (:func:`kmeans_centroids`) for production
+    recall.  ``nprobe`` is the standard recall/throughput knob: each query
+    touches ~nprobe/n_centroids of the corpus (nprobe=n_centroids degrades
+    gracefully to exact brute force).  Recall at small nprobe depends on the
+    corpus actually clustering — on a near-uniform sphere every partitioning
+    index must probe most buckets for high recall; that is a data property,
+    not a plan property.
+
+    Scale path: bucket assignment is a broadcast pass; the probe join
+    shuffles on the bucket id, so cost scales with the probed fraction.
     """
-    centroids = corpus.filter(F.col("vec_id") < n_centroids)
+    if refine_iters > 0:
+        centroids = kmeans_centroids(corpus, n_centroids, refine_iters)
+    else:
+        centroids = corpus.filter(F.col("vec_id") < n_centroids)
     bucketed = assign_buckets(corpus, centroids).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         "bucket",
     )
-    q_bucketed = assign_buckets(queries, centroids).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
-    )
+    if nprobe <= 1:
+        q_bucketed = assign_buckets(queries, centroids).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        )
+    else:
+        c = F.broadcast(
+            centroids.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+        )
+        q_scored = ensure_parallelism(queries).join(c, F.lit(True)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cent_id").alias("bucket"),
+            cosine("embedding", "cent_emb").alias("cent_cos"),
+        )
+        q_bucketed = topk_per_group(
+            q_scored, "query_id", [F.col("cent_cos").desc(), F.col("bucket").asc()],
+            k=nprobe,
+        ).select("query_id", "q_emb", "bucket")
     scored = (
         q_bucketed.join(bucketed, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
