@@ -35,6 +35,7 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_dedup_exact",
     "q_minhash_lsh",
+    "q_simhash_pairs",
     "q_cosine_topk",
     "q_ann_ivf",
     "q_embedding_neardup",

@@ -70,15 +70,34 @@ def jaccard_pairs(
         F.array_distinct(word_shingles(tokens(text_col), n)).alias("sh_set"),
     )
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("doc_freq"))
-            .filter(F.col("doc_freq") > max_doc_freq)
-            .select("shingle")
+    if max_doc_freq is None:
+        # exact path: the intersection count falls straight out of the
+        # inverted-index self-join's groupBy — no set payloads shuffle and no
+        # candidate distinct is needed
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = sh.alias("a"), sh.alias("b")
+        j = (
+            inter.join(sizes.withColumnRenamed("id", "id_1").withColumnRenamed("n_sh", "n_1"), "id_1")
+            .join(sizes.withColumnRenamed("id", "id_2").withColumnRenamed("n_sh", "n_2"), "id_2")
+            .withColumn(
+                "jaccard",
+                F.col("n_common") / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+            )
+        )
+        return j.filter(F.col("jaccard") >= threshold).select("id_1", "id_2", "jaccard")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
     cands = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))

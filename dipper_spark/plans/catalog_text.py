@@ -168,9 +168,41 @@ _JACCARD_SQL = f"""
 
 @register("q_ngram_jaccard", _JACCARD_SQL)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs word-3-gram Jaccard >= 0.5 via the inverted shingle index."""
+    """All-pairs word-3-gram Jaccard >= 0.5 via the inverted shingle index
+    (the exact verification form; q_jaccard_pruned is the scale path)."""
     docs = load_table(spark, sf_dir, "documents")
     out = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+_JACCARD_PRUNED_SQL = f"""
+    WITH sets AS (SELECT doc_id AS id, list_distinct({_SH}) AS sh_set FROM documents),
+    sh AS (SELECT id, unnest(sh_set) AS s FROM sets),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 50),
+    kept AS (SELECT id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+    cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2
+             FROM kept a JOIN kept b ON a.s = b.s AND a.id < b.id),
+    ver AS (
+      SELECT c.id_1, c.id_2,
+             len(list_intersect(s1.sh_set, s2.sh_set)) AS n_common,
+             len(s1.sh_set) AS n_1, len(s2.sh_set) AS n_2
+      FROM cand c JOIN sets s1 ON s1.id = c.id_1 JOIN sets s2 ON s2.id = c.id_2)
+    SELECT id_1, id_2,
+           round(n_common / CAST(n_1 + n_2 - n_common AS DOUBLE), 6) AS jaccard
+    FROM ver
+    WHERE n_common / CAST(n_1 + n_2 - n_common AS DOUBLE) >= 0.5
+"""
+
+
+@register("q_jaccard_pruned", _JACCARD_PRUNED_SQL)
+def q_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-shingle-pruned Jaccard (the 100 TB path): shingles shared by more
+    than 50 documents are dropped from the candidate index (broadcast
+    anti-join), exact Jaccard verified on the surviving candidates' full
+    sets — one boilerplate shingle can no longer mint quadratic candidates.
+    The oracle mirrors the identical prune+verify pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50)
     return out.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
 
 
