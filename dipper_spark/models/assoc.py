@@ -61,7 +61,8 @@ def association_triples(
     - assoc has_subject sub / has_predicate pred / has_object obj
     - per evidence element   assoc RO:0002558 ev        (array col, exploded)
     - per source element     assoc dc:source  src       (array col, exploded)
-    - optional               assoc dc:date date, assoc SIO:000300 score^^xsd:float
+    - optional               assoc pav:createdOn date (Association.py:145-150),
+                             assoc SIO:000300 score^^xsd:float
     """
     a = with_assoc_id(
         df, subject_col, predicate_col, object_col,
@@ -90,7 +91,7 @@ def association_triples(
         parts.append(
             make_triples(
                 a.filter(F.col(date_col).isNotNull()),
-                "assoc_id", F.lit(T.DATE), date_col, is_literal=True, graph_id=g,
+                "assoc_id", F.lit(T.CREATED_ON), date_col, is_literal=True, graph_id=g,
             )
         )
     if score_col is not None:

@@ -31,6 +31,7 @@ HAS_RELATED_SYNONYM = "OIO:hasRelatedSynonym"
 DESCRIPTION = "dc:description"
 SOURCE = "dc:source"
 DATE = "dc:date"
+CREATED_ON = "pav:createdOn"
 DEPICTION = "foaf:depiction"
 PAGE = "foaf:page"
 CLIQUE_LEADER = "MONARCH:cliqueLeader"

@@ -78,9 +78,11 @@ class ReactomePipeline(SourcePipeline):
         )
         rows = self.test_filter(rows, "component_id", test_mode)
         return union_graphs(
-            # pathway class: typed cellular_process, subclass of PW pathway
+            # pathway class: subclass of GO cellular_process AND PW pathway
+            # (Pathway.addPathway, Pathway.py:30-47 — addClassToGraph's
+            # class_type is a subClassOf edge, not rdf:type)
             class_triples(rows, "pathway_curie", "pathway_label", graph_id=g),
-            make_triples(rows, "pathway_curie", F.lit(T.TYPE), F.lit(CELLULAR_PROCESS), graph_id=g),
+            make_triples(rows, "pathway_curie", F.lit(T.SUBCLASS_OF), F.lit(CELLULAR_PROCESS), graph_id=g),
             make_triples(rows, "pathway_curie", F.lit(T.SUBCLASS_OF), F.lit(PATHWAY), graph_id=g),
             # direct component involvement + the reified association w/ evidence
             association_triples(

@@ -27,3 +27,12 @@ def tables(spark, sf_dir):
     from dipper_spark.session import load_tables
 
     return load_tables(spark, sf_dir)
+
+
+def assert_strict_nt(graph):
+    """Render the whole graph as ntriples in strict mode — raises if any
+    emitted term's prefix is missing from the full curie registry (the
+    corrupt-'<null>'-IRI CLI failure ADVICE r1 flagged)."""
+    from dipper_spark.io import to_nt
+
+    assert to_nt(graph, strict=True).count() >= 0

@@ -138,3 +138,9 @@ class TestXrefsAndDisease:
         assert any(p == "dc:description" and o == "FBal0130657" for s, p, o in spo)
         # ameliorates rows skipped
         assert not any(o == "DOID:9999" for s, p, o in spo)
+
+
+def test_whole_graph_serializes_strict(graph):
+    from conftest import assert_strict_nt
+
+    assert_strict_nt(graph)

@@ -205,3 +205,9 @@ class TestOmiaGraph:
         # OMIA:000201 is in the test id list -> phene kept; articles dropped
         assert any(s == "OMIA:000201-9913" for s, p, o in spo)
         assert not any(p == "IAO:0000136" and o == "OMIA-breed:758" for s, p, o in spo)
+
+
+def test_whole_graph_serializes_strict(graph):
+    from conftest import assert_strict_nt
+
+    assert_strict_nt(graph)

@@ -44,7 +44,7 @@ def _spo(df):
 def test_pathway_class(graph):
     t = _spo(graph.filter(F.col("subject") == "REACT:R-BTA-70895"))
     assert ("REACT:R-BTA-70895", "rdf:type", "owl:Class") in t
-    assert ("REACT:R-BTA-70895", "rdf:type", "GO:0009987") in t
+    assert ("REACT:R-BTA-70895", "rdfs:subClassOf", "GO:0009987") in t
     assert ("REACT:R-BTA-70895", "rdfs:subClassOf", "PW:0000001") in t
     assert ("REACT:R-BTA-70895", "rdfs:label", "Branched-chain amino acid catabolism") in t
 

@@ -58,8 +58,8 @@ class TestRgd:
         assert ("RGDRef:1600115", "owl:sameAs", "PMID:12345") in spo
         # IAGP -> ECO:0005613 via the rgd localtt
         assert any(p == "RO:0002558" and o == "ECO:0005613" for s, p, o in spo)
-        # date lands on the association
-        assert any(p == "dc:date" and o == "2010-07-22" for s, p, o in spo)
+        # date lands on the association as pav:createdOn (Association.py:145-150)
+        assert any(p == "pav:createdOn" and o == "2010-07-22" for s, p, o in spo)
 
     def test_not_rows_dropped(self, rgd_graph):
         assert not any(o == "MP:0000001" for s, p, o in _spo(rgd_graph))
@@ -89,3 +89,10 @@ class TestXenbase:
         for gid in ("Xenbase:XB-GENE-1000632", "Xenbase:XB-GENE-6253888",
                     "Xenbase:XB-GENE-17332089"):
             assert ("PMID:55555", "IAO:0000142", gid) in spo
+
+
+def test_graphs_serialize_strict(rgd_graph, xb_graph):
+    from conftest import assert_strict_nt
+
+    assert_strict_nt(rgd_graph)
+    assert_strict_nt(xb_graph)

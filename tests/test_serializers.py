@@ -147,3 +147,73 @@ class TestTurtleGoldenHarness:
         only_engine, only_golden = graph_diff(graph, expected)
         assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
         assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]
+
+
+class TestMoreReferenceGoldens:
+    def test_reactome_reference_golden(self, spark, tmp_path):
+        """tests/test_reactome.py:46-61 ported: one Ensembl2Reactome row
+        produces the exact golden graph with the bit-identical
+        MONARCH:b582c188b7ec20016206 association id."""
+        from dipper_spark.sources import get_pipeline
+
+        raw = tmp_path / "reactome"
+        raw.mkdir()
+        (raw / "Ensembl2Reactome.txt").write_text(
+            "ENSBTAP00000013354\tR-BTA-3000480\t"
+            "http://www.reactome.org/PathwayBrowser/#/R-BTA-3000480\t"
+            "Scavenging by Class A Receptors\tIEA\tBos taurus\n"
+        )
+        (raw / "ChEBI2Reactome.txt").write_text("")
+        graph = get_pipeline("reactome").transform(spark, str(raw))
+        golden = """
+        ENSEMBL:ENSBTAP00000013354 RO:0002331 REACT:R-BTA-3000480 .
+
+        :MONARCH_b582c188b7ec20016206 a OBAN:association ;
+            RO:0002558 ECO:0000501 ;
+            OBAN:association_has_object REACT:R-BTA-3000480 ;
+            OBAN:association_has_predicate RO:0002331 ;
+            OBAN:association_has_subject ENSEMBL:ENSBTAP00000013354 .
+
+        REACT:R-BTA-3000480 a owl:Class ;
+            rdfs:label "Scavenging by Class A Receptors" ;
+            rdfs:subClassOf GO:0009987,
+                PW:0000001 .
+        """
+        expected = triples_from_turtle(spark, golden)
+        only_engine, only_golden = graph_diff(graph, expected)
+        assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
+        assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]
+
+    def test_rgd_reference_golden(self, spark, tmp_path):
+        """tests/test_rgd.py:50-62 ported: the Ednra GAF record yields the
+        golden association including the pav:createdOn date and the
+        RGDRef-rewritten source with its PMID sameAs."""
+        from dipper_spark.sources import get_pipeline
+
+        raw = tmp_path / "rgd"
+        raw.mkdir()
+        (raw / "rattus_genes_mp").write_text(
+            "!gaf-version: 2.1\n"
+            "RGD\t2535\tEdnra\t\tMP:0003340\tRGD:1581841|PMID:12799311\tIED\t\tN\t"
+            "endothelin receptor type A\t\tgene\ttaxon:10116\t2006-10-26\tRGD\t\t\n"
+        )
+        graph = get_pipeline("rgd").transform(spark, str(raw))
+        golden = """
+    :MONARCH_b4650e8c3d865f11a1a5 a OBAN:association ;
+        RO:0002558 ECO:0005611 ;
+        dc:source RGDRef:1581841 ;
+        OBAN:association_has_object MP:0003340 ;
+        OBAN:association_has_predicate RO:0002200 ;
+        OBAN:association_has_subject RGD:2535 ;
+        pav:createdOn "2006-10-26" .
+
+    RGD:2535 RO:0002200 MP:0003340 .
+
+    RGDRef:1581841 a IAO:0000311 ;
+        a owl:NamedIndividual ;
+        owl:sameAs PMID:12799311 .
+        """
+        expected = triples_from_turtle(spark, golden)
+        only_engine, only_golden = graph_diff(graph, expected)
+        assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
+        assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]

@@ -149,3 +149,9 @@ class TestDisease:
         # source PMID + IEA evidence on the assoc node
         assert any(p == "dc:source" and o == "PMID:19029536" for s, p, o in spo)
         assert any(p == "RO:0002558" and o == "ECO:0000501" for s, p, o in spo)
+
+
+def test_whole_graph_serializes_strict(graph):
+    from conftest import assert_strict_nt
+
+    assert_strict_nt(graph)
