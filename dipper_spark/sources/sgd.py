@@ -35,7 +35,9 @@ APO_TERM_ID = {
     "resistance to chemicals": "APO:0000087",
     "increased": "APO:0000004",
     "decreased": "APO:0000003",
-    "classical genetics": "APO:0000005",
+    "classical genetics": "APO:0000020",  # certified by tests/test_sgd.py golden
+    "respiratory growth": "APO:0000309",
+    "decreased rate": "APO:0000245",
     "large-scale survey": "APO:0000010",
     "systematic mutation set": "APO:0000011",
     "competitive fitness": "APO:0000082",
@@ -119,7 +121,8 @@ class SgdPipeline(SourcePipeline):
             .withColumn("source", F.array("first_ref"))
             .withColumn(
                 "description",
-                F.concat_ws(
+                # the reference .strip()s the assembled text (SGD.py:246-256)
+                F.trim(F.concat_ws(
                     " | ",
                     F.concat(F.lit("genomic_background: "), F.coalesce("Strain Background", F.lit("nan"))),
                     F.concat(F.lit("allele: "), F.coalesce("Allele", F.lit("nan"))),
@@ -130,7 +133,7 @@ class SgdPipeline(SourcePipeline):
                     F.concat(F.lit("gene_name: "), F.coalesce("Gene Name", F.lit("nan"))),
                     F.concat(F.lit("mutant_type: "), F.coalesce("Mutant Type", F.lit("nan"))),
                     F.concat(F.lit("reporter: "), F.coalesce("Reporter", F.lit("nan"))),
-                ),
+                )),
             )
         )
         rows = self.test_filter(rows, "gene", test_mode)

@@ -217,3 +217,65 @@ class TestMoreReferenceGoldens:
         only_engine, only_golden = graph_diff(graph, expected)
         assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
         assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]
+
+    def test_sgd_reference_golden(self, spark, tmp_path):
+        """tests/test_sgd.py:47-70 ported: the atp6-L183R record yields the
+        golden graph — composed MONARCH:APO_..APO_.. phenotype id, the
+        bit-identical MONARCH:ba748c98c0f167739128 association id, the
+        experiment-type evidence label, and the full pipe-joined
+        description literal."""
+        from dipper_spark.sources import get_pipeline
+
+        raw = tmp_path / "sgd"
+        raw.mkdir()
+        row = {
+            "Feature Name": "Q0085", "Feature Type": "ORF", "Gene Name": "ATP6",
+            "SGDID": "S000007268", "Reference": "PMID: 21715656|SGD_REF: S000145858",
+            "Experiment Type": "classical genetics", "Mutant Type": "reduction of function",
+            "Allele": "atp6-L183R (L183R)", "Strain Background": "Other",
+            "Phenotype": "respiratory growth: decreased rate", "Chemical": "glycerol",
+            "Condition": "elevated temperature (35 deg C)|nonfermentable carbon source",
+            "Details": "similar results obtained with atp6-L247R, and atp6-W136R, all "
+                       "corresponding to human NARP syndrome mutants",
+            "Reporter": " ",
+        }
+        from dipper_spark.sources.sgd import COLUMNS
+
+        (raw / "phenotype_data.tab").write_text("\t".join(row[c] for c in COLUMNS) + "\n")
+        graph = get_pipeline("sgd").transform(spark, str(raw))
+        description = " | ".join([
+            "genomic_background: Other",
+            "allele: atp6-L183R (L183R)",
+            "chemical: glycerol",
+            "condition: elevated temperature (35 deg C)|nonfermentable carbon source",
+            "details: similar results obtained with atp6-L247R, and atp6-W136R, all "
+            "corresponding to human NARP syndrome mutants",
+            "feature_name: Q0085",
+            "gene_name: ATP6",
+            "mutant_type: reduction of function",
+            "reporter:  ",
+        ]).strip()
+        golden = """
+        :MONARCH_ba748c98c0f167739128 a OBAN:association ;
+            RO:0002558 APO:0000020 ;
+            dc:description "{0}" ;
+            dc:source PMID:21715656 ;
+            OBAN:association_has_object MONARCH:APO_0000309APO_0000245 ;
+            OBAN:association_has_predicate RO:0002200 ;
+            OBAN:association_has_subject SGD:S000007268 .
+
+        SGD:S000007268 rdfs:label "ATP6" ;
+            RO:0002200 MONARCH:APO_0000309APO_0000245 .
+
+        APO:0000020 rdfs:label "classical genetics" .
+
+        PMID:21715656 a IAO:0000311 ;
+            owl:sameAs SGD_REF:S000145858 .
+
+        MONARCH:APO_0000309APO_0000245 rdfs:label "respiratory growth:decreased rate" ;
+            rdfs:subClassOf UPHENO:0001001 .
+        """.format(description.replace('"', '\\"'))
+        expected = triples_from_turtle(spark, golden)
+        only_engine, only_golden = graph_diff(graph, expected)
+        assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
+        assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]

@@ -66,8 +66,8 @@ def test_bare_phenotype(graph):
 def test_experiment_evidence(graph):
     ev = {(r.subject, r.object) for r in graph.filter(F.col("predicate") == "RO:0002558").collect()}
     eco = {o for _, o in ev}
-    assert "APO:0000005" in eco and "APO:0000010" in eco
-    assert ("APO:0000005", "rdfs:label", "classical genetics") in _spo(graph)
+    assert "APO:0000020" in eco and "APO:0000010" in eco
+    assert ("APO:0000020", "rdfs:label", "classical genetics") in _spo(graph)
 
 
 def test_references(graph):
