@@ -225,6 +225,9 @@ def write_turtle(df: DataFrame, path: str, curie_map: CurieMap | None = None) ->
     """Turtle file sink (reference: Source.write, Source.py:178-240 writes
     ``out/<src>.ttl``).  Single local file, driver-rendered — see
     :func:`render_turtle` for why that matches the reference's own limits."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as handle:
         handle.write(render_turtle(df, curie_map))
 
@@ -324,6 +327,9 @@ def render_rdfxml(df: DataFrame, curie_map: CurieMap | None = None) -> str:
 
 def write_rdfxml(df: DataFrame, path: str, curie_map: CurieMap | None = None) -> None:
     """RDF/XML file sink (reference format table, Source.py:192-198)."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as handle:
         handle.write(render_rdfxml(df, curie_map))
 
@@ -333,5 +339,8 @@ def write_n3(df: DataFrame, path: str, curie_map: CurieMap | None = None) -> Non
     N3's RDF subset), and rdflib's n3 output for a plain RDF graph is its
     turtle output — so the canonical turtle rendering IS the n3 rendering
     (reference: Source.py:192-198 maps both through rdflib serialize)."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as handle:
         handle.write(render_turtle(df, curie_map))

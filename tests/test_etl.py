@@ -65,3 +65,43 @@ def test_etl_unknown_source(spark, tmp_path):
             ["--sources", "nope", "--raw-dir", str(tmp_path), "--out-dir", str(tmp_path)],
             spark=spark,
         )
+
+
+def test_etl_all_formats(spark, tmp_path):
+    """Every CLI dest-fmt produces a parseable artifact for the same source
+    (Source.py:192-198 format table: nt/nquads/ttl/rdfxml/n3/parquet)."""
+    import xml.etree.ElementTree as ET
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "CTD_chemicals_diseases.tsv.gz").write_bytes(gzip.compress(CTD_FIXTURE.encode()))
+
+    for fmt in ("nquads", "ttl", "rdfxml", "n3", "parquet"):
+        out = tmp_path / f"out_{fmt}"
+        run(
+            ["--sources", "ctd", "--raw-dir", str(raw), "--out-dir", str(out),
+             "--dest-fmt", fmt],
+            spark=spark,
+        )
+        if fmt == "nquads":
+            lines = []
+            for name in sorted(os.listdir(out / "ctd.nq")):
+                if name.startswith("part-"):
+                    lines += open(out / "ctd.nq" / name).read().splitlines()
+            assert lines and all(ln.endswith(" .") for ln in lines)
+            # every quad carries the per-source MonarchData graph term, and
+            # no '<null>' ever reaches the sink (ADVICE r1)
+            assert all("data.monarchinitiative.org/ttl/ctd.ttl" in ln for ln in lines)
+            assert not any("<null>" in ln for ln in lines)
+        elif fmt == "ttl":
+            text = open(out / "ctd.ttl").read()
+            assert text.startswith("@prefix")
+        elif fmt == "rdfxml":
+            root = ET.parse(out / "ctd.rdf").getroot()
+            assert root.tag.endswith("RDF") and len(root) > 0
+        elif fmt == "n3":
+            from dipper_spark.io.turtle_parse import parse_turtle
+
+            assert len(parse_turtle(open(out / "ctd.n3").read())) > 0
+        else:
+            assert spark.read.parquet(str(out / "ctd.parquet")).count() > 0
