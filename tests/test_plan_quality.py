@@ -78,6 +78,18 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
+    def test_jaccard_pruned_uses_broadcast_anti_join(self, spark, sf):
+        # the hot-shingle prune must be a broadcast LEFT ANTI against the
+        # (small) high-doc-freq table, and the candidate join an equi-join
+        plan = plan_of(QUERIES["q_jaccard_pruned"](spark, sf))
+        assert "LeftAnti" in plan and "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_ivf_probe_join_is_bucketed(self, spark, sf):
+        # the IVF probe shuffles on the bucket id — never all-pairs
+        plan = plan_of(QUERIES["q_ann_ivf"](spark, sf))
+        assert "CartesianProduct" not in plan
+
     def test_cosine_topk_is_deliberate_broadcast_product(self, spark, sf):
         # brute-force ANN is an intentional broadcast nested-loop (queries
         # side is tiny); the corpus side must NOT be the broadcast side
