@@ -70,13 +70,23 @@ def class_triples(df: DataFrame, id_col: str, label_col: str | None = None,
     return out
 
 
-def individual_triples(df: DataFrame, id_col: str, type_col: Column | str,
+def individual_triples(df: DataFrame, id_col: str, type_col: Column | str | None = None,
                        label_col: str | None = None, graph_id: str | None = None) -> DataFrame:
-    """Model.addIndividualToGraph: instance typing (+ owl:NamedIndividual)."""
-    return union_graphs(
-        entity_triples(df, id_col, rdf_type=T.NAMED_INDIVIDUAL, label_col=label_col, graph_id=graph_id),
-        make_triples(df, id_col, F.lit(T.TYPE), type_col, is_literal=False, graph_id=graph_id),
-    )
+    """Model.addIndividualToGraph (Model.py:129-160): with an explicit type the
+    individual is typed ONLY as that type; ``owl:NamedIndividual`` is the
+    fallback typing when no type is given.  (The reference emits both only
+    when a source calls addIndividualToGraph twice, once each way.)"""
+    parts = []
+    if label_col is not None:
+        parts.append(
+            make_triples(
+                df.filter(_col(label_col).isNotNull()),
+                id_col, F.lit(T.LABEL), label_col, is_literal=True, graph_id=graph_id,
+            )
+        )
+    rdf_type = F.lit(T.NAMED_INDIVIDUAL) if type_col is None else type_col
+    parts.append(make_triples(df, id_col, F.lit(T.TYPE), rdf_type, is_literal=False, graph_id=graph_id))
+    return union_graphs(*parts)
 
 
 def _annotation(df: DataFrame, id_col: str, predicate: str, value_col: str,

@@ -102,8 +102,10 @@ class TestGeneInfo:
 
     def test_sequence_feature_is_individual(self, graph):
         t = _spo(graph.filter(F.col("subject") == "NCBIGene:17"))
-        assert ("NCBIGene:17", "rdf:type", "owl:NamedIndividual") in t
+        # reference Model.addIndividualToGraph with an explicit type emits
+        # ONLY that type (NCBIGene.py:289) — no owl:NamedIndividual fallback
         assert ("NCBIGene:17", "rdf:type", "SO:0000110") in t
+        assert not any(o == "owl:NamedIndividual" for _, _, o in t)
         assert not any(o == "owl:Class" for _, _, o in t)
 
     def test_newentry_unlabeled(self, graph):

@@ -210,7 +210,6 @@ class TestMoreReferenceGoldens:
     RGD:2535 RO:0002200 MP:0003340 .
 
     RGDRef:1581841 a IAO:0000311 ;
-        a owl:NamedIndividual ;
         owl:sameAs PMID:12799311 .
         """
         expected = triples_from_turtle(spark, golden)
