@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from dipper_spark.core import make_triples, union_graphs
 from dipper_spark.core.ids import make_id
+from dipper_spark.core.vocab import TranslationTable
 from dipper_spark.models import g2p_association_triples, individual_triples, taxon_triples
 from dipper_spark.models import terms as T
 from dipper_spark.models.assoc import with_assoc_id
@@ -68,19 +69,13 @@ ZYGOSITY_ID = {
 INDETERMINATE = "GENO:0000137"
 SEX_GENOTYPE_TYPE = {"male": "GENO:0000646", "female": "GENO:0000647"}
 SEX_TERM = {"male": "PATO:0000384", "female": "PATO:0000383"}
-STAT_METHOD_ID = {
-    "Fisher Exact Test framework": "STATO:0000073",
-    "Wilcoxon rank sum test with continuity correction": "STATO:0000076",
-    "Linear Mixed Model framework, LME, including Weight": "STATO:0000464",
-    "Linear Mixed Model framework, LME, not including Weight": "STATO:0000464",
-    "Mixed Model framework, linear mixed-effects model, equation withoutWeight": "STATO:0000464",
-    "Mixed Model framework, linear mixed-effects model, equation withWeight": "STATO:0000464",
-    "Mixed Model framework, generalized least squares, equation withoutWeight": "STATO:0000372",
-    "Mixed Model framework, generalized least squares, equation withWeight": "STATO:0000372",
-    "Linear Model Using Generalized Least Squares framework, GLS, not including Weight": "STATO:0000372",
-    "Linear Model Using Generalized Least Squares framework, GLS, including Weight": "STATO:0000372",
-}
 STATISTICAL_MODEL = "STATO:0000107"  # fallback: localtt 'Unknown' → 'statistical model'
+PROJECT = "VIVO:Project"
+IMPC_AGENT = "https://www.mousephenotype.org/"  # localtt['IMPC']
+IMPC_AGENT_LABEL = "International Mouse Phenotyping Consortium"
+
+#: the impc localtt ∘ globaltt chain (translationtable/impc.yaml)
+_TT = TranslationTable.for_source("impc")
 
 
 def _map_lit(mapping: dict[str, str], key: Column) -> Column:
@@ -90,6 +85,152 @@ def _map_lit(mapping: dict[str, str], key: Column) -> Column:
 def _bnode(*parts: Column) -> Column:
     """make_id(..., '_') — dipper's deterministic blank node (IMPC.py:248-256)."""
     return make_id(F.concat(*parts), prefix="_")
+
+
+def study_provenance_triples(df: DataFrame, graph_id: str = "impc") -> DataFrame:
+    """_add_study_provenance (IMPC.py:593-697): the study bnode (sha1 over its
+    8 defining fields) typed OBI:0000471, has_part procedure + resolved
+    statistical method, measures_parameter, the colony individual, the
+    localtt-resolved phenotyping-center agent, and part_of pipeline +
+    comma-split project(s).
+
+    Input columns: phenotyping_center colony_id project_name pipeline_name
+    pipeline_stable_id procedure_stable_id procedure_name parameter_stable_id
+    parameter_name statistical_method resource_name.
+    """
+    g = graph_id
+    d = (
+        df.withColumn(
+            "study_bnode",
+            _bnode(
+                F.concat(
+                    "phenotyping_center", "colony_id", "project_name", "pipeline_stable_id",
+                    "procedure_stable_id", "parameter_stable_id", "statistical_method",
+                    "resource_name",
+                )
+            ),
+        )
+        .withColumn("procedure_curie", F.concat(F.lit("IMPC-proc:"), F.col("procedure_stable_id")))
+        .withColumn("pipeline_curie", F.concat(F.lit("IMPC-pipe:"), F.col("pipeline_stable_id")))
+        .withColumn(
+            "parameter_curie",
+            F.concat(
+                F.lit("IMPC-param:"), F.col("procedure_stable_id"), F.lit("#"), F.col("parameter_stable_id")
+            ),
+        )
+        .withColumn("parameter_label", F.concat(F.col("parameter_name"), F.lit(" ("), F.col("procedure_name"), F.lit(")")))
+        .withColumn("stat_method_id", _TT.resolve("statistical_method", default=F.lit(STATISTICAL_MODEL)))
+        .withColumn("colony_bnode", _bnode(F.col("colony_id")))
+        # reference: self.localtt[phenotyping_center] — strict lookup; a miss
+        # raises there, here the null rows are filtered (vocab.py contract)
+        .withColumn("center_id", _map_lit(_TT.localtt, F.col("phenotyping_center")))
+    )
+    centers = d.filter(F.col("center_id").isNotNull())
+    projects = (
+        d.filter(F.col("project_name") != "")
+        .select("study_bnode", "project_name", F.explode(F.split("project_name", ",")).alias("_prj"))
+        .withColumn("project_id", _map_lit(_TT.localtt, F.col("_prj")))
+        .filter(F.col("project_id").isNotNull())
+    )
+    return union_graphs(
+        individual_triples(d, "study_bnode", F.lit(STUDY), graph_id=g),
+        individual_triples(d, "procedure_curie", label_col="procedure_name", graph_id=g),
+        make_triples(d, "study_bnode", F.lit(T.HAS_PART), "procedure_curie", graph_id=g),
+        make_triples(d, "study_bnode", F.lit(T.HAS_PART), "stat_method_id", graph_id=g),
+        individual_triples(d, "parameter_curie", label_col="parameter_label", graph_id=g),
+        make_triples(d, "study_bnode", F.lit(MEASURES_PARAMETER), "parameter_curie", graph_id=g),
+        individual_triples(d, "colony_bnode", label_col="colony_id", graph_id=g),
+        individual_triples(centers, "center_id", F.lit(ORGANIZATION), label_col="phenotyping_center", graph_id=g),
+        make_triples(centers, "study_bnode", F.lit(HAS_AGENT), "center_id", graph_id=g),
+        individual_triples(d, "pipeline_curie", label_col="pipeline_name", graph_id=g),
+        make_triples(d, "study_bnode", F.lit(T.PART_OF), "pipeline_curie", graph_id=g),
+        individual_triples(projects, "project_id", F.lit(PROJECT), label_col="project_name", graph_id=g),
+        make_triples(projects, "study_bnode", F.lit(T.PART_OF), "project_id", graph_id=g),
+    )
+
+
+def evidence_triples(df: DataFrame, graph_id: str = "impc") -> DataFrame:
+    """_add_evidence (IMPC.py:699-760): evidence-line bnode sha1(assoc_id +
+    study_bnode) typed by the ECO id, SEPIO:0000084 measurement bnodes for
+    p-value (xsd:double-typed when parseable, mirroring the reference's
+    ``float(p_value)``), percentage_change (only when non-empty — the one
+    properly-guarded branch) and effect_size (always, kept a string), each
+    output_of the study; evidence line has_supporting_activity study.
+
+    Input columns: assoc_id eco_id p_value percentage_change effect_size
+    study_bnode.
+    """
+    g = graph_id
+    d = (
+        df.withColumn("evidence_line", _bnode(F.concat("assoc_id", "study_bnode")))
+        .withColumn("p_value_bnode", _bnode(F.col("evidence_line"), F.lit("p_value"), F.col("p_value")))
+        .withColumn("_p_double", F.expr("try_cast(p_value as double)"))
+        .withColumn("effect_bnode", _bnode(F.col("evidence_line"), F.lit("effect_size"), F.col("effect_size")))
+        .withColumn(
+            "pct_bnode",
+            F.when(
+                F.col("percentage_change") != "",
+                _bnode(F.col("evidence_line"), F.lit("percentage_change"), F.col("percentage_change")),
+            ),
+        )
+    )
+    pct = d.filter(F.col("pct_bnode").isNotNull())
+    return union_graphs(
+        make_triples(d, "assoc_id", F.lit(T.HAS_SUPPORTING_EVIDENCE), "evidence_line", graph_id=g),
+        individual_triples(d, "evidence_line", F.col("eco_id"), graph_id=g),
+        # p-value measurement: Evidence.add_supporting_data emits the value
+        # only when non-empty; float-parseable values are typed doubles
+        individual_triples(d, "p_value_bnode", F.lit(P_VALUE), graph_id=g),
+        make_triples(d, "evidence_line", F.lit(T.IS_EVIDENCE_FOR), "p_value_bnode", graph_id=g),
+        make_triples(
+            d.filter(F.col("_p_double").isNotNull()),
+            "p_value_bnode", F.lit(HAS_VALUE), F.col("_p_double").cast("string"),
+            is_literal=True, datatype="xsd:double", graph_id=g,
+        ),
+        make_triples(
+            d.filter(F.col("_p_double").isNull() & (F.col("p_value") != "")),
+            "p_value_bnode", F.lit(HAS_VALUE), "p_value", is_literal=True, graph_id=g,
+        ),
+        make_triples(d, "p_value_bnode", F.lit(OUTPUT_OF), "study_bnode", graph_id=g),
+        # effect size: bnode always (reference's or-guard is always true),
+        # value stays a plain string
+        individual_triples(d, "effect_bnode", F.lit(EFFECT_SIZE), graph_id=g),
+        make_triples(d, "evidence_line", F.lit(T.IS_EVIDENCE_FOR), "effect_bnode", graph_id=g),
+        make_triples(
+            d.filter(F.col("effect_size") != ""),
+            "effect_bnode", F.lit(HAS_VALUE), "effect_size", is_literal=True, graph_id=g,
+        ),
+        make_triples(d, "effect_bnode", F.lit(OUTPUT_OF), "study_bnode", graph_id=g),
+        # percentage change: only when non-empty
+        individual_triples(pct, "pct_bnode", F.lit(FOLD_CHANGE), graph_id=g),
+        make_triples(pct, "evidence_line", F.lit(T.IS_EVIDENCE_FOR), "pct_bnode", graph_id=g),
+        make_triples(pct, "pct_bnode", F.lit(HAS_VALUE), "percentage_change", is_literal=True, graph_id=g),
+        make_triples(pct, "pct_bnode", F.lit(OUTPUT_OF), "study_bnode", graph_id=g),
+        make_triples(d, "evidence_line", F.lit(HAS_SUPPORTING_ACTIVITY), "study_bnode", graph_id=g),
+    )
+
+
+def assertion_provenance_triples(df: DataFrame, graph_id: str = "impc") -> DataFrame:
+    """_add_assertion_provenance (IMPC.py:561-590): assertion bnode
+    sha1('assertion' + assoc_id + localtt['IMPC']) typed SEPIO:0000001,
+    created_by the IMPC agent (a labeled foaf:organization), asserted-in
+    link from the association and supported-by link to the evidence line.
+
+    Input columns: assoc_id evidence_line.
+    """
+    g = graph_id
+    d = (
+        df.withColumn("assertion_bnode", _bnode(F.lit("assertion"), F.col("assoc_id"), F.lit(IMPC_AGENT)))
+        .withColumn("_agent", F.lit(IMPC_AGENT))
+        .withColumn("_agent_label", F.lit(IMPC_AGENT_LABEL))
+    )
+    return union_graphs(
+        individual_triples(d, "assertion_bnode", F.lit(T.ASSERTION), graph_id=g),
+        individual_triples(d, "_agent", F.lit(ORGANIZATION), label_col="_agent_label", graph_id=g),
+        make_triples(d, "assertion_bnode", F.lit(T.CREATED_BY), "_agent", graph_id=g),
+        make_triples(d, "assoc_id", F.lit(T.IS_ASSERTED_IN), "assertion_bnode", graph_id=g),
+        make_triples(d, "assertion_bnode", F.lit(IS_ASSERTION_SUPPORTED_BY), "evidence_line", graph_id=g),
+    )
 
 
 @register
@@ -238,18 +379,6 @@ class ImpcPipeline(SourcePipeline):
                     )
                 ),
             )
-            .withColumn("procedure_curie", F.concat(F.lit("IMPC-proc:"), F.col("procedure_stable_id")))
-            .withColumn(
-                "parameter_curie",
-                F.concat(
-                    F.lit("IMPC-param:"), F.col("procedure_stable_id"), F.lit("#"), F.col("parameter_stable_id")
-                ),
-            )
-            .withColumn("parameter_label", F.concat(F.col("parameter_name"), F.lit(" ("), F.col("procedure_name"), F.lit(")")))
-            .withColumn(
-                "stat_method_id",
-                F.coalesce(_map_lit(STAT_METHOD_ID, F.col("statistical_method")), F.lit(STATISTICAL_MODEL)),
-            )
         )
         return staged
 
@@ -333,76 +462,47 @@ class ImpcPipeline(SourcePipeline):
             evidence_col="evidence", definedby="impc", graph_id=g,
         )
         keyed = with_assoc_id(ph, "sq_id", "predicate", "mp_term_id", definedby="impc")
+        _eff_d = F.expr("try_cast(effect_size as double)")
+        _p_d = F.expr("try_cast(p_value as double)")
+        _desc_tokens = [
+            "mp_term_name", F.lit("phenotype determined by"), "phenotyping_center",
+            F.lit("in an"), "procedure_name", F.lit("assay where"), F.trim("parameter_name"),
+            F.lit("was measured with an effect_size of"),
+        ]
         keyed = (
-            keyed.withColumn("evidence_line", _bnode(F.col("assoc_id"), F.col("study_bnode")))
-            .withColumn("assertion_bnode", _bnode(F.lit("assertion"), F.col("assoc_id"), F.lit("https://www.mousephenotype.org/")))
-            .withColumn("p_value_bnode", _bnode(F.col("evidence_line"), F.lit("p_value"), F.col("p_value")))
-            .withColumn(
-                "effect_bnode",
-                F.when(F.col("effect_size") != "", _bnode(F.col("evidence_line"), F.lit("effect_size"), F.col("effect_size"))),
-            )
-            .withColumn(
-                "pct_bnode",
-                F.when(
-                    F.col("percentage_change") != "",
-                    _bnode(F.col("evidence_line"), F.lit("percentage_change"), F.col("percentage_change")),
-                ),
-            )
+            keyed.withColumn("eco_id", F.lit(MUTANT_PHENOTYPE_EVIDENCE))
+            .withColumn("evidence_line", _bnode(F.col("assoc_id"), F.col("study_bnode")))
+            # free-text description (IMPC.py:526-539): numeric formatting when
+            # both parse, the reference's ValueError fallback keeps raw strings
             .withColumn(
                 "description",
-                F.concat_ws(
-                    " ", "mp_term_name", F.lit("phenotype determined by"), "phenotyping_center",
-                    F.lit("in an"), "procedure_name", F.lit("assay where"), "parameter_name",
-                    F.lit("was measured with an effect_size of"),
-                    F.round(F.col("effect_size").cast("double"), 5).cast("string"),
-                    F.lit("(p ="), F.format_string("%.4e", F.col("p_value").cast("double")), F.lit(")."),
+                F.when(
+                    _eff_d.isNotNull() & _p_d.isNotNull(),
+                    F.concat_ws(
+                        " ", *_desc_tokens,
+                        F.round(_eff_d, 5).cast("string"),
+                        F.lit("(p ="), F.format_string("%.4e", _p_d), F.lit(")."),
+                    ),
+                ).otherwise(
+                    F.concat_ws(
+                        " ", *_desc_tokens, "effect_size",
+                        F.lit("(p ="), "p_value", F.lit(")."),
+                    )
                 ),
             )
         )
-        measures = [
-            ("p_value_bnode", P_VALUE, F.col("p_value").cast("double").cast("string")),
-            ("effect_bnode", EFFECT_SIZE, F.col("effect_size")),
-            ("pct_bnode", FOLD_CHANGE, F.col("percentage_change")),
-        ]
         evidence_parts = [
             # sex specificity on the assoc node (IMPC.py:527)
             make_triples(
                 keyed.filter(F.col("sex").isin(*SEX_TERM)),
                 "assoc_id", F.lit(HAS_SEX_SPECIFICITY), _map_lit(SEX_TERM, F.col("sex")), graph_id=g,
             ),
-            # evidence line (Evidence.add_supporting_evidence)
-            make_triples(keyed, "assoc_id", F.lit(T.HAS_SUPPORTING_EVIDENCE), "evidence_line", graph_id=g),
-            individual_triples(keyed, "evidence_line", F.lit(MUTANT_PHENOTYPE_EVIDENCE), graph_id=g),
+            evidence_triples(keyed, graph_id=g),
+            study_provenance_triples(keyed, graph_id=g),
+            assertion_provenance_triples(keyed, graph_id=g),
+            # description lands on the evidence line (IMPC.py:553)
             make_triples(keyed, "evidence_line", F.lit(T.DESCRIPTION), "description", is_literal=True, graph_id=g),
-            make_triples(keyed, "evidence_line", F.lit(HAS_SUPPORTING_ACTIVITY), "study_bnode", graph_id=g),
-            # assertion provenance (IMPC.py:560-590)
-            individual_triples(keyed, "assertion_bnode", F.lit(T.ASSERTION), graph_id=g),
-            make_triples(keyed, "assertion_bnode", F.lit(T.CREATED_BY), F.lit("https://www.mousephenotype.org/"), is_literal=False, graph_id=g),
-            make_triples(keyed, "assoc_id", F.lit(T.IS_ASSERTED_IN), "assertion_bnode", graph_id=g),
-            make_triples(keyed, "assertion_bnode", F.lit(IS_ASSERTION_SUPPORTED_BY), "evidence_line", graph_id=g),
-            # study provenance (IMPC.py:592-697)
-            individual_triples(keyed, "study_bnode", F.lit(STUDY), graph_id=g),
-            individual_triples(keyed, "procedure_curie", F.lit(T.NAMED_INDIVIDUAL), label_col="procedure_name", graph_id=g),
-            make_triples(keyed, "study_bnode", F.lit(T.HAS_PART), "procedure_curie", graph_id=g),
-            make_triples(keyed, "study_bnode", F.lit(T.HAS_PART), "stat_method_id", graph_id=g),
-            individual_triples(keyed, "parameter_curie", F.lit(T.NAMED_INDIVIDUAL), label_col="parameter_label", graph_id=g),
-            make_triples(keyed, "study_bnode", F.lit(MEASURES_PARAMETER), "parameter_curie", graph_id=g),
-            make_triples(keyed, "study_bnode", F.lit(HAS_AGENT), F.concat(F.lit("IMPC-center:"), F.col("phenotyping_center")), graph_id=g),
-            make_triples(
-                keyed,
-                F.concat(F.lit("IMPC-center:"), F.col("phenotyping_center")),
-                F.lit(T.TYPE), F.lit(ORGANIZATION), graph_id=g,
-            ),
         ]
-        # supporting measurements (Evidence.add_supporting_data + output_of)
-        for bnode_col, mtype, value in measures:
-            m = keyed.filter(F.col(bnode_col).isNotNull()).withColumn("_val", value)
-            evidence_parts += [
-                individual_triples(m, bnode_col, F.lit(mtype), graph_id=g),
-                make_triples(m, "evidence_line", F.lit(T.IS_EVIDENCE_FOR), bnode_col, graph_id=g),
-                make_triples(m, bnode_col, F.lit(HAS_VALUE), "_val", is_literal=True, graph_id=g),
-                make_triples(m, bnode_col, F.lit(OUTPUT_OF), "study_bnode", graph_id=g),
-            ]
 
         return union_graphs(
             *geno_parts, *background_parts, *sq_parts, assoc, *evidence_parts

@@ -218,3 +218,123 @@ class TestAssocEvidence:
             fh.write(CSV)
         again = src.transform(spark, str(raw))
         assert _spo(again) == _spo(graph)
+
+
+class TestReferenceGoldens:
+    """The reference's IMPC golden tests (tests/test_impc.py:100-231) ported
+    through the turtle harness.  Every bnode digest below is the reference's
+    own hard-coded sha1 constant — the strongest external check of
+    core/ids.py + the SEPIO star.  genid IRIs in the reference goldens are
+    the skolemized spelling of ``_:`` bnodes and are written here in bnode
+    form; the p-value double literal is spelled in Spark's canonical double
+    formatting of the same value the reference floats."""
+
+    def _one_row(self, spark, **cols):
+        return spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+
+    def test_evidence_model(self, spark):
+        """tests/test_impc.py:100-133 (_add_evidence)."""
+        from dipper_spark.core.triples import graph_diff
+        from dipper_spark.io.turtle_parse import triples_from_turtle
+        from dipper_spark.sources.impc import evidence_triples
+
+        df = self._one_row(
+            spark,
+            assoc_id="MONARCH:test_association", eco_id="ECO:0000015",
+            p_value="1.637023E-010", percentage_change="",
+            effect_size="8.885439E-007", study_bnode="_:study",
+        )
+        graph = evidence_triples(df)
+        golden = """
+        MONARCH:test_association SEPIO:0000007 _:b97a98087df7a99d8a38 .
+
+        _:b97a98087df7a99d8a38 a ECO:0000015 ;
+            SEPIO:0000084 _:b41ad2bfd375c9de8888, _:b216606de82749b03956 ;
+            SEPIO:0000085 _:study .
+
+        _:b216606de82749b03956 a OBI:0000175 ;
+            RO:0002353 _:study ;
+            STATO:0000129 "1.637023E-10"^^xsd:double .
+
+        _:b41ad2bfd375c9de8888 a STATO:0000085 ;
+            RO:0002353 _:study ;
+            STATO:0000129 "8.885439E-007" .
+        """
+        expected = triples_from_turtle(spark, golden)
+        only_engine, only_golden = graph_diff(graph, expected)
+        assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
+        assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]
+
+    def test_provenance_model(self, spark):
+        """tests/test_impc.py:135-203 (_add_study_provenance)."""
+        from dipper_spark.core.triples import graph_diff
+        from dipper_spark.io.turtle_parse import triples_from_turtle
+        from dipper_spark.sources.impc import study_provenance_triples
+
+        df = self._one_row(
+            spark,
+            phenotyping_center="WTSI", colony_id="MEFW", project_name="MGP",
+            pipeline_name="MGP Select Pipeline", pipeline_stable_id="MGP_001",
+            procedure_stable_id="MGP_XRY_001", procedure_name="X-ray",
+            parameter_stable_id="IMPC_XRY_008_001",
+            parameter_name="Number of ribs right",
+            statistical_method="Wilcoxon rank sum test with continuity correction",
+            resource_name="IMPC",
+        )
+        graph = study_provenance_triples(df)
+        golden = """
+        _:b0b26361b8687b5ad9ef a owl:NamedIndividual ;
+            rdfs:label "MEFW" .
+
+        _:b6f14f763c8d0629360e a OBI:0000471 ;
+            BFO:0000050 <http://www.sanger.ac.uk/science/data/mouse-genomes-project>,
+                IMPC-pipe:MGP_001 ;
+            BFO:0000051 STATO:0000076,
+                IMPC-proc:MGP_XRY_001 ;
+            SEPIO:0000017 <http://www.sanger.ac.uk/> ;
+            SEPIO:0000114 <https://www.mousephenotype.org/impress/OntologyInfo?action=list&procID=MGP_XRY_001#IMPC_XRY_008_001> .
+
+        <http://www.sanger.ac.uk/> a foaf:organization ;
+            rdfs:label "WTSI" .
+
+        <http://www.sanger.ac.uk/science/data/mouse-genomes-project> a VIVO:Project ;
+            rdfs:label "MGP" .
+
+        <https://www.mousephenotype.org/impress/OntologyInfo?action=list&procID=MGP_XRY_001#IMPC_XRY_008_001> a owl:NamedIndividual ;
+            rdfs:label "Number of ribs right (X-ray)" .
+
+        IMPC-pipe:MGP_001 a owl:NamedIndividual ;
+            rdfs:label "MGP Select Pipeline" .
+
+        IMPC-proc:MGP_XRY_001 a owl:NamedIndividual ;
+            rdfs:label "X-ray" .
+        """
+        expected = triples_from_turtle(spark, golden)
+        only_engine, only_golden = graph_diff(graph, expected)
+        assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
+        assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]
+
+    def test_assertion_model(self, spark):
+        """tests/test_impc.py:205-231 (_add_assertion_provenance)."""
+        from dipper_spark.core.triples import graph_diff
+        from dipper_spark.io.turtle_parse import triples_from_turtle
+        from dipper_spark.sources.impc import assertion_provenance_triples
+
+        df = self._one_row(
+            spark, assoc_id="MONARCH:test_association", evidence_line="_:evidence",
+        )
+        graph = assertion_provenance_triples(df)
+        golden = """
+        MONARCH:test_association SEPIO:0000015 _:bf92df374a884963e805 .
+
+        _:bf92df374a884963e805 a SEPIO:0000001 ;
+            SEPIO:0000018 <https://www.mousephenotype.org/> ;
+            SEPIO:0000111 _:evidence .
+
+        <https://www.mousephenotype.org/> a foaf:organization ;
+            rdfs:label "International Mouse Phenotyping Consortium" .
+        """
+        expected = triples_from_turtle(spark, golden)
+        only_engine, only_golden = graph_diff(graph, expected)
+        assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
+        assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]
