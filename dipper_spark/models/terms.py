@@ -75,6 +75,14 @@ INTRINSIC_GENOTYPE = "GENO:0000000"
 HAS_VARIANT_PART = "GENO:0000382"
 HAS_REFERENCE_PART = "GENO:0000385"
 HAS_ZYGOSITY = "GENO:0000608"
+GENOMIC_BACKGROUND = "GENO:0000611"
+# zygosity classes (GLOBAL_TERMS.yaml:183-210)
+HEMIZYGOUS = "GENO:0000134"
+HETEROZYGOUS = "GENO:0000135"
+HOMOZYGOUS = "GENO:0000136"
+INDETERMINATE = "GENO:0000137"
+COMPOUND_HETEROZYGOUS = "GENO:0000402"
+SIMPLE_HETEROZYGOUS = "GENO:0000458"
 VSLC = "GENO:0000030"
 VARIANT_LOCUS = "GENO:0000002"
 SEQUENCE_ALTERATION = "SO:0001059"

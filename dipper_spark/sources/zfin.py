@@ -12,15 +12,32 @@ Spark-first: the reference's zp_map dict probe is a **broadcast join on a
 computed composite key** (J6, operators.composite_key) — the key is the same
 ``'b'+sha1[1:20]`` digest so unmapped-octuple misses are observable as an
 anti-join (A8 metric), not a silent None.
+
+Genotype labels (``_process_genotype_features`` ZFIN.py:769-1190 +
+``_process_genotype_backgrounds`` 1192-1266): the reference's two-pass
+geno_hash/gvc_hash driver loops become two groupBy stages — per-(genotype,
+locus) allele aggregation with zygosity-implied second alleles, then a
+per-genotype rollup of sorted VSLC labels joined to the backgrounds dim.
+Deliberate divergences from the reference, documented here:
+- allele order within a locus is deterministic (descending sort puts real
+  allele ids before the '?'/'0' sentinels) instead of file order — the
+  reference's parts[0]/parts[1] depend on row order, which a parallel scan
+  does not guarantee;
+- the background label comes from the backgrounds file's own
+  'Background Name' column rather than the reference's driver-global
+  id_label_map (populated from a separate wildtypes pass) — same observable
+  value, one fewer pass.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dipper_spark.core import make_triples, union_graphs
-from dipper_spark.core.ids import make_id
+from dipper_spark.core.ids import digest_id, make_id
 from dipper_spark.models import g2p_association_triples
 from dipper_spark.models import terms as T
 from dipper_spark.operators import composite_key
@@ -38,6 +55,15 @@ OCTUPLE = [
     "subterm1_id", "postcomp1_rel_id", "superterm1_id", "quality_id",
     "subterm2_id", "postcomp2_rel_id", "superterm2_id", "mod_id",
 ]
+
+GENO_COLUMNS = [
+    "Genotype ID", "Genotype Name", "Genotye Unique Name", "Allele ID",
+    "Allele Name", "Allele Abbreviation", "Allele Type", "Allele Display Type",
+    "Gene or Construct Symbol", "Corresponding ZFIN Gene ID/Construct ID",
+    "Allele Zygosity", "Construct Name", "Construct ZdbId",
+]
+
+BACKGROUND_COLUMNS = ["Genotype ID", "Genotype Name", "Background", "Background Name"]
 
 PHENO_COLUMNS = [
     "Fish ID", "Fish Name", "Start Stage ID", "Start Stage Name",
@@ -77,6 +103,16 @@ class ZfinPipeline(SourcePipeline):
             file="id_map_zfin.tsv",
             url="https://raw.githubusercontent.com/obophenotype/zebrafish-phenotype-ontology/master/src/curation/id_map_zfin.tsv",
             columns=["iri", "id"],
+        ),
+        "geno": FileContract(
+            file="genotype_features.txt",
+            url="https://zfin.org/downloads/genotype_features.txt",
+            columns=GENO_COLUMNS,
+        ),
+        "backgrounds": FileContract(
+            file="genotype_backgrounds.txt",
+            url="https://zfin.org/downloads/genotype_backgrounds.txt",
+            columns=BACKGROUND_COLUMNS,
         ),
     }
     test_ids = ["ZDB-FISH-150901-29105"]
@@ -170,9 +206,179 @@ class ZfinPipeline(SourcePipeline):
             normal, "fish_curie", F.lit(T.COMMENT), "comment", is_literal=True, graph_id=g
         )
 
-        return union_graphs(assoc, normal_triples).dropDuplicates(
+        parts = [assoc, normal_triples]
+        # genotype-features files are an optional second surface (the
+        # reference parses them in the same run; fixtures that only exercise
+        # the g2p path omit them)
+        if os.path.exists(self.path(raw_dir, "geno")):
+            parts.append(
+                self.genotype_label_triples(spark, raw_dir, test_mode=test_mode)
+            )
+        return union_graphs(*parts).dropDuplicates(
             ["subject", "predicate", "object"]
         )
+
+    def _read_headerless(self, spark: SparkSession, raw_dir: str, key: str) -> DataFrame:
+        cols = self.files[key].columns
+        schema = " ".join(f"`{c}` string," for c in cols).rstrip(",")
+        return spark.read.option("sep", "\t").schema(schema).csv(self.path(raw_dir, key))
+
+    def genotype_labels(
+        self, spark: SparkSession, raw_dir: str, *, test_mode: bool = False,
+    ) -> DataFrame:
+        """Monarch-style genotype labels (ZFIN.py:769-1190, 1192-1266).
+
+        Two aggregation stages replace the reference's geno_hash/gvc_hash
+        driver loops:
+
+        1. per-(genotype, locus): collect each row's allele plus the
+           zygosity-implied second allele (``_get_other_allele_by_zygosity``
+           ZFIN.py:2822-2850: homozygous → same id, hemizygous/complex → '0',
+           unknown → '?', heterozygous → none → wild-type '+'), classify
+           zygosity from the resulting pair, and render the VSLC label
+           (``Genotype.make_vslc_label`` Genotype.py:665-687:
+           ``gene<al1>/gene<al2>``; empty gene label for unlocated alleles).
+           The VSLC bnode id is the reference's digest
+           (``make_id(re.sub(r'(ZFIN)?:','', gene-al1-al2), '_')``,
+           ZFIN.py:1066-1068) so ids are bit-compatible.
+        2. per-genotype: the GVC label is the sorted '; '-join of VSLC labels
+           (ZFIN.py:1105-1125); a left join to the backgrounds dim supplies
+           the background label ('unspecified background' when absent,
+           ZFIN.py:1146-1166); the display label is
+           ``zfin_name (background)`` and the Monarch synonym
+           ``gvc_label [background]`` (ZFIN.py:1171-1177).
+
+        Returns one row per genotype: genotype_curie, zfin_name,
+        genotype_label, monarch_synonym, background_curie, vslc_ids,
+        vslc_labels, zygosities.
+        """
+        rows = self._read_headerless(spark, raw_dir, "geno")
+        if test_mode:
+            rows = rows.filter(F.col("Genotype ID").isin(list(self.test_ids)))
+        staged = rows.select(
+            F.concat(F.lit("ZFIN:"), F.trim("Genotype ID")).alias("genotype_curie"),
+            F.col("Genotype Name").alias("zfin_name"),
+            F.concat(F.lit("ZFIN:"), F.trim("Allele ID")).alias("allele_id"),
+            F.col("Allele Name").alias("allele_name"),
+            F.when(
+                F.coalesce(F.trim("Corresponding ZFIN Gene ID/Construct ID"), F.lit("")) != "",
+                F.concat(F.lit("ZFIN:"), F.trim("Corresponding ZFIN Gene ID/Construct ID")),
+            ).alias("gene_id"),
+            F.col("Gene or Construct Symbol").alias("gene_symbol"),
+            F.trim("Allele Zygosity").alias("zygosity"),
+        )
+        other = (
+            F.when(F.col("zygosity") == "homozygous", F.col("allele_id"))
+            .when(F.col("zygosity").isin("hemizygous", "complex"), F.lit("0"))
+            .when(F.col("zygosity") == "unknown", F.lit("?"))
+        )  # heterozygous: no implied partner → wild-type '+' downstream
+        contrib = staged.withColumn(
+            "parts", F.array_compact(F.array("allele_id", other))
+        ).withColumn("locus", F.coalesce("gene_id", "allele_id"))
+
+        per_locus = contrib.groupBy("genotype_curie", "locus").agg(
+            F.first("zfin_name").alias("zfin_name"),
+            F.max("gene_id").alias("gene_id"),
+            F.max_by("gene_symbol", "gene_id").alias("gene_symbol"),
+            # descending sort: real allele ids before the '?'/'0' sentinels
+            F.reverse(F.array_sort(F.flatten(F.collect_list("parts")))).alias("alleles"),
+            F.map_from_entries(
+                F.collect_set(F.struct("allele_id", "allele_name"))
+            ).alias("allele_label"),
+        )
+        a1 = F.col("alleles")[0]
+        a2 = F.element_at("alleles", 2)  # null when simple het
+        classified = per_locus.select(
+            "genotype_curie", "zfin_name", "gene_id", "gene_symbol",
+            a1.alias("allele1"),
+            # id sentinels per ZFIN.py:988-1000: simple het → 'WT',
+            # indeterminate '?' → 'UN', hemizygous keeps '0'
+            F.when(a2.isNull(), F.lit("WT")).when(a2 == "?", F.lit("UN")).otherwise(a2).alias("allele2"),
+            F.when(a2.isNull(), F.lit(T.SIMPLE_HETEROZYGOUS))
+            .when(a2 == "?", F.lit(T.INDETERMINATE))
+            .when(a2 == "0", F.lit(T.HEMIZYGOUS))
+            .when(a1 == a2, F.lit(T.HOMOZYGOUS))
+            .otherwise(F.lit(T.COMPOUND_HETEROZYGOUS))
+            .alias("zygosity_id"),
+            F.element_at("allele_label", a1).alias("allele1_label"),
+            F.when(a2.isNull(), F.lit("+"))
+            .when(a2.isin("0", "?"), a2)
+            .otherwise(F.element_at("allele_label", a2))
+            .alias("allele2_label"),
+        )
+        gene_label = F.when(F.col("gene_id").isNotNull(), F.trim("gene_symbol")).otherwise(F.lit(""))
+        vslc = classified.select(
+            "genotype_curie", "zfin_name", "zygosity_id",
+            F.concat(
+                gene_label, F.lit("<"), F.trim("allele1_label"), F.lit(">"),
+                F.lit("/"),
+                gene_label, F.lit("<"), F.trim("allele2_label"), F.lit(">"),
+            ).alias("vslc_label"),
+            # reference vslc id: digest of 'gene-al1-al2' with curie prefixes
+            # stripped, as a bnode (ZFIN.py:1066-1068; 'UN' when unlocated,
+            # 'WT' wild-type partner)
+            F.concat(
+                F.lit("_:"),
+                digest_id(
+                    F.regexp_replace(
+                        F.concat_ws("-", F.coalesce("gene_id", F.lit("UN")), "allele1", "allele2"),
+                        r"(ZFIN)?:", "",
+                    )
+                ),
+            ).alias("vslc_id"),
+        )
+        per_genotype = vslc.groupBy("genotype_curie").agg(
+            F.first("zfin_name").alias("zfin_name"),
+            F.array_join(F.array_sort(F.collect_list("vslc_label")), "; ").alias("gvc_label"),
+            F.array_sort(F.collect_list("vslc_id")).alias("vslc_ids"),
+            F.array_sort(F.collect_list("vslc_label")).alias("vslc_labels"),
+            F.collect_set("zygosity_id").alias("zygosities"),
+        )
+
+        backgrounds = self._read_headerless(spark, raw_dir, "backgrounds").select(
+            F.concat(F.lit("ZFIN:"), F.trim("Genotype ID")).alias("genotype_curie"),
+            F.concat(F.lit("ZFIN:"), F.trim("Background")).alias("background_curie"),
+            F.trim("Background Name").alias("background_label"),
+        )
+        bg_label = F.coalesce("background_label", F.lit("unspecified background"))
+        return per_genotype.join(F.broadcast(backgrounds), "genotype_curie", "left").select(
+            "genotype_curie", "zfin_name", "background_curie",
+            "vslc_ids", "vslc_labels", "zygosities",
+            F.concat("zfin_name", F.lit(" ("), bg_label, F.lit(")")).alias("genotype_label"),
+            F.concat("gvc_label", F.lit(" ["), bg_label, F.lit("]")).alias("monarch_synonym"),
+        )
+
+    def genotype_label_triples(
+        self, spark: SparkSession, raw_dir: str, *, test_mode: bool = False,
+    ) -> DataFrame:
+        """The genotype labeling stanza as triples: intrinsic-genotype typing
+        + display label (geno.addGenotype, ZFIN.py:1171), ZFIN-name and
+        Monarch-style synonyms (model.addSynonym, ZFIN.py:845-849, 1175),
+        background has_reference_part + genomic_background typing
+        (ZFIN.py:1192-1266), and VSLC membership edges (ZFIN.py:1181)."""
+        g = self.name
+        labeled = self.genotype_labels(spark, raw_dir, test_mode=test_mode).cache()
+        parts = [
+            make_triples(labeled, "genotype_curie", F.lit(T.TYPE), F.lit(T.INTRINSIC_GENOTYPE), graph_id=g),
+            make_triples(labeled, "genotype_curie", F.lit(T.LABEL), "genotype_label", is_literal=True, graph_id=g),
+            make_triples(labeled, "genotype_curie", F.lit(T.HAS_EXACT_SYNONYM), "zfin_name", is_literal=True, graph_id=g),
+            make_triples(labeled, "genotype_curie", F.lit(T.HAS_EXACT_SYNONYM), "monarch_synonym", is_literal=True, graph_id=g),
+        ]
+        with_bg = labeled.filter(F.col("background_curie").isNotNull())
+        parts.append(
+            make_triples(with_bg, "genotype_curie", F.lit(T.HAS_REFERENCE_PART), "background_curie", graph_id=g)
+        )
+        parts.append(
+            make_triples(with_bg, "background_curie", F.lit(T.TYPE), F.lit(T.GENOMIC_BACKGROUND), graph_id=g)
+        )
+        vslcs = labeled.select("genotype_curie", F.explode("vslc_ids").alias("vslc_id"))
+        parts.append(
+            make_triples(vslcs, "genotype_curie", F.lit(T.HAS_VARIANT_PART), "vslc_id", graph_id=g)
+        )
+        parts.append(
+            make_triples(vslcs, "vslc_id", F.lit(T.TYPE), F.lit(T.VSLC), graph_id=g)
+        )
+        return union_graphs(*parts)
 
     def unmapped_octuples(self, spark: SparkSession, raw_dir: str) -> DataFrame:
         """A8 miss metric: abnormal rows whose EQ octuple has no ZP mapping —

@@ -211,3 +211,26 @@ def test_whole_graph_serializes_strict(graph):
     from conftest import assert_strict_nt
 
     assert_strict_nt(graph)
+
+
+def test_omia_integration_iri_golden(graph):
+    """Ported from /root/reference/tests/omia-integration.py: the breed→OMIM
+    model-of contract checked at the IRI level.  The reference asserts
+    <https://monarchinitiative.org/model/OMIA-breed:758> RO_0003301
+    <http://omim.org/entry/...> pairs exist in the rendered graph; here the
+    same expansion runs through our curie registry over the model-of rows."""
+    from dipper_spark.core.curie import CurieMap
+
+    reg = CurieMap()
+    pairs = {
+        (reg.expand_str(s), reg.expand_str(o))
+        for s, p, o in _spo(graph)
+        if p == "RO:0003301"
+    }
+    assert (
+        "https://monarchinitiative.org/model/OMIA-breed:758",
+        "http://omim.org/entry/215700",
+    ) in pairs
+    # the predicate itself must expand to the OBO RO IRI the integration
+    # script greps for
+    assert reg.expand_str("RO:0003301") == "http://purl.obolibrary.org/obo/RO_0003301"

@@ -135,6 +135,21 @@ class TestGaf:
             for _, p, o in _spo(go_graph)
         )
 
+    def test_targeted_gene_bnode_digest_golden(self, go_graph):
+        """Reference golden: the reagent-targeted-gene bnode is
+        ZFIN.make_targeted_gene_id (ZFIN.py:3085-3091) —
+        sha1 of 'gene-reagent' with every 'ZFIN:'/':' stripped.  Re-derived
+        here with hashlib, independent of the code under test."""
+        import hashlib
+
+        expected = "_:b" + hashlib.sha1(b"MGI88059-ZDB-MRPHLNO-1").hexdigest()[1:20]
+        spo = _spo(go_graph)
+        assert (expected, "GENO:0000418", "MGI:88059") in spo
+        # and the derived G2P association hangs off the same bnode
+        assert any(
+            p == "OBAN:association_has_subject" and o == expected for _, p, o in spo
+        )
+
 
 class TestStringDb:
     def test_threshold_symmetric_and_expansion(self, string_graph):
