@@ -176,27 +176,30 @@ def _ttl_term(term: str, is_literal: bool, datatype: str | None, cm: CurieMap) -
     return term if prefix in cm.mapping else f"<{term}>"
 
 
-def render_turtle(df: DataFrame, curie_map: CurieMap | None = None) -> str:
-    """Canonical subject-grouped turtle, matching what rdflib's serializer
-    gives the reference (RDFGraph.serialize, RDFGraph.py:199-205): prefix
-    header (used prefixes only), subjects sorted, ``;``-chained predicates,
-    ``,``-chained objects.
+def iter_turtle(df: DataFrame, curie_map: CurieMap | None = None):
+    """Canonical subject-grouped turtle as a stream of text chunks, matching
+    what rdflib's serializer gives the reference (RDFGraph.serialize,
+    RDFGraph.py:199-205): prefix header (used prefixes only), subjects
+    sorted, ``;``-chained predicates, ``,``-chained objects.
 
-    Driver-side string assembly — the reference's turtle path is whole-graph
-    in rdflib RAM too (§4.3); the scale path is :func:`write_nt`.  The group
-    +sort runs distributed; only rendered text reaches the driver, streamed
-    via toLocalIterator (one partition in memory at a time).
+    Generator contract: driver memory is bounded by ONE subject block (plus
+    toLocalIterator's one-partition buffer) — the group+sort runs
+    distributed, and each yielded chunk can go straight to a file handle.
+    The reference's turtle path holds the whole graph in rdflib RAM (§4.3);
+    this is strictly better, though :func:`write_nt` remains the 100 TB
+    path (distributed file write, no driver funnel).
     """
     cm = curie_map or CurieMap()
-    header = "".join(
+    yield "".join(
         f"@prefix {p}: <{cm.mapping[p]}> .\n" for p in used_prefixes(df, cm)
     )
+    yield "\n"
     grouped = (
         df.dropDuplicates(["subject", "predicate", "object"])
         .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "subject")
         .sortWithinPartitions("subject", "predicate", "object")
     )
-    blocks: list[str] = []
+    first = True
     cur_subj: str | None = None
     cur_pred: str | None = None
     parts: list[str] = []
@@ -208,7 +211,8 @@ def render_turtle(df: DataFrame, curie_map: CurieMap | None = None) -> str:
         obj = _ttl_term(row.object, row.is_literal, row.datatype, cm)
         if subj != cur_subj:
             if parts:
-                blocks.append("".join(parts) + " .\n")
+                yield ("" if first else "\n") + "".join(parts) + " .\n"
+                first = False
             parts = [f"{subj} {pred} {obj}"]
             cur_subj, cur_pred = subj, pred
         elif pred != cur_pred:
@@ -217,19 +221,26 @@ def render_turtle(df: DataFrame, curie_map: CurieMap | None = None) -> str:
         else:
             parts.append(f", {obj}")
     if parts:
-        blocks.append("".join(parts) + " .\n")
-    return header + "\n" + "\n".join(blocks)
+        yield ("" if first else "\n") + "".join(parts) + " .\n"
+
+
+def render_turtle(df: DataFrame, curie_map: CurieMap | None = None) -> str:
+    """Whole-document turtle string — ``"".join(iter_turtle(...))``.  Kept
+    for tests and small graphs; sinks stream the iterator instead."""
+    return "".join(iter_turtle(df, curie_map))
 
 
 def write_turtle(df: DataFrame, path: str, curie_map: CurieMap | None = None) -> None:
     """Turtle file sink (reference: Source.write, Source.py:178-240 writes
-    ``out/<src>.ttl``).  Single local file, driver-rendered — see
-    :func:`render_turtle` for why that matches the reference's own limits."""
+    ``out/<src>.ttl``).  Single local file, but streamed block-by-block from
+    :func:`iter_turtle` — peak driver RSS is one subject block, not the
+    document."""
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as handle:
-        handle.write(render_turtle(df, curie_map))
+        for chunk in iter_turtle(df, curie_map):
+            handle.write(chunk)
 
 
 def write_graph_parquet(df: DataFrame, path: str, *, partition_by_graph: bool = True) -> None:
@@ -261,15 +272,16 @@ def _xml_escape(text: str) -> str:
     )
 
 
-def render_rdfxml(df: DataFrame, curie_map: CurieMap | None = None) -> str:
-    """RDF/XML rendering, subject-grouped ``rdf:Description`` blocks.
+def iter_rdfxml(df: DataFrame, curie_map: CurieMap | None = None):
+    """RDF/XML as a stream of line chunks, subject-grouped
+    ``rdf:Description`` blocks.
 
     Reference: the CLI accepts ``--dest_fmt rdfxml`` and hands it to rdflib
-    (dipper-etl.py:137-143, Source.py:192-198 format table).  Same driver-
-    side assembly contract as :func:`render_turtle` (the scale path is
-    write_nt); property elements use the namespace/NCName split every
-    RDF/XML serializer performs, with per-property ``xmlns`` declarations so
-    no global prefix table is needed.
+    (dipper-etl.py:137-143, Source.py:192-198 format table).  Same streaming
+    contract as :func:`iter_turtle` (driver memory bounded by one element;
+    the scale path is write_nt); property elements use the namespace/NCName
+    split every RDF/XML serializer performs, with per-property ``xmlns``
+    declarations so no global prefix table is needed.
     """
     cm = curie_map or CurieMap()
 
@@ -283,21 +295,19 @@ def render_rdfxml(df: DataFrame, curie_map: CurieMap | None = None) -> str:
         .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "subject")
         .sortWithinPartitions("subject", "predicate", "object")
     )
-    out: list[str] = [
-        '<?xml version="1.0" encoding="utf-8"?>',
-        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
-    ]
+    yield '<?xml version="1.0" encoding="utf-8"?>\n'
+    yield '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
     cur_subj = None
     for row in grouped.toLocalIterator():
         subj = row.subject
         if subj != cur_subj:
             if cur_subj is not None:
-                out.append("  </rdf:Description>")
+                yield "  </rdf:Description>\n"
             if subj.startswith("_"):
                 ref = f'rdf:nodeID="{subj.lstrip("_:")}"'
             else:
                 ref = f'rdf:about="{_xml_escape(expand(subj))}"'
-            out.append(f"  <rdf:Description {ref}>")
+            yield f"  <rdf:Description {ref}>\n"
             cur_subj = subj
         pred_iri = expand(row.predicate)
         split = _ncname_split(pred_iri)
@@ -306,41 +316,49 @@ def render_rdfxml(df: DataFrame, curie_map: CurieMap | None = None) -> str:
         ns, local = split
         if row.is_literal:
             dt = f' rdf:datatype="{_xml_escape(expand(row.datatype))}"' if row.datatype else ""
-            out.append(
+            yield (
                 f'    <{local} xmlns="{_xml_escape(ns)}"{dt}>'
-                f"{_xml_escape(row.object)}</{local}>"
+                f"{_xml_escape(row.object)}</{local}>\n"
             )
         elif row.object.startswith("_"):
-            out.append(
-                f'    <{local} xmlns="{_xml_escape(ns)}" rdf:nodeID="{row.object.lstrip("_:")}"/>'
+            yield (
+                f'    <{local} xmlns="{_xml_escape(ns)}" rdf:nodeID="{row.object.lstrip("_:")}"/>\n'
             )
         else:
-            out.append(
+            yield (
                 f'    <{local} xmlns="{_xml_escape(ns)}" '
-                f'rdf:resource="{_xml_escape(expand(row.object))}"/>'
+                f'rdf:resource="{_xml_escape(expand(row.object))}"/>\n'
             )
     if cur_subj is not None:
-        out.append("  </rdf:Description>")
-    out.append("</rdf:RDF>")
-    return "\n".join(out) + "\n"
+        yield "  </rdf:Description>\n"
+    yield "</rdf:RDF>\n"
+
+
+def render_rdfxml(df: DataFrame, curie_map: CurieMap | None = None) -> str:
+    """Whole-document RDF/XML string — ``"".join(iter_rdfxml(...))``."""
+    return "".join(iter_rdfxml(df, curie_map))
 
 
 def write_rdfxml(df: DataFrame, path: str, curie_map: CurieMap | None = None) -> None:
-    """RDF/XML file sink (reference format table, Source.py:192-198)."""
+    """RDF/XML file sink (reference format table, Source.py:192-198),
+    streamed element-by-element from :func:`iter_rdfxml`."""
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as handle:
-        handle.write(render_rdfxml(df, curie_map))
+        for chunk in iter_rdfxml(df, curie_map):
+            handle.write(chunk)
 
 
 def write_n3(df: DataFrame, path: str, curie_map: CurieMap | None = None) -> None:
     """Notation3 file sink.  Every turtle document is valid N3 (turtle is
     N3's RDF subset), and rdflib's n3 output for a plain RDF graph is its
     turtle output — so the canonical turtle rendering IS the n3 rendering
-    (reference: Source.py:192-198 maps both through rdflib serialize)."""
+    (reference: Source.py:192-198 maps both through rdflib serialize).
+    Streamed like :func:`write_turtle`."""
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as handle:
-        handle.write(render_turtle(df, curie_map))
+        for chunk in iter_turtle(df, curie_map):
+            handle.write(chunk)
