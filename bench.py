@@ -38,6 +38,7 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_cosine_topk",
     "q_ann_ivf",
+    "q_ann_ivf_refined",
     "q_embedding_neardup",
     # multimodal columns
     "q_media_stats",

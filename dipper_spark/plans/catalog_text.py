@@ -32,7 +32,12 @@ from dipper_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
-from dipper_spark.operators.similarity import blocked_neardup, cosine_topk, ivf_topk
+from dipper_spark.operators.similarity import (
+    blocked_neardup,
+    cosine_topk,
+    cosine_topk_arrow,
+    ivf_topk,
+)
 from dipper_spark.plans.catalog import register
 from dipper_spark.session import load_table
 
@@ -320,10 +325,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_QC = duckdb_cosine("q.embedding", "c.embedding")
 
-
-@register(
-    "q_cosine_topk",
-    f"""
+_COSINE_TOPK_SQL = f"""
     SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_QC} AS c,
              CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -331,13 +333,25 @@ _COS_QC = duckdb_cosine("q.embedding", "c.embedding")
       FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
       WHERE q.vec_id < 5)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("q_cosine_topk", _COSINE_TOPK_SQL)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 query vectors — the exact-recall ANN
     baseline (broadcast queries, single corpus pass, per-query top-k)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@register("q_cosine_topk_arrow", _COSINE_TOPK_SQL)
+def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/BLAS brute-force path, checked against the SAME oracle as
+    q_cosine_topk: per-batch numpy matmul with tie-stable partial top-k must
+    reproduce the exact-arithmetic result end-to-end (not just pytest parity
+    with the relational path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_arrow(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
 
 _COS_EC = duckdb_cosine("e.embedding", "cent.ce")
@@ -371,3 +385,74 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic centroids; each query searches only its bucket."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, n_centroids=16, k=5)
+
+
+# ---- refined IVF oracle: two Lloyd iterations unrolled as CTEs --------------
+# Mirrors kmeans_centroids exactly: assignment is max-cosine with (cos DESC,
+# cid ASC) tie-break; per-bucket per-dim double-precision mean cast back to
+# float32 (the Spark side casts to "float"); empty buckets drop out of the
+# GROUP BY on both engines.
+
+
+def _ivf_assign_sql(cent_cte: str) -> str:
+    return f"""
+      SELECT vec_id, embedding, cid AS bucket FROM (
+        SELECT e.vec_id, e.embedding, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_EC} DESC, cent.cid) AS rn
+        FROM embeddings e CROSS JOIN {cent_cte} cent)
+      WHERE rn = 1"""
+
+
+def _ivf_means_sql(assign_cte: str) -> str:
+    return f"""
+      SELECT bucket AS cid, array_agg(CAST(m AS REAL) ORDER BY dim) AS ce FROM (
+        SELECT bucket, dim, avg(CAST(v AS DOUBLE)) AS m FROM (
+          SELECT bucket, generate_subscripts(embedding, 1) AS dim,
+                 unnest(embedding) AS v
+          FROM {assign_cte})
+        GROUP BY bucket, dim)
+      GROUP BY bucket"""
+
+
+_COS_QPC = duckdb_cosine("q.q_emb", "c.embedding")
+
+
+@register(
+    "q_ann_ivf_refined",
+    f"""
+    WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    a0 AS ({_ivf_assign_sql('c0')}),
+    c1 AS ({_ivf_means_sql('a0')}),
+    a1 AS ({_ivf_assign_sql('c1')}),
+    c2 AS ({_ivf_means_sql('a1')}),
+    ac AS ({_ivf_assign_sql('c2')}),
+    qp AS (
+      SELECT query_id, q_emb, bucket FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb, cent.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_EC} DESC, cent.cid) AS rn
+        FROM embeddings e CROSS JOIN c2 cent WHERE e.vec_id < 5)
+      WHERE rn <= 2),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {_COS_QPC} AS cval
+      FROM qp q JOIN ac c ON q.bucket = c.bucket AND c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, round(cval, 6) AS cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cval,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cval DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN path: IVF with 2 Lloyd refinement iterations and
+    nprobe=2 multi-probe.  Lloyd with a fixed iteration count is
+    deterministic, so the DuckDB oracle unrolls both iterations as CTEs —
+    assignment (broadcast max-cosine) then per-bucket per-dim mean — and
+    must reproduce the Spark result bit-for-bit after float32 rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb,
+        n_centroids=16, k=5, refine_iters=2, nprobe=2,
+    )
