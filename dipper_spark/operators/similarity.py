@@ -134,22 +134,81 @@ def assign_buckets(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def seeded_centroid_init(
+    vectors: DataFrame, n_centroids: int, seed: int = 42, oversample: int = 8
+) -> DataFrame:
+    """Deterministic k-means++-style centroid seeding.
+
+    Two stages, both deterministic:
+
+    1. **Candidate sample** — order by the md5 of the (seed, vec_id) pair
+       and take ``oversample * n_centroids`` rows: a uniform deterministic
+       shuffle, so candidates spread across the corpus even when the input
+       is sorted by cluster (the degenerate case for first-N init).  One
+       narrow distributed sort; the candidate set is broadcast-sized.
+    2. **Farthest-point refinement** — greedy k-center over the candidates
+       (start from the first, repeatedly add the candidate least similar to
+       the chosen set).  This is the k-means++ spreading step without its k
+       sequential cluster passes; it runs driver-side on the tiny candidate
+       matrix (numpy, O(oversample·n² ) flops) — the same legitimately-
+       driver-side class as the broadcast query matrix in
+       :func:`cosine_topk_arrow`.
+    """
+    import numpy as np
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("vec_id").cast("string")))
+    cand = (
+        vectors.select("vec_id", "embedding", key.alias("_k"))
+        .orderBy("_k", "vec_id")
+        .limit(oversample * n_centroids)
+        .drop("_k")
+        .collect()
+    )
+    if len(cand) <= n_centroids:
+        chosen = cand
+    else:
+        ids = [r.vec_id for r in cand]
+        mat = np.asarray([r.embedding for r in cand], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T  # candidate x candidate cosine
+        picked = [0]
+        # per-candidate max cosine to the chosen set
+        closest = sims[0].copy()
+        for _ in range(n_centroids - 1):
+            closest[picked] = np.inf  # never re-pick
+            nxt = int(np.argmin(closest))  # least similar to any chosen
+            picked.append(nxt)
+            closest = np.maximum(closest, sims[nxt])
+        chosen = [cand[i] for i in sorted(picked, key=lambda i: ids[i])]
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in chosen], "vec_id long, embedding array<float>"
+    )
+
+
 def kmeans_centroids(
-    vectors: DataFrame, n_centroids: int = 16, n_iter: int = 5
+    vectors: DataFrame, n_centroids: int = 16, n_iter: int = 5,
+    init: str = "first", seed: int = 42,
 ) -> DataFrame:
     """Lloyd-refined IVF centroids, fully relational.
 
-    Init = the first ``n_centroids`` vectors (deterministic, same as the
-    unrefined path); each iteration is one distributed assign pass
-    (broadcast max-cosine, :func:`assign_buckets`) followed by an
-    element-wise mean per bucket (posexplode → groupBy(bucket, dim) → avg →
-    re-assemble ordered array).  The driver only orchestrates the loop —
-    per-iteration cost is one shuffle on (bucket, dim), so this scales to
-    any corpus; centroid count stays broadcast-sized by construction.
+    ``init='first'`` takes the first ``n_centroids`` vectors (deterministic
+    and SQL-oracle-mirrorable — the q_ann_ivf_refined oracle unrolls exactly
+    this); ``init='seeded'`` uses :func:`seeded_centroid_init` for
+    production robustness against cluster-sorted inputs.  Each iteration is
+    one distributed assign pass (broadcast max-cosine,
+    :func:`assign_buckets`) followed by an element-wise mean per bucket
+    (posexplode → groupBy(bucket, dim) → avg → re-assemble ordered array).
+    The driver only orchestrates the loop — per-iteration cost is one
+    shuffle on (bucket, dim), so this scales to any corpus; centroid count
+    stays broadcast-sized by construction.
     """
-    centroids = vectors.filter(F.col("vec_id") < n_centroids).select(
-        "vec_id", "embedding"
-    )
+    if init == "seeded":
+        centroids = seeded_centroid_init(vectors, n_centroids, seed)
+    else:
+        centroids = vectors.filter(F.col("vec_id") < n_centroids).select(
+            "vec_id", "embedding"
+        )
     for _ in range(n_iter):
         assigned = assign_buckets(vectors, centroids)
         means = (
@@ -175,6 +234,8 @@ def ivf_topk(
     k: int = 5,
     refine_iters: int = 0,
     nprobe: int = 1,
+    init: str = "first",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by nearest centroid; each
     query searches its ``nprobe`` closest buckets.
@@ -193,7 +254,9 @@ def ivf_topk(
     shuffles on the bucket id, so cost scales with the probed fraction.
     """
     if refine_iters > 0:
-        centroids = kmeans_centroids(corpus, n_centroids, refine_iters)
+        centroids = kmeans_centroids(corpus, n_centroids, refine_iters, init=init, seed=seed)
+    elif init == "seeded":
+        centroids = seeded_centroid_init(corpus, n_centroids, seed)
     else:
         centroids = corpus.filter(F.col("vec_id") < n_centroids)
     bucketed = assign_buckets(corpus, centroids).select(

@@ -42,7 +42,16 @@ _RUNTIME_CONFS = {
     # 100 TB where static partition counts are always wrong somewhere.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Skew splitting pinned explicitly: the banded joins (lsh_candidate_pairs,
+    # simhash_pairs, blocked_neardup) hash-partition on bucket keys whose
+    # population is data-dependent — a hot shingle band or dense LSH bucket
+    # lands on one task without this.  factor 4 / 128m splits a partition
+    # once it is 4x the median AND >=128 MB; advisory 64m keeps the split
+    # granules (and coalesced partitions) executor-friendly.
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "4",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
 }
 
 

@@ -130,3 +130,53 @@ class TestShuffleEconomy:
         # signature building is a pure map stage: the only exchange allowed
         # is the under-parallel-scan guard repartition
         assert plan.count("Exchange hashpartitioning") == 0
+
+
+class TestSkewHandling:
+    """The banded joins rely on AQE skew splitting for hot buckets at scale
+    (VERDICT r2 #7): pin the configs so a session regression fails CI, and
+    prove correctness under a synthetic hot bucket."""
+
+    def test_skew_join_configs_pinned(self, spark):
+        conf = spark.conf
+        assert conf.get("spark.sql.adaptive.enabled") == "true"
+        assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        assert conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor") == "4"
+        assert (
+            conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+            == "128m"
+        )
+        assert conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "64m"
+
+    def test_hot_bucket_blocked_neardup_correct(self, spark):
+        """One block holds 60 of 70 vectors (a hot LSH bucket).  The blocked
+        self-join must stay an equi-join (no cartesian fallback) and return
+        exactly the expected pair count."""
+        import itertools
+        import random
+
+        from dipper_spark.operators.similarity import blocked_neardup
+
+        rng = random.Random(3)
+        rows = []
+        for i in range(70):
+            block = 0 if i < 60 else (i - 59)  # 60 rows in block 0, rest alone
+            v = [rng.gauss(0, 1.0) for _ in range(8)]
+            rows.append((i, v, block))
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        got = blocked_neardup(emb, "label", threshold=0.5)
+        plan = plan_of(got)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+        expected = {
+            (i, j)
+            for (i, vi, bi), (j, vj, bj) in itertools.combinations(rows, 2)
+            if bi == bj and cos(vi, vj) >= 0.5
+        }
+        assert {(r.id_1, r.id_2) for r in got.collect()} == expected

@@ -240,6 +240,41 @@ class TestIvfRecall:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, f"recall@5 = {recall:.3f}"
 
+    def test_seeded_init_beats_first_n_on_cluster_sorted_corpus(self, spark):
+        """VERDICT r2 #8: on a corpus SORTED by cluster (the degenerate case
+        for first-N init — the first N vectors all land in one cluster),
+        md5-seeded init reaches recall@5 >= 0.9 with a single Lloyd
+        iteration, and is at least as good as first-N init."""
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(400):
+            center = i // 50  # cluster-sorted: first 50 rows are cluster 0...
+            v = [rng.gauss(0, 0.05) for _ in range(16)]
+            v[center * 2] += 1.0
+            rows.append((i, v))
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.filter(F.col("vec_id") % 25 == 0)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(queries, emb, k=5).collect()
+        }
+
+        def recall(init):
+            approx = {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_topk(
+                    queries, emb, n_centroids=8, k=5,
+                    refine_iters=1, nprobe=1, init=init,
+                ).collect()
+            }
+            return len(exact & approx) / len(exact)
+
+        r_seeded, r_first = recall("seeded"), recall("first")
+        assert r_seeded >= 0.9, f"seeded recall@5 = {r_seeded:.3f}"
+        assert r_seeded >= r_first, (r_seeded, r_first)
+
     def test_nprobe_curve_on_real_embeddings(self, spark, sf_dir):
         """On the (unclustered) real table, recall must rise monotonically
         with nprobe and reach 1.0 at nprobe=n_centroids (graceful
