@@ -37,6 +37,18 @@ def strand_type_col(strand_col) -> F.Column:
     )
 
 
+def strand_string_col(strand_col) -> F.Column:
+    """GenomicFeature._getStrandStringFromPositionTypes (246-258) composed
+    with _getStrandType: the lowercase word used inside bnode digests —
+    '+' → 'plus', '-' → 'minus', '.' → 'both', unknown → NULL."""
+    s = F.col(strand_col) if isinstance(strand_col, str) else strand_col
+    return (
+        F.when(s == "+", F.lit("plus"))
+        .when(s == "-", F.lit("minus"))
+        .when(s == ".", F.lit("both"))
+    )
+
+
 def feature_triples(
     df: DataFrame,
     id_col: str = "feature_id",
@@ -49,55 +61,66 @@ def feature_triples(
     strand_col: str | None = None,
     graph_id: str | None = None,
 ) -> DataFrame:
-    """addFeatureToGraph (GenomicFeature.py:127-231) as a union of selects:
+    """addFeatureToGraph (GenomicFeature.py:127-231) as a union of selects,
+    bit-compatible with the reference bnode derivations:
 
     feature  rdf:type        <type>             (when type_col given)
     feature  rdfs:label      label              (when label_col given)
-    feature  faldo:location  region
-    region   rdf:type        faldo:Region
-    region   faldo:begin     beginPos
-    region   faldo:end       endPos
-    beginPos rdf:type        faldo:ExactPosition / <strand-position-class>
-    beginPos faldo:position  start^^xsd:integer
-    beginPos faldo:reference chrom              (ditto for endPos)
+    feature  faldo:location  region             (when start/stop present)
+    feature  rdf:type        SO:0000001         (when NO location — the
+                                                 feature itself is the region,
+                                                 GenomicFeature.py:210-212)
+    region   rdf:type        faldo:Region ; rdfs:label "<ref>-<st>-<sp>[-strand]-Region"
+    region   faldo:begin / faldo:end  position bnodes
+    position rdf:type        <strand-position-class> | faldo:Position (strand unknown)
+    position rdfs:label      "<ref>-<coord>[-strand]"
+    position faldo:position  coord^^xsd:integer
+    position faldo:reference chrom
+
+    Region id = digest of '-'.join(prefix-stripped ref, start|'UN',
+    stop|'UN'[, strand word]) + '-Region' (GenomicFeature.py:172-199);
+    position id = digest of '-'.join(prefix-stripped ref, coord[, strand
+    word]) (_makePositionId 246-279).  Both bnodes carry their digest words
+    as rdfs:label, as the reference does.
     """
-    strand = strand_type_col(strand_col) if strand_col is not None else F.lit(T.FALDO_STRANDED)
-    # deterministic bnode-style ids (GenomicFeature._makePositionId 246-279)
+    strand_w = strand_string_col(strand_col) if strand_col is not None else F.lit(None).cast("string")
+    strand_cls = strand_type_col(strand_col) if strand_col is not None else F.lit(None).cast("string")
+    # reference strips one leading curie prefix (and bnode '_') from the
+    # reference id before digesting (GenomicFeature.py:174, 259-262)
+    refstr = F.regexp_replace(F.col(chrom_col), r"^\w+:_?", "")
+    st = F.coalesce(F.col(start_col).cast("string"), F.lit("UN"))
+    sp = F.coalesce(F.col(stop_col).cast("string"), F.lit("UN"))
     staged = (
-        df.withColumn("_strand_cls", strand)
-        .withColumn(
-            "_region",
-            F.concat(F.lit("_:"), digest_id(F.concat_ws(":", F.col(chrom_col),
-                     F.col(start_col).cast("string"), F.col(stop_col).cast("string")))),
-        )
-        .withColumn(
-            "_begin",
-            F.concat(F.lit("_:"), digest_id(F.concat_ws(":", F.col(chrom_col),
-                     F.col(start_col).cast("string"), F.col("_strand_cls")))),
-        )
-        .withColumn(
-            "_end",
-            F.concat(F.lit("_:"), digest_id(F.concat_ws(":", F.col(chrom_col),
-                     F.col(stop_col).cast("string"), F.col("_strand_cls")))),
-        )
+        df.withColumn("_strand_w", strand_w)
+        .withColumn("_strand_cls", F.coalesce(strand_cls, F.lit(T.FALDO_POSITION_CLS)))
+        .withColumn("_rid", F.concat(F.concat_ws("-", refstr, st, sp, F.col("_strand_w")), F.lit("-Region")))
+        .withColumn("_region", F.concat(F.lit("_:"), digest_id("_rid")))
+        .withColumn("_begin_w", F.concat_ws("-", refstr, F.col(start_col).cast("string"), F.col("_strand_w")))
+        .withColumn("_end_w", F.concat_ws("-", refstr, F.col(stop_col).cast("string"), F.col("_strand_w")))
+        .withColumn("_begin", F.concat(F.lit("_:"), digest_id("_begin_w")))
+        .withColumn("_end", F.concat(F.lit("_:"), digest_id("_end_w")))
     )
     g = graph_id
+    located = staged.filter(F.col(start_col).isNotNull() | F.col(stop_col).isNotNull())
+    unlocated = staged.filter(F.col(start_col).isNull() & F.col(stop_col).isNull())
     parts = [
-        make_triples(staged, id_col, F.lit(T.FALDO_LOCATION), "_region", is_literal=False, graph_id=g),
-        make_triples(staged, "_region", F.lit(T.TYPE), F.lit(T.FALDO_REGION), is_literal=False, graph_id=g),
-        make_triples(staged, "_region", F.lit(T.FALDO_BEGIN), "_begin", is_literal=False, graph_id=g),
-        make_triples(staged, "_region", F.lit(T.FALDO_END), "_end", is_literal=False, graph_id=g),
+        make_triples(located, id_col, F.lit(T.FALDO_LOCATION), "_region", is_literal=False, graph_id=g),
+        make_triples(located, "_region", F.lit(T.TYPE), F.lit(T.FALDO_REGION), is_literal=False, graph_id=g),
+        make_triples(located, "_region", F.lit(T.LABEL), "_rid", is_literal=True, graph_id=g),
+        # no location → the feature itself is typed region SO:0000001
+        make_triples(unlocated, id_col, F.lit(T.TYPE), F.lit(T.SO_REGION), is_literal=False, graph_id=g),
     ]
-    for pos, coord in (("_begin", start_col), ("_end", stop_col)):
+    for pos, words, coord in (("_begin", "_begin_w", start_col), ("_end", "_end_w", stop_col)):
+        has = located.filter(F.col(coord).isNotNull())
         parts += [
-            make_triples(staged, pos, F.lit(T.TYPE), F.lit(T.FALDO_EXACT), is_literal=False, graph_id=g),
-            make_triples(staged, pos, F.lit(T.TYPE), "_strand_cls", is_literal=False, graph_id=g),
+            make_triples(has, "_region", F.lit(T.FALDO_BEGIN if pos == "_begin" else T.FALDO_END), pos, is_literal=False, graph_id=g),
+            make_triples(has, pos, F.lit(T.TYPE), "_strand_cls", is_literal=False, graph_id=g),
+            make_triples(has, pos, F.lit(T.LABEL), words, is_literal=True, graph_id=g),
             make_triples(
-                staged.filter(F.col(coord).isNotNull()),
-                pos, F.lit(T.FALDO_POSITION_PROP), F.col(coord).cast("string"),
+                has, pos, F.lit(T.FALDO_POSITION_PROP), F.col(coord).cast("string"),
                 is_literal=True, datatype="xsd:integer", graph_id=g,
             ),
-            make_triples(staged, pos, F.lit(T.FALDO_REFERENCE), chrom_col, is_literal=False, graph_id=g),
+            make_triples(has, pos, F.lit(T.FALDO_REFERENCE), chrom_col, is_literal=False, graph_id=g),
         ]
     if type_col is not None:
         parts.append(make_triples(staged, id_col, F.lit(T.TYPE), type_col, is_literal=False, graph_id=g))

@@ -65,6 +65,8 @@ FALDO_END = "faldo:end"
 FALDO_POSITION_PROP = "faldo:position"
 FALDO_REFERENCE = "faldo:reference"
 FALDO_EXACT = "faldo:ExactPosition"
+FALDO_POSITION_CLS = "faldo:Position"  # generic position (strand unknown)
+SO_REGION = "SO:0000001"  # a located feature with no coordinates IS a region
 FALDO_FORWARD = "faldo:ForwardStrandPosition"
 FALDO_REVERSE = "faldo:ReverseStrandPosition"
 FALDO_BOTH = "faldo:BothStrandsPosition"

@@ -32,6 +32,7 @@ GWAS_HEADER = "\t".join(get_pipeline("gwascatalog").files["catalog"].columns)
 def _gwas_row(snps, trait_uri, pval="1e-8", pmid="123"):
     row = [""] * len(get_pipeline("gwascatalog").files["catalog"].columns)
     cols = get_pipeline("gwascatalog").files["catalog"].columns
+    row[cols.index("STRONGEST SNP-RISK ALLELE")] = snps
     row[cols.index("SNPS")] = snps
     row[cols.index("MAPPED_TRAIT_URI")] = trait_uri
     row[cols.index("P-VALUE")] = pval
@@ -104,17 +105,32 @@ class TestGwas:
     def test_classification(self, graph):
         spo = _spo(graph)
         assert ("dbSNP:rs2440154", "rdf:type", "SO:0000694") in spo
-        assert any(s.startswith(":haplotype_") and o == "GENO:0000871" for s, _, o in spo)
+        # haplotype individual typed SO haplotype (GWASCatalog.py:315-316)
+        assert any(s.startswith(":haplotype_") and o == "SO:0001024" for s, _, o in spo)
         assert any(s.startswith("_:b") and o == "SO:0000694" for s, _, o in spo)
         assert ("GWAS:kgp123", "rdf:type", "SO:0000694") in spo
         # 'rs1 x rs9' unparseable → absent
         assert not any("rs9" in s or "rs9" in o for s, _, o in spo)
+        # unlocated snps are typed region SO:0000001 (GenomicFeature.py:210-212)
+        assert ("dbSNP:rs2440154", "rdf:type", "SO:0000001") in spo
+        assert ("dbSNP:rs2440154", "MONARCH:cliqueLeader", "true") in spo
+        # haplotype membership edges
+        assert any(
+            s.startswith(":haplotype_") and p == "GENO:0000382" and o == "dbSNP:rs1"
+            for s, p, o in spo
+        )
 
-    def test_trait_explode_and_pvalue(self, graph):
+    def test_trait_explode_and_description(self, graph):
         spo = _spo(graph)
-        objs = {o for s, p, o in spo if s == "dbSNP:rs7777" and p == "RO:0002200"}
+        # contributes-to-condition direct edges per exploded trait uri
+        objs = {o for s, p, o in spo if s == "dbSNP:rs7777" and p == "RO:0003304"}
         assert objs == {"http://a/EFO_1", "http://b/EFO_2"}
-        assert any(p == "OBI:0000175" and o == "1e-8" for _, p, o in spo)
+        # the p-value lands in the study description (reference has no
+        # p-value triple; _make_description 563-576)
+        assert any(p == "dc:description" and "(p=1e-8)" in o for _, p, o in spo)
+        # evidence + journal-article typing on the association
+        assert any(p == "RO:0002558" and o == "ECO:0000213" for _, p, o in spo)
+        assert ("PMID:123", "rdf:type", "IAO:0000013") in spo
 
 
 class TestMpd:
