@@ -80,6 +80,14 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         graph = pipe.transform(
             spark, args.raw_dir, limit=args.limit, test_mode=args.test_only
         )
+        # Truncate lineage before fanning out: metadata stats, property-axiom
+        # enrichment, the prefix scan and the sink each re-embed this plan in
+        # a union arm, and for emitter-heavy sources (IMPC's SEPIO star) the
+        # repeated Catalyst analysis of the multiplied tree OOMs the driver.
+        # localCheckpoint resets the logical plan to a scan of the computed
+        # partitions; the durable 100 TB equivalent is a parquet intermediate
+        # (write_graph_parquet) between transform and sink.
+        graph = graph.localCheckpoint(eager=True)
         # dataset metadata graph unioned into the output (U1, Source.py:228-229)
         meta = dataset_metadata_triples(
             spark, graph, f"MONARCH:{name}", title=name, graph_id=name

@@ -132,7 +132,9 @@ class OmimPipeline(SourcePipeline):
                     F.transform("replaced_by", lambda x: F.concat(F.lit("OMIM:"), x)),
                 ),
             )
-            .withColumn("rep1", F.element_at(F.coalesce("rep", F.array()), 1))
+            # F.get (0-based) returns NULL out-of-bounds; element_at raises
+            # under ANSI mode when the replaced-by list is empty
+            .withColumn("rep1", F.get(F.coalesce("rep", F.array()), F.lit(0)))
         )
         return [
             class_triples(live, "omim_curie", "label", graph_id=g),
