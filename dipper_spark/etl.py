@@ -35,7 +35,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         write_rdfxml,
         write_turtle,
     )
-    from dipper_spark.models import dataset_metadata_triples
+    from dipper_spark.models import hcls_dataset_triples
     from dipper_spark.quality import add_property_axioms, default_property_table
     from dipper_spark.session import get_spark
     from dipper_spark.sources import REGISTRY, get_pipeline
@@ -89,8 +89,10 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         # (write_graph_parquet) between transform and sink.
         graph = graph.localCheckpoint(eager=True)
         # dataset metadata graph unioned into the output (U1, Source.py:228-229)
-        meta = dataset_metadata_triples(
-            spark, graph, f"MONARCH:{name}", title=name, graph_id=name
+        # — the full three-level HCLS stanza (summary/version/distribution)
+        meta = hcls_dataset_triples(
+            spark, graph, name, ingest_title=name,
+            distribution_type=args.dest_fmt, graph_id=name,
         )
         if not args.no_axioms:
             graph = add_property_axioms(graph, props)

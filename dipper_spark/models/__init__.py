@@ -34,7 +34,7 @@ from dipper_spark.models.genotype import (
     vslc_triples,
 )
 from dipper_spark.models.sepio import evidence_triples, provenance_triples
-from dipper_spark.models.dataset import dataset_metadata_triples
+from dipper_spark.models.dataset import dataset_metadata_triples, hcls_dataset_triples
 from dipper_spark.models.context import (
     environment_triples,
     environmental_condition_triples,
@@ -51,6 +51,7 @@ __all__ = [
     "reference_triples",
     "d2p_association_triples",
     "dataset_metadata_triples",
+    "hcls_dataset_triples",
     "deprecation_triples",
     "entity_triples",
     "evidence_triples",

@@ -113,3 +113,22 @@ VOID_DISTINCT_SUBJECTS = "void:distinctSubjects"
 VOID_DISTINCT_OBJECTS = "void:distinctObjects"
 VOID_PROPERTIES = "void:properties"
 VOID_DATA_DUMP = "void:dataDump"
+# full HCLS stanza terms (Dataset.py:245-340, GLOBAL_TERMS.yaml:33-77,469-471)
+DC_PUBLISHER_CLS = "dc:Publisher"
+DC_IDENTIFIER = "dc:identifier"
+DC_SOURCE = "dc:source"
+DC_CREATOR = "dc:creator"
+DC_IS_VERSION_OF = "dc:isVersionOf"
+DC_FORMAT = "dc:format"
+DC_LICENSE = "dc:license"
+DC_RIGHTS = "dc:rights"
+PAV_VERSION = "pav:version"
+PAV_CREATED_WITH = "pav:createdWith"
+PAV_RETRIEVED_ON = "pav:retrievedOn"
+DCAT_DISTRIBUTION = "dcat:distribution"
+DCAT_DISTRIBUTION_CLS = "dcat:Distribution"
+DCAT_DOWNLOAD_URL = "dcat:downloadURL"
+SCHEMA_LOGO = "schema:logo"
+OWL_ONTOLOGY = "owl:Ontology"
+OWL_VERSION_IRI = "owl:versionIRI"
+CITES_AS_AUTHORITY = "cito:citesAsAuthority"

@@ -138,3 +138,44 @@ def test_make_triples_dedup_union_stats(spark):
 
     assert graph_equal(t, d)  # set semantics: dup collapse equal
     assert not graph_equal(t, t.limit(1))
+
+
+def test_graphutils_reference_golden(spark):
+    """Ported from /root/reference/tests/test_graph_utils.py + the
+    resources/graphutils fixtures (embedded verbatim): predicate histogram
+    counts (name=1, enemyOf=2) and the two-graph compare (name appears once
+    in each graph)."""
+    from dipper_spark.core.triples import compare_predicate_histograms
+    from dipper_spark.io.turtle_parse import triples_from_turtle
+
+    # resources/graphutils/gu_test_graph.ttl (verbatim)
+    gu1 = (
+        "<http://example.org/#spiderman> "
+        "<http://www.perceive.net/schemas/relationship/enemyOf> "
+        "<http://example.org/#green-goblin> .\n"
+        "<http://example.org/#superman> "
+        "<http://www.perceive.net/schemas/relationship/enemyOf> "
+        "<http://example.org/#lexluther> .\n"
+        '<http://example.org/#spiderman> <http://xmlns.com/foaf/0.1/name> "Spiderman" .\n'
+    )
+    # resources/graphutils/gu_test_graph2.ttl (verbatim, prefixes inlined)
+    gu2 = (
+        '<http://example.org/#spiderman> <http://xmlns.com/foaf/0.1/name> "Spiderman" .\n'
+        "<http://example.org/vocab/show/218> "
+        "<http://www.w3.org/2000/01/rdf-schema#label> "
+        '"That Seventies Show"^^<http://www.w3.org/2001/XMLSchema#string> .\n'
+    )
+    g1 = triples_from_turtle(spark, gu1, graph_id="g1")
+    g2 = triples_from_turtle(spark, gu2, graph_id="g2")
+    # the parse harness contracts IRIs through the curie map: foaf is a
+    # registered prefix, perceive.net is not
+    enemy = "http://www.perceive.net/schemas/relationship/enemyOf"
+    name = "foaf:name"
+    hist = {r.predicate: r.n_triples for r in predicate_histogram(g1).collect()}
+    assert hist[enemy] == 2 and hist[name] == 1
+    cmp = {
+        r.predicate: (r.n_left, r.n_right)
+        for r in compare_predicate_histograms(g1, g2).collect()
+    }
+    assert cmp[enemy] == (2, 0)
+    assert cmp[name] == (1, 1)

@@ -1,0 +1,146 @@
+"""HCLS dataset-metadata goldens, ported from
+/root/reference/tests/test_dataset.py (DatasetTestCase): the three-level
+summary/version/distribution stanza with the reference's exact IRI shapes,
+checked at expanded-IRI level through the engine's curie map.
+
+The reference stamps datetime.today(); here the date is injected
+(today='20200101') so every triple is deterministic — same contract, no
+wall-clock coupling.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipper_spark.core import TRIPLE_SCHEMA
+from dipper_spark.core.curie import CurieMap
+from dipper_spark.models import hcls_dataset_triples
+
+# the reference test's parameters (test_dataset.py:29-46)
+IDENT = "fakeingest"
+VERSION = "19700101"
+TODAY = "20200101"
+TITLE = "this ingest title"
+DESC = "some ingest description"
+URL = "http://fakeingest.com"
+LOGO = "logo.png"
+LICENSE = "https://choosealicense.com/licenses/mit/"
+RIGHTS = "https://www.gnu.org/licenses/gpl-3.0.html"
+
+ARCHIVE = "https://archive.monarchinitiative.org/"
+# expected IRIs (test_dataset.py:63-90)
+SUMMARY = ARCHIVE + "#" + IDENT
+VERSION_IRI = ARCHIVE + VERSION + "/#" + IDENT
+DIST = ARCHIVE + VERSION + "/rdf/" + IDENT + ".ttl"
+MI = "https://monarchinitiative.org/"
+LOGO_IRI = (
+    "https://github.com/monarch-initiative/monarch-ui/blob/master/public/img/sources/"
+    + LOGO
+)
+
+_CM = CurieMap()
+
+
+def _x(term):
+    if "://" in term or ":" not in term:
+        return term
+    return _CM.expand_str(term)
+
+
+@pytest.fixture(scope="module")
+def stanza(spark):
+    tiny = spark.createDataFrame(
+        [("HP:1", "rdfs:label", "x", True, None, None),
+         ("HP:1", "rdf:type", "owl:Class", False, None, None)],
+        TRIPLE_SCHEMA,
+    )
+    df = hcls_dataset_triples(
+        spark, tiny, IDENT,
+        data_release_version=VERSION, today=TODAY,
+        ingest_title=TITLE, ingest_url=URL, ingest_logo=LOGO,
+        ingest_description=DESC, license_url=LICENSE, data_rights=RIGHTS,
+        source_files={
+            "http://somefilesource.org/file.txt": {
+                "retrieved_on": "1970-01-01", "version": "version1234",
+            }
+        },
+        citations=[
+            "http://purl.obolibrary.org/obo/uberon/releases/2016-01-26/uberon.owl"
+        ],
+    )
+    return {
+        (_x(r.subject), _x(r.predicate), r.object if r.is_literal else _x(r.object))
+        for r in df.collect()
+    }
+
+
+# ---- summary level (test_dataset.py:197-250) --------------------------------
+
+def test_summary_level(stanza):
+    dctypes_dataset = "http://purl.org/dc/dcmitype/Dataset"
+    assert (SUMMARY, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", dctypes_dataset) in stanza
+    assert (SUMMARY, "http://purl.org/dc/terms/title", TITLE) in stanza
+    assert (SUMMARY, "http://purl.org/dc/terms/Publisher", MI) in stanza
+    assert (SUMMARY, "http://purl.org/dc/terms/source", URL) in stanza
+    assert (SUMMARY, "http://schema.org/logo", LOGO_IRI) in stanza
+    assert (SUMMARY, "http://purl.org/dc/terms/description", DESC) in stanza
+    # ontology declaration + owl:versionIRI → version level (239-250)
+    assert (SUMMARY, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://www.w3.org/2002/07/owl#Ontology") in stanza
+    assert (SUMMARY, "http://www.w3.org/2002/07/owl#versionIRI", VERSION_IRI) in stanza
+
+
+# ---- version level (test_dataset.py:251-336) --------------------------------
+
+def test_version_level(stanza):
+    assert (VERSION_IRI, "http://purl.org/dc/terms/title",
+            TITLE + " Monarch version " + VERSION) in stanza
+    assert (VERSION_IRI, "http://purl.org/dc/terms/created", TODAY) in stanza
+    assert (VERSION_IRI, "http://purl.org/pav/version", VERSION) in stanza
+    assert (VERSION_IRI, "http://purl.org/dc/terms/creator", MI) in stanza
+    assert (VERSION_IRI, "http://purl.org/dc/terms/Publisher", MI) in stanza
+    assert (VERSION_IRI, "http://purl.org/dc/terms/isVersionOf", SUMMARY) in stanza
+    assert (VERSION_IRI, "http://www.w3.org/ns/dcat#distribution", DIST) in stanza
+
+
+def test_citation_and_source_file_provenance(stanza):
+    """test_set_citation (163-173) + set_ingest_source_file_version_*
+    (174-196)."""
+    cite = "http://purl.obolibrary.org/obo/uberon/releases/2016-01-26/uberon.owl"
+    assert (VERSION_IRI, "http://purl.org/spar/cito/citesAsAuthority", cite) in stanza
+    f = "http://somefilesource.org/file.txt"
+    assert (f, "http://purl.org/pav/retrievedOn", "1970-01-01") in stanza
+    assert (f, "http://purl.org/pav/version", "version1234") in stanza
+
+
+# ---- distribution level (test_dataset.py:337-460) ---------------------------
+
+def test_distribution_level(stanza):
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert (DIST, rdf_type, "http://purl.org/dc/dcmitype/Dataset") in stanza
+    assert (DIST, rdf_type, "http://www.w3.org/ns/dcat#Distribution") in stanza
+    assert (DIST, "http://purl.org/dc/terms/title", TITLE + " distribution ttl") in stanza
+    assert (DIST, "http://purl.org/dc/terms/created", TODAY) in stanza
+    assert (DIST, "http://purl.org/pav/version", VERSION) in stanza
+    assert (DIST, "http://purl.org/dc/terms/creator", MI) in stanza
+    assert (DIST, "http://purl.org/dc/terms/Publisher", MI) in stanza
+    assert (DIST, "http://purl.org/pav/createdWith",
+            "https://github.com/monarch-initiative/dipper") in stanza
+    assert (DIST, "http://purl.org/dc/terms/format", "https://www.w3.org/TR/turtle/") in stanza
+    assert (DIST, "http://www.w3.org/ns/dcat#downloadURL", DIST) in stanza
+    assert (DIST, "http://purl.org/dc/terms/license", LICENSE) in stanza
+    assert (DIST, "http://purl.org/dc/terms/rights", RIGHTS) in stanza
+    # VoID statistics on the distribution node (Dataset.py:123-127)
+    assert (DIST, "http://rdfs.org/ns/void#triples", "2") in stanza
+
+
+def test_default_license_when_unset(spark):
+    """test_distribution_level_no_license_url_default_value (439-447)."""
+    tiny = spark.createDataFrame([("a", "b", "c", True, None, None)], TRIPLE_SCHEMA)
+    df = hcls_dataset_triples(
+        spark, tiny, IDENT, data_release_version=VERSION, today=TODAY,
+    )
+    lic = [
+        r.object for r in df.collect()
+        if r.subject.endswith(".ttl") and r.predicate == "dc:license"
+    ]
+    assert lic == ["https://project-open-data.cio.gov/unknown-license/"]

@@ -346,5 +346,6 @@ def test_etl_sweep(spark, tmp_path, name):
     assert len(triples) == EXPECTED_COUNTS[name], (
         f"{name}: {len(triples)} triples, pinned {EXPECTED_COUNTS[name]}"
     )
-    # dataset metadata stanza present in every source output
-    assert any(t["subject"] == f"MONARCH:{name}" for t in triples)
+    # HCLS dataset metadata stanza present in every source output (summary
+    # level node, Dataset.py:245-263)
+    assert any(t["subject"] == f"MonarchArchive:#{name}" for t in triples)
