@@ -69,6 +69,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     for name in names:
         timings: dict[str, float] = {}
         pipe = get_pipeline(name)
+        source_files: dict | None = None
         if args.fetch:
             t_f = time.time()
             staged = pipe.fetch(
@@ -76,6 +77,21 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
             )
             timings["fetch"] = round(time.time() - t_f, 3)
             LOG.info("%s: staged %s", name, staged)
+            # staged-file provenance for the dataset stanza: file IRI →
+            # retrieval date (version-level dc:source + pav:retrievedOn,
+            # Dataset.py:77-84)
+            import datetime
+            import os as _os
+
+            source_files = {}
+            for contract in pipe.files.values():
+                local = f"{args.raw_dir.rstrip('/')}/{contract.file}"
+                if contract.url and _os.path.exists(local):
+                    source_files[contract.url] = {
+                        "retrieved_on": datetime.date.fromtimestamp(
+                            _os.path.getmtime(local)
+                        ).isoformat()
+                    }
         t0 = time.time()
         graph = pipe.transform(
             spark, args.raw_dir, limit=args.limit, test_mode=args.test_only
@@ -92,7 +108,8 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         # — the full three-level HCLS stanza (summary/version/distribution)
         meta = hcls_dataset_triples(
             spark, graph, name, ingest_title=name,
-            distribution_type=args.dest_fmt, graph_id=name,
+            distribution_type=args.dest_fmt, source_files=source_files,
+            graph_id=name,
         )
         if not args.no_axioms:
             graph = add_property_axioms(graph, props)

@@ -175,8 +175,10 @@ def hcls_dataset_triples(
         rows.append(t(dist, T.DESCRIPTION, ingest_description, True))
     if data_rights:
         rows.append(t(dist, T.DC_RIGHTS, data_rights))
-    # per-source-file provenance (set_ingest_source_file_version_* 341-400)
+    # per-source-file provenance (Dataset.py:77-84 version-level dc:source
+    # edges; set_ingest_source_file_version_* 341-400)
     for file_iri, meta in (source_files or {}).items():
+        rows.append(t(version_lv, T.DC_SOURCE, file_iri))
         if meta.get("retrieved_on"):
             rows.append(t(file_iri, T.PAV_RETRIEVED_ON, meta["retrieved_on"], True, "xsd:date"))
         if meta.get("version"):

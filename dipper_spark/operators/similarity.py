@@ -224,6 +224,12 @@ def kmeans_centroids(
             )
         )
         centroids = means.select(F.col("bucket").alias("vec_id"), "embedding")
+        # Truncate lineage each iteration: the centroid frame is tiny
+        # (n_centroids rows) but its lazy plan embeds every previous
+        # assignment pass — without this, iteration k re-executes iterations
+        # 1..k-1 and the plan grows superlinearly.  The standard iterative-
+        # algorithm pattern (MLlib checkpoints the same way).
+        centroids = centroids.localCheckpoint(eager=False)
     return centroids
 
 

@@ -108,6 +108,8 @@ def test_citation_and_source_file_provenance(stanza):
     cite = "http://purl.obolibrary.org/obo/uberon/releases/2016-01-26/uberon.owl"
     assert (VERSION_IRI, "http://purl.org/spar/cito/citesAsAuthority", cite) in stanza
     f = "http://somefilesource.org/file.txt"
+    # version level links each ingest source file (Dataset.py:77-84)
+    assert (VERSION_IRI, "http://purl.org/dc/terms/source", f) in stanza
     assert (f, "http://purl.org/pav/retrievedOn", "1970-01-01") in stanza
     assert (f, "http://purl.org/pav/version", "version1234") in stanza
 
