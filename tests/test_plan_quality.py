@@ -90,6 +90,13 @@ class TestJoinStrategies:
         plan = plan_of(QUERIES["q_ann_ivf"](spark, sf))
         assert "CartesianProduct" not in plan
 
+    def test_refined_ivf_probe_join_is_bucketed(self, spark, sf):
+        # the production path (Lloyd + nprobe) keeps the same discipline:
+        # the final probe is an equi-join on the bucket id, and the
+        # per-iteration lineage truncation leaves no cartesian anywhere
+        plan = plan_of(QUERIES["q_ann_ivf_refined"](spark, sf))
+        assert "CartesianProduct" not in plan
+
     def test_cosine_topk_is_deliberate_broadcast_product(self, spark, sf):
         # brute-force ANN is an intentional broadcast nested-loop (queries
         # side is tiny); the corpus side must NOT be the broadcast side
