@@ -34,6 +34,7 @@ HEADLINE = [
     # LLM-pipeline operators
     "q_doc_fingerprint",
     "q_dedup_exact",
+    "q_decontaminate",
     "q_minhash_lsh",
     "q_simhash_pairs",
     "q_cosine_topk",

@@ -305,3 +305,51 @@ def simhash_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataF
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Train/test decontamination: flag training documents that share word
+    n-gram shingles with a benchmark/eval corpus.
+
+    Beyond-reference operator (the standard pretraining-data hygiene sweep:
+    benchmark n-grams appearing verbatim in training text).  Shape:
+
+    1. the benchmark's distinct shingles form a **broadcast dim** — eval
+       suites are tiny relative to a 100 TB training corpus, so the overlap
+       test is a map-side semi-join; the corpus is scanned once, no
+       corpus-side shuffle of text;
+    2. per-document hit accounting is a groupBy on the doc id over the
+       matched (doc, shingle) rows only — cost scales with contamination,
+       not corpus size.
+
+    Returns (id, n_hits, n_shingles, hit_frac) for documents with at least
+    ``min_hits`` matching shingles, ordered nowhere (callers sort).  ``n=8``
+    word-grams is the common published decontamination granularity; lower it
+    for aggressive matching.
+    """
+    bench = (
+        benchmark.select(F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("shingle"))
+        .distinct()
+    )
+    doc_shingles = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("shingle"),
+    )
+    totals = doc_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_shingles.join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    return hits.join(totals, "id").select(
+        "id", "n_hits", "n_shingles",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
+    )

@@ -26,6 +26,7 @@ from dipper_spark.functions.text import (
 )
 from dipper_spark.functions.vectors import duckdb_cosine
 from dipper_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -321,6 +322,40 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern): cosine >= 0.3 within blocks."""
     emb = load_table(spark, sf_dir, "embeddings")
     return blocked_neardup(emb, "label", threshold=0.3)
+
+
+_DECON_N = 3
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest(list_distinct({_shingles_sql(TOK, _DECON_N)})) AS shingle
+      FROM documents WHERE doc_id % 50 = 0),
+    ds AS (
+      SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(TOK, _DECON_N)})) AS shingle
+      FROM documents WHERE doc_id % 50 != 0),
+    totals AS (SELECT id, count(*) AS n_shingles FROM ds GROUP BY id),
+    hits AS (SELECT id, count(*) AS n_hits FROM ds JOIN bench USING (shingle) GROUP BY id)
+    SELECT h.id AS id, CAST(h.n_hits AS BIGINT) AS n_hits,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           round(h.n_hits / CAST(t.n_shingles AS DOUBLE), 6) AS hit_frac
+    FROM hits h JOIN totals t USING (id)
+    WHERE h.n_hits >= 1
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination sweep: every 50th document plays the
+    benchmark; training docs sharing any word 3-gram with it are flagged
+    with hit counts.  The benchmark shingle set is a broadcast dim — the
+    corpus is scanned once, map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        "doc_id", "text", n=_DECON_N,
+    )
 
 
 _COS_QC = duckdb_cosine("q.embedding", "c.embedding")

@@ -326,3 +326,43 @@ class TestArrowCosine:
         a = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk(q, emb, k=3).collect()}
         b = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk_arrow(q, emb, k=3).collect()}
         assert a == b
+
+
+class TestDecontaminate:
+    def test_benchmark_overlap_flags_and_fractions(self, spark):
+        from dipper_spark.operators.dedup import decontaminate
+
+        docs = spark.createDataFrame(
+            [
+                # 4 distinct 3-gram shingles; shares 'c d e'+'d e f' with bench
+                (1, "a b c d e f"),
+                # no overlap
+                (2, "x y z w v"),
+                # exact benchmark copy → every shingle hits
+                (3, "c d e f g"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(100, "c d e f g")], ["doc_id", "text"])
+        got = {
+            r.id: (r.n_hits, r.n_shingles, r.hit_frac)
+            for r in decontaminate(docs, bench, "doc_id", "text", n=3).collect()
+        }
+        # doc 1: shingles {a b c, b c d, c d e, d e f}; bench has
+        # {c d e, d e f, e f g} → 2 hits of 4
+        assert got[1] == (2, 4, 0.5)
+        # doc 3 is a verbatim benchmark copy: all 3 shingles hit
+        assert got[3] == (3, 3, 1.0)
+        # doc 2 clean → absent
+        assert 2 not in got
+
+    def test_plan_is_broadcast_semi_side(self, spark):
+        """The benchmark side must broadcast — the corpus never shuffles its
+        text for the overlap test."""
+        from dipper_spark.operators.dedup import decontaminate
+
+        docs = spark.range(100).selectExpr("id AS doc_id", "'a b c d' AS text")
+        bench = spark.range(2).selectExpr("id AS doc_id", "'a b c d' AS text")
+        plan = decontaminate(docs, bench, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
