@@ -35,9 +35,12 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_dedup_exact",
     "q_decontaminate",
+    "q_jaccard_pruned",
     "q_minhash_lsh",
+    "q_simhash",
     "q_simhash_pairs",
     "q_cosine_topk",
+    "q_cosine_topk_arrow",
     "q_ann_ivf",
     "q_ann_ivf_refined",
     "q_embedding_neardup",

@@ -325,9 +325,11 @@ def decontaminate(
        suites are tiny relative to a 100 TB training corpus, so the overlap
        test is a map-side semi-join; the corpus is scanned once, no
        corpus-side shuffle of text;
-    2. per-document hit accounting is a groupBy on the doc id over the
-       matched (doc, shingle) rows only — cost scales with contamination,
-       not corpus size.
+    2. the per-document shingle total is computed **map-side** on the
+       un-exploded row (``F.size`` of the distinct shingle array) and rides
+       along through the explode, so the only shuffle is the hit-count
+       groupBy over the matched (doc, shingle) rows — that aggregation's
+       cost scales with contamination, not corpus size.
 
     Returns (id, n_hits, n_shingles, hit_frac) for documents with at least
     ``min_hits`` matching shingles, ordered nowhere (callers sort).  ``n=8``
@@ -338,18 +340,27 @@ def decontaminate(
         benchmark.select(F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("shingle"))
         .distinct()
     )
-    doc_shingles = ensure_parallelism(docs).select(
+    staged = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("shingle"),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("_shingles"),
     )
-    totals = doc_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        doc_shingles.join(F.broadcast(bench), "shingle")
+    return (
+        staged.select(
+            "id",
+            F.size("_shingles").alias("n_shingles"),
+            F.explode("_shingles").alias("shingle"),
+        )
+        .join(F.broadcast(bench), "shingle")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            # constant within a doc — carried through the explode instead of
+            # re-aggregated from a second scan branch
+            F.first("n_shingles").alias("n_shingles"),
+        )
         .filter(F.col("n_hits") >= min_hits)
-    )
-    return hits.join(totals, "id").select(
-        "id", "n_hits", "n_shingles",
-        F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
+        .select(
+            "id", "n_hits", "n_shingles",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
+        )
     )

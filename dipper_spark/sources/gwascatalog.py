@@ -236,7 +236,11 @@ class GwasCatalogPipeline(SourcePipeline):
         curie, vtype = classify_variant("STRONGEST SNP-RISK ALLELE")
         rows = (
             df.select(
-                F.trim(F.regexp_replace("STRONGEST SNP-RISK ALLELE", " -", "-")).alias("strongest"),
+                # stripped-but-unscrubbed value (GWASCatalog.py:204-205) —
+                # the ' -'→'-' scrub happens only on a copy inside
+                # _get_curie_and_type_from_id (GWASCatalog.py:593-595); labels
+                # use the raw string. classify_variant scrubs internally.
+                F.trim("STRONGEST SNP-RISK ALLELE").alias("strongest"),
                 curie.alias("variant_id"),
                 vtype.alias("variant_type"),
                 F.trim("CHR_ID").alias("chrom"),
@@ -352,16 +356,18 @@ class GwasCatalogPipeline(SourcePipeline):
         members = members.withColumn(
             "snp_id",
             # unclassifiable member → labeled digest bnode (GWASCatalog.py:333-339)
-            F.coalesce(m_curie, make_id(F.trim("snp_label"), prefix="_")),
+            # digest over the RAW split member (make_id(snp, '_'), no strip)
+            F.coalesce(m_curie, make_id(F.col("snp_label"), prefix="_")),
         ).withColumn("_mtype", m_type)
         parts.append(
             make_triples(members, "variant_id", F.lit(T.HAS_VARIANT_PART), "snp_id", graph_id=g)
         )
-        # bnode members carry their raw label
+        # bnode members carry their raw label (addLabel(snp_curie, snp) —
+        # GWASCatalog.py:338-339,384 — no strip)
         bnode_members = members.filter(F.col("_mtype").isNull() | F.col("snp_id").startswith("_"))
         parts.append(
             make_triples(
-                bnode_members, "snp_id", F.lit(T.LABEL), F.trim("snp_label"),
+                bnode_members, "snp_id", F.lit(T.LABEL), F.col("snp_label"),
                 is_literal=True, graph_id=g,
             )
         )
@@ -431,7 +437,9 @@ class GwasCatalogPipeline(SourcePipeline):
                 "variant_id", "pmid", "disease_trait", "initial_sample",
                 "replicate_sample", "platform", "pvalue",
                 F.trim("trait_iri").alias("trait_iri"),
-                F.trim(F.coalesce(F.col("_labels")[F.col("idx")], F.lit(""))).alias("trait_label"),
+                # F.get: NULL (not ANSI INVALID_ARRAY_INDEX) when MAPPED_TRAIT
+                # splits into fewer entries than MAPPED_TRAIT_URI
+                F.trim(F.coalesce(F.get("_labels", F.col("idx")), F.lit(""))).alias("trait_label"),
             )
             .filter(F.col("trait_iri") != "")
             .withColumn(

@@ -282,12 +282,28 @@ class ZfinPipeline(SourcePipeline):
             F.max_by("gene_symbol", "gene_id").alias("gene_symbol"),
             # descending sort: real allele ids before the '?'/'0' sentinels
             F.reverse(F.array_sort(F.flatten(F.collect_list("parts")))).alias("alleles"),
-            F.map_from_entries(
-                F.collect_set(F.struct("allele_id", "allele_name"))
-            ).alias("allele_label"),
+            # reverse-sorted (id, name) entries; first entry per id = max name,
+            # so duplicate ids with divergent spellings can't raise
+            # DUPLICATE_MAP_KEY when folded to a map below
+            F.reverse(
+                F.array_sort(F.collect_set(F.struct("allele_id", "allele_name")))
+            ).alias("_label_entries"),
         )
-        a1 = F.col("alleles")[0]
-        a2 = F.element_at("alleles", 2)  # null when simple het
+        per_locus = per_locus.withColumn(
+            "allele_label",
+            F.map_from_entries(
+                F.filter(
+                    "_label_entries",
+                    lambda e, i: (i == 0)
+                    | (F.get(F.col("_label_entries"), i - 1)["allele_id"] != e["allele_id"]),
+                )
+            ),
+        ).drop("_label_entries")
+        # F.get: 0-based, NULL out-of-bounds — a 1-element array (simple het)
+        # must yield NULL, not the ANSI INVALID_ARRAY_INDEX error element_at
+        # raises (pyspark 4 defaults ANSI on)
+        a1 = F.get("alleles", F.lit(0))
+        a2 = F.get("alleles", F.lit(1))  # null when simple het
         classified = per_locus.select(
             "genotype_curie", "zfin_name", "gene_id", "gene_symbol",
             a1.alias("allele1"),

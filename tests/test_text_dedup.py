@@ -366,3 +366,9 @@ class TestDecontaminate:
         plan = decontaminate(docs, bench, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+        # n_shingles is computed map-side (F.size on the un-exploded array)
+        # and carried through the explode: exactly ONE corpus-side shuffle
+        # (the hit-count groupBy) and no totals join
+        assert plan.count("SortMergeJoin") == 0
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 1, f"expected a single corpus shuffle, plan:\n{plan}"

@@ -144,6 +144,17 @@ BACKGROUNDS_GOLDEN = (
     "ZDB-GENO-070228-3\tshha<sup>tbx392/tbx392</sup>\tZDB-GENO-960809-7\tAB\n"
 )
 
+# synthetic simple-heterozygous row: the (genotype, locus) group holds a
+# single allele, so the alleles array has one element — exercises the
+# wild-type '+' branch (ZFIN.py:1024-1026), which under pyspark 4's
+# default-on ANSI mode would crash with INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+# if the second allele were read with element_at instead of F.get
+GENO_HET = (
+    "ZDB-GENO-100-1\tfoo<sup>m1/+</sup>\tfoo-m1-het\t"
+    "ZDB-ALT-100-1\tm1\tm1\tpoint_mutation\tPoint Mutation\t"
+    "foo\tZDB-GENE-100-1\theterozygous\n"
+)
+
 
 @pytest.fixture(scope="module")
 def golden_dir(tmp_path_factory):
@@ -218,6 +229,57 @@ def test_golden_genotype_label(spark, golden_dir):
         ).hexdigest()[1:20]
     )
     assert row[0].vslc_ids == [expected_vslc]
+
+
+def test_heterozygous_single_allele_locus(spark, tmp_path):
+    """Simple-het genotype (one allele per locus): no ANSI crash; implied
+    wild-type partner 'WT'/'+' and GENO simple-heterozygous zygosity
+    (ZFIN.py:988-1000, 1024-1026)."""
+    import hashlib
+
+    src = get_pipeline("zfin")
+    (tmp_path / src.files["geno"].file).write_text(GENO_HET)
+    # a background row for a different genotype → the left join misses
+    (tmp_path / src.files["backgrounds"].file).write_text(BACKGROUNDS_GOLDEN)
+    rows = (
+        src.genotype_labels(spark, str(tmp_path))
+        .filter(F.col("genotype_curie") == "ZFIN:ZDB-GENO-100-1")
+        .collect()
+    )
+    assert len(rows) == 1
+    assert rows[0].zygosities == ["GENO:0000458"]  # simple heterozygous
+    assert rows[0].vslc_labels == ["foo<m1>/foo<+>"]
+    expected_vslc = (
+        "_:b"
+        + hashlib.sha1(b"ZDB-GENE-100-1-ZDB-ALT-100-1-WT").hexdigest()[1:20]
+    )
+    assert rows[0].vslc_ids == [expected_vslc]
+    # no backgrounds row → 'unspecified background' label path
+    assert rows[0].genotype_label == "foo<sup>m1/+</sup> (unspecified background)"
+
+
+def test_duplicate_allele_name_spellings_no_crash(spark, tmp_path):
+    """Same allele id with two Allele Name spellings in one (genotype,
+    locus) group must pick one label deterministically (the max), not raise
+    DUPLICATE_MAP_KEY (default spark.sql.mapKeyDedupPolicy=EXCEPTION)."""
+    src = get_pipeline("zfin")
+    dup = (
+        "ZDB-GENO-200-1\tbar<sup>m2/m2</sup>\tbar-m2\t"
+        "ZDB-ALT-200-1\tm2alpha\tm2\tpoint_mutation\tPoint Mutation\t"
+        "bar\tZDB-GENE-200-1\thomozygous\n"
+        "ZDB-GENO-200-1\tbar<sup>m2/m2</sup>\tbar-m2\t"
+        "ZDB-ALT-200-1\tm2beta\tm2\tpoint_mutation\tPoint Mutation\t"
+        "bar\tZDB-GENE-200-1\thomozygous\n"
+    )
+    (tmp_path / src.files["geno"].file).write_text(dup)
+    (tmp_path / src.files["backgrounds"].file).write_text(BACKGROUNDS_GOLDEN)
+    rows = (
+        src.genotype_labels(spark, str(tmp_path))
+        .filter(F.col("genotype_curie") == "ZFIN:ZDB-GENO-200-1")
+        .collect()
+    )
+    assert len(rows) == 1
+    assert rows[0].vslc_labels == ["bar<m2beta>/bar<m2beta>"]
 
 
 def test_golden_genotype_triples_in_transform(spark, golden_dir):
