@@ -24,7 +24,7 @@ from pyspark.sql.functions import broadcast
 
 from dipper_spark.core import make_triples, union_graphs
 from dipper_spark.models import class_triples, feature_triples, g2p_association_triples
-from dipper_spark.models.assoc import association_triples
+from dipper_spark.models.assoc import association_triples, with_assoc_id
 from dipper_spark.models import terms as T
 from dipper_spark.sources.base import FileContract, SourcePipeline, register
 
@@ -48,11 +48,22 @@ ZYGOSITY = {
     "Hemizygous Y-linked": "GENO:0000134",
     "Indeterminate": "GENO:0000137",
 }
-#: MGI evidence codes → ECO (evidence_view probe)
+#: MGI evidence codes → ECO (translationtable/mgi.yaml:3-20 composed with
+#: GLOBAL_TERMS — the reference-exact table; notably EXP → ECO:0000006
+#: 'experimental evidence', not the GO-style ECO:0000269)
 EVIDENCE_ECO = {
-    "EXP": "ECO:0000269", "IMP": "ECO:0000315", "IGI": "ECO:0000316",
-    "IDA": "ECO:0000314", "TAS": "ECO:0000304", "IEA": "ECO:0000501",
+    "EXP": "ECO:0000006", "IBA": "ECO:0000318", "IC": "ECO:0000001",
+    "IDA": "ECO:0000314", "IEA": "ECO:0000501", "IEP": "ECO:0000008",
+    "IGI": "ECO:0000316", "IKR": "ECO:0000320", "IMP": "ECO:0000315",
+    "IPI": "ECO:0000353", "ISA": "ECO:0000200", "ISM": "ECO:0000202",
+    "ISO": "ECO:0000201", "ISS": "ECO:0000250", "NAS": "ECO:0000303",
+    "ND": "ECO:0000035", "RCA": "ECO:0000245", "TAS": "ECO:0000304",
 }
+#: MP-Sex-Specificity qualifier values (mgi.yaml:22-23 ∘ GLOBAL_TERMS)
+SEX_SPECIFICITY = {"M": "PATO:0000384", "F": "PATO:0000383"}
+#: Model._addSexSpecificity's bespoke predicate (GLOBAL_TERMS.yaml:18)
+HAS_SEX_SPECIFICITY = ":has_sex_specificity"
+DOCUMENT = "IAO:0000310"  # Reference.addRefToGraph default ref type
 DO_NOT_QUALIFIER_KEY = "1614157"  # MGI.py:1234-1236 'skip NOT annotations'
 
 
@@ -164,6 +175,44 @@ class MgiPipeline(SourcePipeline):
                 F.col("_object_key").alias("_refs_key"),
                 F.concat(F.lit("MGI:"), F.col("accid")).alias("pub_id"),
             )
+        )
+
+    def evidence_view_triples(
+        self, spark: SparkSession, raw_dir: str, annot_assoc: DataFrame
+    ) -> DataFrame:
+        """``_process_evidence_view`` standalone (MGI.py:1288-1370): given
+        the annot-key→association-id mapping (the reference's
+        ``idhash['annot']``), each evidence row emits
+
+        - assoc RO:0002558 <ECO id>          (has evidence)
+        - assoc dc:source  <J number>        (raw jnumid, reference-exact)
+        - <J number> rdf:type IAO:0000310    (Reference.addRefToGraph)
+        - assoc :has_sex_specificity PATO:0000384|383 when the
+          MP-Sex-Specificity qualifier is M/F (Model._addSexSpecificity)
+        """
+        g = self.name
+        eco = F.coalesce(
+            *[F.when(F.col("evidencecode") == k, F.lit(v)) for k, v in EVIDENCE_ECO.items()]
+        )
+        rows = (
+            self._read(spark, raw_dir, "evidence_view")
+            .join(broadcast(annot_assoc), "_annot_key", "inner")
+            .withColumn("eco_id", eco)
+        )
+        sex = rows.filter(
+            (F.col("term") == "MP-Sex-Specificity") & F.col("value").isin("M", "F")
+        ).withColumn(
+            "sex", F.when(F.col("value") == "M", F.lit(SEX_SPECIFICITY["M"]))
+            .otherwise(F.lit(SEX_SPECIFICITY["F"]))
+        )
+        return union_graphs(
+            make_triples(
+                rows.filter(F.col("eco_id").isNotNull()),
+                "assoc_id", F.lit(T.HAS_EVIDENCE), "eco_id", graph_id=g,
+            ),
+            make_triples(rows, "assoc_id", F.lit(T.SOURCE), "jnumid", graph_id=g),
+            make_triples(rows, "jnumid", F.lit(T.TYPE), F.lit(DOCUMENT), graph_id=g),
+            make_triples(sex, "assoc_id", F.lit(HAS_SEX_SPECIFICITY), "sex", graph_id=g),
         )
 
     # ---- probe passes ----------------------------------------------------
@@ -282,6 +331,23 @@ class MgiPipeline(SourcePipeline):
             (F.col("annottype") == "DO/Genotype")
             & (F.col("_qualifier_key") != DO_NOT_QUALIFIER_KEY)
         ).withColumn("predicate", F.lit(IS_MODEL_OF))
+        # MP-Sex-Specificity qualifiers decorate the computed assoc node
+        # (MGI.py:1365-1367) — same digest as g2p_association_triples
+        sex_per_annot = (
+            self._read(spark, raw_dir, "evidence_view")
+            .filter((F.col("term") == "MP-Sex-Specificity") & F.col("value").isin("M", "F"))
+            .groupBy("_annot_key")
+            .agg(F.max("value").alias("_sexval"))
+            .withColumn(
+                "sex",
+                F.when(F.col("_sexval") == "M", F.lit(SEX_SPECIFICITY["M"]))
+                .otherwise(F.lit(SEX_SPECIFICITY["F"])),
+            )
+        )
+        mp_sex = with_assoc_id(
+            mp.join(broadcast(sex_per_annot), "_annot_key", "inner"),
+            "genotype_id", "predicate", "accid",
+        )
         annot_triples = union_graphs(
             g2p_association_triples(
                 mp, "genotype_id", "accid", "predicate",
@@ -291,6 +357,9 @@ class MgiPipeline(SourcePipeline):
             association_triples(
                 do, "genotype_id", "predicate", "accid",
                 evidence_col="evidence", source_col="sources", graph_id=g,
+            ),
+            make_triples(
+                mp_sex, "assoc_id", F.lit(HAS_SEX_SPECIFICITY), "sex", graph_id=g
             ),
         )
 

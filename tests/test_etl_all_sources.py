@@ -204,7 +204,10 @@ FIXTURE_WRITERS = {
     "animalqtldb": lambda d: _gz_enc(d / "QTL_chicken.gff.txt.gz", aqtl.GFF),
     "bgee": lambda d: _gz(d / "human_anat_entity_all_data.tsv.gz", m3.BGEE_FIXTURE),
     "biogrid": lambda d: (d / "BIOGRID-ALL.mitab.txt").write_text(biogrid.MITAB),
-    "clinvar": lambda d: (d / "ClinVarFullRelease_00-latest.xml").write_text(clinvar.CLINVAR_XML),
+    "clinvar": lambda d: (
+        (d / "ClinVarFullRelease_00-latest.xml").write_text(clinvar.CLINVAR_XML),
+        (d / "gene_condition_source_id").write_text(clinvar.G2P),
+    ),
     "coriell": lambda d: (d / "NIGMS.csv").write_bytes(coriell.CSV.encode("iso-8859-1")),
     "ctd": lambda d: _gz(d / "CTD_chemicals_diseases.tsv.gz", srcs.CTD_FIXTURE),
     "decipher": _w_decipher,

@@ -1,4 +1,13 @@
-"""UCSC band rollup: ancestor expansion, extent min/max, typing, FALDO."""
+"""UCSC band rollup: ancestor expansion, extent min/max, typing, FALDO.
+
+Golden adjudication: the reference's own test
+(/root/reference/tests/test_ucscbands.py) is an assertion-free
+SourceTestCase shell — it ships NO fixtures and NO expected graph, so there
+is no reference golden to port.  The pinned expectations below are instead
+hand-traced from UCSCBands.py (_get_chrbands 271-520: placed-scaffold
+regex, grouping-band ancestor expansion, extent min/max rollup, the
+band-type elif ladder 430-460) with file:line citations at each assert —
+the strongest available parity check for this source."""
 
 import gzip
 
