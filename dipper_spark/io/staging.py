@@ -101,6 +101,101 @@ def fetch_from_url(
     return True
 
 
+def split_xml_stanzas(
+    src: str,
+    row_tag: str,
+    *,
+    stanzas_per_chunk: int = 5000,
+    out_dir: str | None = None,
+) -> list[str]:
+    """Chunk one (possibly gzipped) XML release into N stanza-aligned gzip
+    files so the cluster scan parallelizes.
+
+    The reference streams the whole release single-threaded
+    (ClinVar.py:824-848 iterparse over one ~1.5 GB xml.gz); a Spark scan of
+    an unsplittable gzip has the same one-task bound.  This S1 step splits
+    the stream at ``</row_tag>`` boundaries — each chunk gets the original
+    document header (XML decl + root open tag), a run of whole stanzas, and
+    a synthesized root close — so ``read_xml_stanzas`` sees k independent
+    well-formed files and runs k tasks with identical stanza content.
+
+    Chunks land in ``<src>.split/part-NNNNN.xml.gz`` (the original file is
+    left untouched, so freshness checks against the remote keep working);
+    ``expand_split_inputs`` routes readers to the chunks when present.
+    Driver-side streaming with bounded memory (one buffered block + the
+    current stanza run).
+    """
+    import gzip
+    import re
+
+    out_dir = out_dir or src + ".split"
+    os.makedirs(out_dir, exist_ok=True)
+    opener = gzip.open if src.endswith(".gz") else open
+    close_tag = f"</{row_tag}>"
+    open_re = re.compile(rf"<{re.escape(row_tag)}[\s>/]")
+    chunk_paths: list[str] = []
+    header: str | None = None
+    root_close = ""
+    stanzas: list[str] = []
+
+    def _flush() -> None:
+        nonlocal stanzas
+        if not stanzas:
+            return
+        path = os.path.join(out_dir, f"part-{len(chunk_paths):05d}.xml.gz")
+        with gzip.open(path, "wt", encoding="utf-8") as out:
+            out.write(header)
+            out.writelines(stanzas)
+            out.write(root_close)
+        chunk_paths.append(path)
+        stanzas = []
+
+    with opener(src, "rt", encoding="utf-8", errors="replace") as fh:
+        buf = ""
+        while True:
+            block = fh.read(1 << 20)
+            if not block:
+                break
+            buf += block
+            if header is None:
+                m = open_re.search(buf)
+                if m is None:
+                    continue  # still inside the document header
+                header = buf[: m.start()]
+                roots = re.findall(r"<([A-Za-z_][\w.:-]*)[\s>]", header)
+                root_close = f"\n</{roots[-1]}>\n" if roots else ""
+                buf = buf[m.start():]
+            while True:
+                pos = buf.find(close_tag)
+                if pos < 0:
+                    break
+                end = pos + len(close_tag)
+                stanzas.append(buf[:end])
+                buf = buf[end:]
+                if len(stanzas) >= stanzas_per_chunk:
+                    _flush()
+    _flush()
+    return chunk_paths
+
+
+def expand_split_inputs(paths: list[str]) -> list[str]:
+    """For each input file, prefer its ``<path>.split/part-*`` chunks when a
+    split directory exists (written by ``split_xml_stanzas``)."""
+    import glob as _glob
+
+    out: list[str] = []
+    for p in paths:
+        d = p + ".split"
+        if os.path.isdir(d):
+            parts = sorted(_glob.glob(os.path.join(d, "part-*")))
+            out.extend(parts or [p])
+        elif os.path.isdir(p):
+            continue  # a sibling .split dir matched by the caller's glob
+        else:
+            out.append(p)
+    return out
+
+
 def stage_files(
     pipeline,
     raw_dir: str,
@@ -121,16 +216,34 @@ def stage_files(
             cached = f"{cache_base.rstrip('/')}/{pipeline.name}/{contract.file}"
             if fetch_from_url(cached, local, is_dl_forced):
                 report[key] = "cache"
+                _maybe_split(local, contract, fresh=True)
                 continue
         if not contract.url:
             report[key] = "existing" if os.path.exists(local) else "missing"
+            if report[key] == "existing":
+                _maybe_split(local, contract, fresh=False)
             continue
         if os.path.exists(local) and not is_dl_forced:
             probe = check_if_remote_is_newer(contract.url, local)
             if probe is not True:
                 report[key] = "existing"
+                _maybe_split(local, contract, fresh=False)
                 continue
         report[key] = (
             "origin" if fetch_from_url(contract.url, local, is_dl_forced) else "missing"
         )
+        if report[key] == "origin":
+            _maybe_split(local, contract, fresh=True)
     return report
+
+
+def _maybe_split(local: str, contract, *, fresh: bool) -> None:
+    """Post-stage stanza split for contracts that declare ``split_tag``:
+    re-split after every fresh download; reuse an existing split dir for an
+    unchanged local file."""
+    split_tag = getattr(contract, "split_tag", None)
+    if not split_tag or not os.path.exists(local):
+        return
+    if not fresh and os.path.isdir(local + ".split"):
+        return
+    split_xml_stanzas(local, split_tag, stanzas_per_chunk=contract.split_stanzas)

@@ -29,6 +29,11 @@ class FileContract:
     file: str
     url: str | None = None
     columns: list[str] = field(default_factory=list)
+    #: row-tag for giant single-file XML releases: staging splits the
+    #: download at this stanza boundary so the scan parallelizes
+    #: (io.staging.split_xml_stanzas)
+    split_tag: str | None = None
+    split_stanzas: int = 5000
 
 
 class SourcePipeline:

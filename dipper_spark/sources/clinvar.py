@@ -520,6 +520,9 @@ class ClinVarPipeline(SourcePipeline):
         "release": FileContract(
             file="ClinVarFullRelease*.xml*",
             url="ftp://ftp.ncbi.nlm.nih.gov/pub/clinvar/xml/",
+            # the real release is ONE ~1.5 GB xml.gz — staging splits it at
+            # ClinVarSet boundaries so the scan runs one task per chunk
+            split_tag="ClinVarSet",
         ),
         "g2p": FileContract(
             file="gene_condition_source_id",
@@ -531,8 +534,9 @@ class ClinVarPipeline(SourcePipeline):
         import glob
 
         from dipper_spark.io import read_xml_stanzas
+        from dipper_spark.io.staging import expand_split_inputs
 
-        paths = sorted(glob.glob(self.path(raw_dir, "release")))
+        paths = expand_split_inputs(sorted(glob.glob(self.path(raw_dir, "release"))))
         return read_xml_stanzas(spark, paths, "ClinVarSet", parse_clinvarset, RECORD_SCHEMA)
 
     def g2p_map(self, spark: SparkSession, raw_dir: str) -> DataFrame | None:

@@ -139,3 +139,130 @@ class TestEtlFetchEndToEnd:
             if name.startswith("part-"):
                 lines += open(f"{out}/ctd.nt/{name}").read().splitlines()
         assert any("RO_0002606" in ln and "188890" in ln for ln in lines)
+
+
+# --------------------------------------------------------------------------
+# Stanza-splitting staging for giant single-file XML (split_xml_stanzas)
+# --------------------------------------------------------------------------
+
+
+def _mk_release(n_stanzas):
+    """A synthetic multi-stanza ClinVar release (viable RCVs)."""
+    stanzas = []
+    for i in range(n_stanzas):
+        stanzas.append(f"""  <ClinVarSet ID="{9000 + i}">
+    <ReferenceClinVarAssertion ID="{1000 + i}">
+      <ClinVarAccession Acc="RCV{i:09d}"/>
+      <ClinicalSignificance>
+        <ReviewStatus>practice guideline</ReviewStatus>
+        <Description>Pathogenic</Description>
+      </ClinicalSignificance>
+      <MeasureSet Type="Variant" ID="{55000 + i}">
+        <Measure Type="single nucleotide variant" ID="{77000 + i}">
+          <Name><ElementValue Type="Preferred">NM_{i}.1:c.100A&gt;G</ElementValue></Name>
+        </Measure>
+      </MeasureSet>
+      <TraitSet>
+        <Trait Type="Disease"><XRef DB="OMIM" ID="{600000 + i}"/></Trait>
+      </TraitSet>
+    </ReferenceClinVarAssertion>
+    <ClinVarAssertion ID="{2000 + i}">
+      <ClinVarAccession Acc="SCV{i:09d}" Version="1" OrgID="1058"/>
+      <ClinVarSubmissionID submitter="LabOne"/>
+      <ClinicalSignificance>
+        <ReviewStatus>practice guideline</ReviewStatus>
+        <Description>Pathogenic</Description>
+      </ClinicalSignificance>
+    </ClinVarAssertion>
+  </ClinVarSet>""")
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<ReleaseSet Dated="2019-07-01" Type="full">\n'
+        + "\n".join(stanzas)
+        + "\n</ReleaseSet>\n"
+    )
+
+
+class TestXmlStanzaSplit:
+    def test_split_chunks_and_identical_stanzas(self, spark, tmp_path):
+        """7 stanzas at 2/chunk → 4 chunk files; the chunked scan runs one
+        task per chunk and yields the identical record set."""
+        from dipper_spark.io import read_xml_stanzas
+        from dipper_spark.io.staging import expand_split_inputs, split_xml_stanzas
+        from dipper_spark.sources.clinvar import RECORD_SCHEMA, parse_clinvarset
+
+        src = str(tmp_path / "ClinVarFullRelease_00-latest.xml.gz")
+        with gzip.open(src, "wt", encoding="utf-8") as fh:
+            fh.write(_mk_release(7))
+        chunks = split_xml_stanzas(src, "ClinVarSet", stanzas_per_chunk=2)
+        assert len(chunks) == 4
+        assert expand_split_inputs([src]) == chunks
+
+        whole = read_xml_stanzas(spark, [src], "ClinVarSet", parse_clinvarset, RECORD_SCHEMA)
+        split = read_xml_stanzas(spark, chunks, "ClinVarSet", parse_clinvarset, RECORD_SCHEMA)
+        # k files → k tasks (the unsplit original is the 1-task bound)
+        assert split.rdd.getNumPartitions() == 4
+        assert whole.rdd.getNumPartitions() == 1
+        w = {(r.rcv_acc, r.genovar_id) for r in whole.collect()}
+        s = {(r.rcv_acc, r.genovar_id) for r in split.collect()}
+        assert w == s and len(w) == 7
+
+    def test_split_transform_identical_triples(self, spark, tmp_path):
+        """transform() over the split release produces the identical triple
+        set (read_records routes through expand_split_inputs)."""
+        from dipper_spark.io.staging import split_xml_stanzas
+        from dipper_spark.sources import get_pipeline
+
+        for d in ("whole", "split"):
+            (tmp_path / d).mkdir()
+            with gzip.open(
+                tmp_path / d / "ClinVarFullRelease_00-latest.xml.gz", "wt", encoding="utf-8"
+            ) as fh:
+                fh.write(_mk_release(5))
+        split_xml_stanzas(
+            str(tmp_path / "split" / "ClinVarFullRelease_00-latest.xml.gz"),
+            "ClinVarSet", stanzas_per_chunk=2,
+        )
+        pipe = get_pipeline("clinvar")
+        w = {
+            (r.subject, r.predicate, r.object)
+            for r in pipe.transform(spark, str(tmp_path / "whole")).collect()
+        }
+        s = {
+            (r.subject, r.predicate, r.object)
+            for r in pipe.transform(spark, str(tmp_path / "split")).collect()
+        }
+        assert w == s and len(w) > 0
+
+    def test_stage_files_splits_after_fetch(self, http_server, tmp_path):
+        """A contract with split_tag is split right after the S1 download;
+        an unchanged local file reuses the existing split dir."""
+        from dipper_spark.sources.base import FileContract, SourcePipeline
+
+        payload = gzip.compress(_mk_release(3).encode())
+        _Handler.FILES["/xmlsrc/release.xml.gz"] = (payload, time.time())
+
+        class XmlPipe(SourcePipeline):
+            name = "xmlsrc"
+            files = {
+                "release": FileContract(
+                    file="release.xml.gz",
+                    url=f"{http_server}/xmlsrc/release.xml.gz",
+                    split_tag="ClinVarSet",
+                    split_stanzas=1,
+                ),
+            }
+
+        raw = tmp_path / "raw"
+        report = stage_files(XmlPipe(), str(raw))
+        assert report == {"release": "origin"}
+        split_dir = raw / "release.xml.gz.split"
+        assert sorted(os.listdir(split_dir)) == [
+            "part-00000.xml.gz", "part-00001.xml.gz", "part-00002.xml.gz",
+        ]
+        # second stage: local fresh → 'existing', split dir reused untouched
+        before = {p: os.stat(split_dir / p).st_mtime_ns for p in os.listdir(split_dir)}
+        report = stage_files(XmlPipe(), str(raw))
+        assert report == {"release": "existing"}
+        after = {p: os.stat(split_dir / p).st_mtime_ns for p in os.listdir(split_dir)}
+        assert before == after

@@ -372,3 +372,53 @@ class TestDecontaminate:
         assert plan.count("SortMergeJoin") == 0
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges <= 1, f"expected a single corpus shuffle, plan:\n{plan}"
+
+
+class TestSeededAnnGolden:
+    """Frozen goldens for the production ANN configuration
+    (init='seeded', refine_iters=2, nprobe=2) at sf0.01 —
+    seeded_centroid_init is fully deterministic given the seed
+    (operators/similarity.py:137: md5-ordered candidate sample + greedy
+    k-center), so the exact output is pinnable even though the greedy
+    k-center is not reasonably SQL-oracle-mirrorable.  Regenerating these
+    constants is a DELIBERATE act on a semantic change."""
+
+    SF001 = "/root/testdata/sf0.01"
+    CENTROID_IDS = [47, 110, 153, 217, 271, 293, 320, 326, 343, 352,
+                    362, 404, 425, 452, 475, 484]
+    CENTROID_HASH = "9441bc5085d5bce54eab57b8941f5ee5"
+    RESULT_HASH = "92f0b105d09187b8e52bdccf932f0c48"
+
+    def test_seeded_init_pinned(self, spark):
+        import hashlib
+
+        from dipper_spark.operators.similarity import seeded_centroid_init
+        from dipper_spark.session import load_table
+
+        emb = load_table(spark, self.SF001, "embeddings")
+        cent = seeded_centroid_init(emb, 16, seed=42).collect()
+        assert sorted(r.vec_id for r in cent) == self.CENTROID_IDS
+        canon = ";".join(
+            f"{r.vec_id}:" + ",".join(f"{v:.5f}" for v in r.embedding)
+            for r in sorted(cent, key=lambda r: r.vec_id)
+        )
+        assert hashlib.md5(canon.encode()).hexdigest() == self.CENTROID_HASH
+
+    def test_seeded_refined_ivf_pinned(self, spark):
+        import hashlib
+
+        from dipper_spark.operators.similarity import ivf_topk
+        from dipper_spark.session import load_table
+
+        emb = load_table(spark, self.SF001, "embeddings")
+        q = emb.filter(emb.vec_id < 5)
+        res = ivf_topk(
+            q, emb, n_centroids=16, k=3, refine_iters=2, nprobe=2,
+            init="seeded", seed=42,
+        ).collect()
+        rows = sorted((r.query_id, r.rank, r.neighbor_id, round(r.cos_sim, 5)) for r in res)
+        assert len(rows) == 15
+        # spot anchors, then the full frozen hash
+        assert rows[0] == (0, 1, 365, 0.36999)
+        canon = ";".join(f"{a}:{b}:{c}:{d:.5f}" for a, b, c, d in rows)
+        assert hashlib.md5(canon.encode()).hexdigest() == self.RESULT_HASH
