@@ -118,9 +118,10 @@ class FlyBasePipeline(SourcePipeline):
         preamble; hardcoded P/Drer rows appended (FlyBase.py:359-414)."""
         from dipper_spark.io.readers import read_delim
 
+        # the real species.ab preamble uses '!' comment lines
         raw = read_delim(
             spark, self.path(raw_dir, "species_map"), None,
-            sep="|", header=False, comment="#", src_key="species_map",
+            sep="|", header=False, comment="!", src_key="species_map",
         )
         cols = [F.trim(F.col(c)).alias(n) for c, n in zip(raw.columns, SPECIES_COLS)]
         sp = (

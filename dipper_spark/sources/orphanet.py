@@ -67,8 +67,11 @@ DISORDER_SCHEMA = StructType(
 
 
 def _parse_disorder(elem) -> dict | None:
-    """One <Disorder> stanza → nested row (Orphanet.py:91-226 field walk)."""
-    orphanumber = elem.findtext("OrphaCode")
+    """One <Disorder> stanza → nested row (Orphanet.py:91-226 field walk).
+    Handles both release spellings of the disorder id element (OrphaCode in
+    current product6, OrphaNumber in older releases / the reference's own
+    test fixtures)."""
+    orphanumber = elem.findtext("OrphaCode") or elem.findtext("OrphaNumber")
     if orphanumber is None:
         return None
     assocs = []
@@ -79,6 +82,12 @@ def _parse_disorder(elem) -> dict | None:
         for ref in gene.findall("./ExternalReferenceList/ExternalReference"):
             prefix = ref.findtext("Source")
             refs[PREFIX_REWRITES.get(prefix, prefix)] = ref.findtext("Reference")
+        # the gene's own Orphanet number backstops the clique (the
+        # reference goldens key fallback genes and equivalent-class edges
+        # on it; tests/resources/orphanet/orph-germline*.xml)
+        gene_orpha = gene.findtext("OrphaCode") or gene.findtext("OrphaNumber")
+        if gene_orpha:
+            refs.setdefault("ORPHA", gene_orpha)
         syns = [
             s.text
             for s in gene.findall("./SynonymList/Synonym")
@@ -140,9 +149,11 @@ class OrphanetPipeline(SourcePipeline):
             )
             .filter(F.size("gene_refs") > 0)
             # preferred representative: first hit in the priority order, else
-            # whatever the map yields first (Orphanet.py:151-166)
+            # the gene's own ORPHA number, else whatever the map yields first
+            # (Orphanet.py:151-166; only PREFERRED-chosen representatives are
+            # typed owl:Class — the goldens leave fallback genes untyped)
             .withColumn(
-                "gene_curie",
+                "preferred_curie",
                 F.coalesce(
                     *[
                         F.when(
@@ -151,6 +162,16 @@ class OrphanetPipeline(SourcePipeline):
                         )
                         for p in PREFERRED
                     ],
+                ),
+            )
+            .withColumn(
+                "gene_curie",
+                F.coalesce(
+                    "preferred_curie",
+                    F.when(
+                        F.element_at("gene_refs", "ORPHA").isNotNull(),
+                        F.concat_ws(":", F.lit("ORPHA"), F.element_at("gene_refs", "ORPHA")),
+                    ),
                     F.concat_ws(
                         ":",
                         F.element_at(F.map_keys("gene_refs"), 1),
@@ -182,7 +203,9 @@ class OrphanetPipeline(SourcePipeline):
             class_triples(
                 disorders.select("disorder_curie", "label"), "disorder_curie", "label", graph_id=g
             ),
-            class_triples(rows, "gene_curie", graph_id=g),
+            class_triples(
+                rows.filter(F.col("preferred_curie").isNotNull()), "gene_curie", graph_id=g
+            ),
             class_triples(xrefs, "dbxref", graph_id=g),
             pairwise_triples(xrefs, "gene_curie", "dbxref", T.EQUIVALENT_CLASS, graph_id=g),
             make_triples(syns, "gene_curie", F.lit(T.HAS_EXACT_SYNONYM), "syn", is_literal=True, graph_id=g),

@@ -41,13 +41,29 @@ class StringDbPipeline(SourcePipeline):
             url="https://string-db.org/mapping_files/entrez/",
             columns=["NCBI_taxid", "entrez", "STRING"],
         ),
+        # staged Ensembl biomart export (ENSP → ENSG), the reference's other
+        # mapping path (StringDB.py:169-176 via Ensembl.fetch_protein_gene_map)
+        "ensembl_p2g": FileContract(file="ensembl_protein_gene.tsv"),
     }
     taxon = "9606"
     score_threshold = 700
 
     def protein_gene_map(self, spark: SparkSession, raw_dir: str) -> DataFrame:
-        """protein id → array of NCBIGene curies (StringDB.py:151-173).
-        Dict-sized → broadcast side of the join."""
+        """protein id → array of gene curies (StringDB.py:151-176).
+        Dict-sized → broadcast side of the join.  Prefers the staged Ensembl
+        biomart export (ENSP→ENSEMBL:ENSG) when present, else the STRING
+        entrez mapping file (→ NCBIGene curies)."""
+        import os
+
+        ens = self.path(raw_dir, "ensembl_p2g")
+        if os.path.exists(ens):
+            return (
+                spark.read.option("sep", "\t").option("comment", "#").csv(ens)
+                .groupBy(F.col("_c0").alias("protein"))
+                .agg(
+                    F.collect_set(F.concat(F.lit("ENSEMBL:"), F.col("_c1"))).alias("gene_curies")
+                )
+            )
         return (
             spark.read.option("sep", "\t").option("comment", "#")
             .csv(self.path(raw_dir, "idmap"))

@@ -75,3 +75,17 @@ def test_filters(graph):
     assert graph.filter(
         (F.col("predicate") == "rdf:type") & (F.col("object") == "OBAN:association")
     ).count() == 2
+
+
+def test_golden_interactor_to_gene_curie(spark):
+    """reference test_interactor_to_gene_curie
+    (/root/reference/tests/test_biogrid.py:23-32), verbatim cases."""
+    from dipper_spark.sources.biogrid import interactor_curie
+
+    df = spark.createDataFrame(
+        [("entrez gene/locuslink:3645446",), ("biogrid:4383875",),
+         ("uniprot/swiss-prot:P0DTD2",), ("NOTAGENEID",)],
+        ["raw"],
+    )
+    got = [r.c for r in df.select(interactor_curie(F.col("raw")).alias("c")).collect()]
+    assert got == ["NCBIGene:3645446", "BIOGRID:4383875", "UniProtKB:P0DTD2", None]

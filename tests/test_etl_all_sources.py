@@ -289,7 +289,8 @@ FIXTURE_WRITERS = {
     ),
     "udp": lambda d: (
         (d / "udp_variants.tsv").write_text(udp.VARIANTS),
-        (d / "gene_coordinates.tsv").write_text(udp.COORDS),
+        (d / "udp_phenotypes.tsv").write_text(udp.PHENOTYPES),
+        (d / "hgnc_symbol_map.tsv").write_text(udp.HGNC),
     ),
     "wormbase": lambda d: (
         _gz(d / "c_elegans.PRJNA13758.geneIDs.txt.gz", wb.GENE_IDS),
@@ -352,3 +353,86 @@ def test_etl_sweep(spark, tmp_path, name):
     # HCLS dataset metadata stanza present in every source output (summary
     # level node, Dataset.py:245-263)
     assert any(t["subject"] == f"MonarchArchive:#{name}" for t in triples)
+
+
+# --------------------------------------------------------------------------
+# S1 fetch-path sweep: the same etl.run drive but through --fetch
+# --cache-base against a local fixture HTTP server, covering the full S1
+# chain (cache fetch, size integrity, staged-file provenance in the HCLS
+# stanza) end-to-end for a representative subset of sources.
+# --------------------------------------------------------------------------
+
+FETCH_SOURCES = ["reactome", "sgd", "ucscbands"]
+
+
+@pytest.fixture(scope="module")
+def fixture_http_server(tmp_path_factory):
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    files: dict[str, bytes] = {}
+    stage = tmp_path_factory.mktemp("fetch_fixtures")
+    for name in FETCH_SOURCES:
+        d = stage / name
+        d.mkdir()
+        FIXTURE_WRITERS[name](d)
+        for f in d.iterdir():
+            files[f"/{name}/{f.name}"] = f.read_bytes()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server API
+            payload = files.get(self.path)
+            if payload is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            from email.utils import formatdate
+
+            self.send_header("Last-Modified", formatdate(_time.time(), usegmt=True))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+@pytest.mark.parametrize("name", FETCH_SOURCES)
+def test_etl_sweep_with_fetch(spark, tmp_path, name, fixture_http_server):
+    raw = tmp_path / "raw"
+    out = tmp_path / "out"
+    report = run(
+        ["--sources", name, "--raw-dir", str(raw), "--out-dir", str(out),
+         "--dest-fmt", "ttl", "--fetch", "--cache-base", fixture_http_server],
+        spark=spark,
+    )
+    timings = report["sources"][name]
+    assert "fetch" in timings and timings["fetch"] >= 0
+    triples = parse_turtle((out / f"{name}.ttl").read_text(encoding="utf-8"))
+    # staged-file provenance: version-level dc:source per contract url +
+    # pav:retrievedOn per staged file (2 triples per url-bearing file)
+    pipe = get_pipeline(name)
+    urls = [c.url for c in pipe.files.values() if c.url]
+    stamp = __import__("datetime").datetime.utcnow().strftime("%Y%m%d")
+    version_node = f"MonarchArchive:{stamp}/#{name}"
+    src_edges = {
+        str(t["object"])
+        for t in triples
+        if t["predicate"] == "dc:source" and t["subject"] == version_node
+    }
+    assert len(src_edges) == len(urls), (src_edges, urls)
+    for url in urls:
+        tail = url.rsplit("/", 1)[-1]
+        assert any(tail in o for o in src_edges), (url, src_edges)
+    retrieved = [t for t in triples if t["predicate"] == "pav:retrievedOn"]
+    assert len(retrieved) == len(urls)
+    # the graph itself matches the pinned non-fetch count plus the
+    # provenance triples
+    assert len(triples) == EXPECTED_COUNTS[name] + 2 * len(urls)

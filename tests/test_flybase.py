@@ -33,8 +33,8 @@ ALLELE_GENE = (
 )
 
 SPECIES = (
-    "# some preamble\n"
-    "# internal_id | taxgroup | abbreviation | genus | species name | common name | comment | ncbi-taxon-id\n"
+    "!species v 3.244 September 2 2006\n"
+    "!!internal_id | taxgroup | abbreviation | genus | species name | common name | comment | ncbi-taxon-id\n"
     "\n"
     "1 | drosophilid | Dmel | Drosophila | melanogaster | fruit fly |  | taxon:7227\n"
     "2 | non-drosophilid eukaryote | Hsap | Homo | sapiens | human |  | taxon:9606\n"
@@ -144,3 +144,105 @@ def test_whole_graph_serializes_strict(graph):
     from conftest import assert_strict_nt
 
     assert_strict_nt(graph)
+
+
+# --------------------------------------------------------------------------
+# Reference goldens (/root/reference/tests/test_flybase.py) over the
+# reference's per-allele fixture exports (resources/flybase/input/<FBal>/)
+# against the union of its four expected graphs (allele_gene, gene_xref,
+# allele_phenotype, disease_model) — the engine's transform emits all four
+# passes over one raw dir.  Compared at expanded-IRI level.
+#
+# Golden adjudication: allele_phenotype.ttl is STALE against the current
+# reference code — FlyBase.py:300-306 now skips derived_pheno_manifest rows
+# entirely ("skip parsing for now", the dipper#770 UPheno decision), but
+# the golden still carries the old manifest-derived '<term>PHENOTYPE'
+# classes and their associations.  The expected set here drops those
+# manifest stanzas (any triple touching a PHENOTYPE-suffixed IRI, plus the
+# orphaned stanzas of the associations that pointed at them), keeping the
+# class-row associations the current code produces — whose MONARCH digests
+# match the golden file bit-for-bit.
+# --------------------------------------------------------------------------
+
+import os as _os
+
+_REF_FB = "/root/reference/tests/resources/flybase"
+_ref_fb = pytest.mark.skipif(
+    not _os.path.isdir(_REF_FB), reason="reference fixtures absent"
+)
+
+
+def _fb_norm(t, is_literal):
+    from dipper_spark.core.curie import CurieMap
+
+    cm = CurieMap()
+    if is_literal:
+        return ("val", t)
+    return ("iri", cm.expand_str(t) if ":" in t and "://" not in t else t)
+
+
+def _fb_golden(spark, allele):
+    from dipper_spark.io.turtle_parse import parse_turtle
+
+    raw = _os.path.join(_REF_FB, "input", allele)
+    got = {
+        (_fb_norm(r.subject, False), _fb_norm(r.predicate, False),
+         _fb_norm(r.object, r.is_literal))
+        for r in get_pipeline("flybase").transform(spark, raw).collect()
+    }
+    raw_expected = []
+    for part in ("allele_gene", "gene_xref", "allele_phenotype", "disease_model"):
+        ttl = open(_os.path.join(_REF_FB, "expected", allele, part + ".ttl")).read()
+        for t in parse_turtle(ttl):
+            if "biolink" in t["predicate"] or "biolink" in str(t["object"]):
+                continue
+            raw_expected.append(t)
+    # drop the stale manifest stanzas (see adjudication above): PHENOTYPE-
+    # suffixed terms and every triple of an association pointing at one
+    manifest_assocs = {
+        t["subject"]
+        for t in raw_expected
+        if "PHENOTYPE" in str(t["object"])
+        and t["predicate"] == "OBAN:association_has_object"
+    }
+    exp = {
+        (_fb_norm(t["subject"], False), _fb_norm(t["predicate"], False),
+         _fb_norm(t["object"], t["is_literal"]))
+        for t in raw_expected
+        if "PHENOTYPE" not in t["subject"]
+        and "PHENOTYPE" not in str(t["object"])
+        and t["subject"] not in manifest_assocs
+    }
+    assert got == exp, (
+        f"{allele}: missing:\n" + "\n".join(map(str, sorted(exp - got)))
+        + "\nextra:\n" + "\n".join(map(str, sorted(got - exp)))
+    )
+
+
+@_ref_fb
+def test_golden_fbal0195705(spark):
+    _fb_golden(spark, "FBal0195705")
+
+
+@_ref_fb
+def test_golden_fbal0263199(spark):
+    _fb_golden(spark, "FBal0263199")
+
+
+@_ref_fb
+def test_golden_foreign_transgene_empty(spark):
+    """FBal0256668 is a foreign (non-dmel) transgene: the phenotype,
+    disease-model and allele-gene passes must all skip it (reference
+    test_foreign_transgene runs exactly those three passes; the gene-xref
+    pass is out of its scope and legitimately emits the gene equivalence)."""
+    from pyspark.sql import functions as F
+
+    raw = _os.path.join(_REF_FB, "input", "FBal0256668")
+    got = get_pipeline("flybase").transform(spark, raw)
+    assert got.filter(
+        F.col("subject").contains("FBal0256668") | F.col("object").contains("FBal0256668")
+    ).count() == 0
+    assert got.filter(
+        F.col("predicate").isin("RO:0002200", "RO:0003304")
+        | F.col("predicate").startswith("OBAN:")
+    ).count() == 0

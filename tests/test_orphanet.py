@@ -99,3 +99,132 @@ def test_synonyms(graph):
     t = _spo(graph.filter(F.col("predicate") == "OIO:hasExactSynonym"))
     assert ("HGNC:30497", "OIO:hasExactSynonym", "JBTS12") in t
     assert ("HGNC:30497", "OIO:hasExactSynonym", "UNQ340") in t
+
+
+# --------------------------------------------------------------------------
+# Reference goldens (/root/reference/tests/test_orphanet.py) over the
+# reference's own fixture XMLs (resources/orphanet/orph-*.xml), compared at
+# expanded-IRI level with biolink:category decorations dropped (scoped out
+# of the model layer — same adjudication as the other golden suites).
+# Documented divergence: orph-no-mapping.xml (an association type absent
+# from the translation table) raises KeyError in the reference; the engine
+# drops the row declaratively and emits no association.
+# --------------------------------------------------------------------------
+
+import os as _os
+
+_REF_ORPHA = "/root/reference/tests/resources/orphanet"
+
+
+def _norm(t, is_literal):
+    from dipper_spark.core.curie import CurieMap
+
+    cm = CurieMap()
+    if is_literal:
+        return ("val", t)
+    return ("iri", cm.expand_str(t) if ":" in t and "://" not in t else t)
+
+
+def _golden(spark, tmp_path, fixture, expected_ttl):
+    import shutil
+
+    from dipper_spark.io.turtle_parse import parse_turtle
+
+    src = get_pipeline("orphanet")
+    shutil.copy(_os.path.join(_REF_ORPHA, fixture), tmp_path / src.files["disease-gene"].file)
+    got = {
+        (_norm(r.subject, False), _norm(r.predicate, False), _norm(r.object, r.is_literal))
+        for r in src.transform(spark, str(tmp_path)).collect()
+    }
+    exp = {
+        (_norm(t["subject"], False), _norm(t["predicate"], False),
+         _norm(t["object"], t["is_literal"]))
+        for t in parse_turtle(expected_ttl)
+        if "biolink" not in t["predicate"] and "biolink" not in str(t["object"])
+    }
+    assert got == exp, f"missing: {exp - got}\nextra: {got - exp}"
+
+
+GERMLINE_TTL = """
+MONARCH:ba2ac5d2153c70e2bb98 a OBAN:association ;
+    RO:0002558 ECO:0000322 ;
+    OBAN:association_has_object ORPHA:938475 ;
+    OBAN:association_has_predicate RO:0004013 ;
+    OBAN:association_has_subject HGNC:30497 .
+
+ENSEMBL:ENSG00000166813 a owl:Class .
+
+HGNC:30497 a owl:Class ;
+    RO:0004013 ORPHA:938475 ;
+    oboInOwl:hasExactSynonym "KAS1" ;
+    owl:equivalentClass ENSEMBL:ENSG00000166813,
+       ORPHA:268061 .
+
+ORPHA:268061 a owl:Class .
+
+ORPHA:938475 a owl:Class ;
+    rdfs:label "too much unit testing disorder" .
+"""
+
+GERMLINE_LOF_TTL = """
+MONARCH:b9ad1b0c562ad4db3f1e a OBAN:association ;
+    RO:0002558 ECO:0000322 ;
+    OBAN:association_has_object ORPHA:938475 ;
+    OBAN:association_has_predicate RO:0004012 ;
+    OBAN:association_has_subject ORPHA:268061 .
+
+ORPHA:268061 RO:0004012 ORPHA:938475 ;
+    oboInOwl:hasExactSynonym "KAS1" .
+
+ORPHA:938475 a owl:Class ;
+    rdfs:label "too much unit testing disorder" .
+"""
+
+NO_VARIANT_TTL = """
+MONARCH:bdbeb077e365ddedda20 a OBAN:association ;
+    RO:0002558 ECO:0000322 ;
+    OBAN:association_has_object ORPHA:938475 ;
+    OBAN:association_has_predicate RO:0004015 ;
+    OBAN:association_has_subject ORPHA:268061 .
+
+ORPHA:268061 RO:0004015 ORPHA:938475 ;
+    oboInOwl:hasExactSynonym "KAS1" .
+
+ORPHA:938475 a owl:Class ;
+    rdfs:label "too much unit testing disorder" .
+"""
+
+_ref_present = pytest.mark.skipif(
+    not _os.path.isdir(_REF_ORPHA), reason="reference fixtures absent"
+)
+
+
+@_ref_present
+def test_golden_germline_variant_to_disease(spark, tmp_path):
+    _golden(spark, tmp_path, "orph-germline.xml", GERMLINE_TTL)
+
+
+@_ref_present
+def test_golden_germline_lof_variant_to_disease(spark, tmp_path):
+    _golden(spark, tmp_path, "orph-germline-lof.xml", GERMLINE_LOF_TTL)
+
+
+@_ref_present
+def test_golden_gene_to_disease(spark, tmp_path):
+    _golden(spark, tmp_path, "orph-no-variant.xml", NO_VARIANT_TTL)
+
+
+@_ref_present
+def test_golden_unmapped_assoc_type_drops_row(spark, tmp_path):
+    """orph-no-mapping.xml: the reference raises KeyError; the engine drops
+    the unmapped association declaratively — only the disorder class
+    survives (deliberate divergence, documented in the module header)."""
+    import shutil
+
+    src = get_pipeline("orphanet")
+    shutil.copy(
+        _os.path.join(_REF_ORPHA, "orph-no-mapping.xml"),
+        tmp_path / src.files["disease-gene"].file,
+    )
+    got = src.transform(spark, str(tmp_path))
+    assert got.filter(F.col("predicate").startswith("OBAN:")).count() == 0

@@ -187,3 +187,49 @@ class TestBgee:
         # thousands separator scrubbed → 1234.5 rank literal on ENSG2 assoc
         spo = _spo(g)
         assert any(p == ":has_quantifier" and o == "1234.5" for _, p, o in spo)
+
+
+class TestStringGolden:
+    """reference StringTestFakeData (/root/reference/tests/test_string.py)
+    with the live biomart fetch replaced by a staged ENSP→ENSG export (the
+    same two CFTR/ARF5 mappings the real biomart returns for the fixture
+    proteins)."""
+
+    LINKS_HDR = (
+        "protein1 protein2 neighborhood fusion cooccurence coexpression "
+        "experimental database textmining combined_score"
+    )
+    P2G = "ENSP00000000233\tENSG00000004059\nENSP00000003084\tENSG00000001626\n"
+
+    def _run(self, spark, tmp_path, row):
+        import gzip as _gzip
+
+        (tmp_path / "protein.links.detailed.txt.gz").write_bytes(
+            _gzip.compress((self.LINKS_HDR + "\n" + row + "\n").encode())
+        )
+        (tmp_path / "ensembl_protein_gene.tsv").write_text(self.P2G)
+        return get_pipeline("stringdb").transform(spark, str(tmp_path))
+
+    def test_golden_fake_data_set_1(self, spark, tmp_path):
+        got = self._run(
+            spark, tmp_path,
+            "9606.ENSP00000000233 9606.ENSP00000003084 0 0 0 0 300 0 150 800",
+        )
+        spo = {(r.subject, r.predicate, r.object) for r in got.collect()}
+        # orientation: gene of the lexicographically larger protein is the
+        # subject (StringDB.py:200-208)
+        assert spo == {
+            ("ENSEMBL:ENSG00000001626", "RO:0002434", "ENSEMBL:ENSG00000004059"),
+            ("ENSEMBL:ENSG00000001626", "rdf:type", "SO:0000704"),
+            ("ENSEMBL:ENSG00000004059", "rdf:type", "SO:0000704"),
+        }
+
+    def test_golden_fake_data_set_2_deprecated_protein(self, spark, tmp_path):
+        """A deprecated protein id absent from the map → empty graph
+        (reference testFakeDataSet2), visible in the miss metric."""
+        got = self._run(
+            spark, tmp_path,
+            "9606.ENSP00000000233 9606.ENSP00000006101 0 0 0 0 300 0 150 800",
+        )
+        assert got.count() == 0
+        assert get_pipeline("stringdb").miss_count(spark, str(tmp_path)) == 1
