@@ -5,6 +5,7 @@ style: one hand-built input row → expected triple set)."""
 import hashlib
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from dipper_spark.core.schema import TRIPLE_SCHEMA
 from dipper_spark.core.triples import graph_equal
@@ -195,3 +196,39 @@ def test_dataset_metadata_void_counts(spark):
     assert rows["void:distinctSubjects"] == "2"
     assert rows["void:properties"] == "1"
     assert rows["pav:version"] == "2026-08"
+
+
+class TestModelGolden:
+    """reference test_model.py (4 meaningful tests of Model
+    addIndividualToGraph / addComment) ported against
+    models/model.py emitters; biolink category decorations are pinned
+    ABSENT (scoped out of the model layer, same adjudication as the other
+    golden suites)."""
+
+    def test_add_individual_assigns_label_and_named_individual(self, spark):
+        from dipper_spark.models.model import individual_triples
+
+        df = spark.createDataFrame([("MGI:1234", "some label")], ["id", "lbl"])
+        spo = {
+            (r.subject, r.predicate, r.object)
+            for r in individual_triples(df, "id", label_col="lbl").collect()
+        }
+        assert ("MGI:1234", "rdfs:label", "some label") in spo
+        assert ("MGI:1234", "rdf:type", "owl:NamedIndividual") in spo
+
+    def test_add_comment(self, spark):
+        from dipper_spark.core import make_triples
+        from dipper_spark.models import terms as T
+
+        df = spark.createDataFrame([("MGI:1234", "bonus eruptus")], ["id", "c"])
+        got = make_triples(df, "id", F.lit(T.COMMENT), "c", is_literal=True).collect()
+        assert [(r.subject, r.predicate, r.object) for r in got] == [
+            ("MGI:1234", "rdfs:comment", "bonus eruptus")
+        ]
+
+    def test_no_category_decorations(self, spark):
+        from dipper_spark.models.model import individual_triples
+
+        df = spark.createDataFrame([("MGI:1234", "some label")], ["id", "lbl"])
+        got = individual_triples(df, "id", label_col="lbl")
+        assert got.filter(F.col("predicate").contains("biolink")).count() == 0

@@ -91,3 +91,30 @@ def test_indications_skip_contraindication(graph):
 
 def test_recordless_unii_skipped(graph):
     assert graph.filter(F.col("subject") == "DrugBank:DB99999").count() == 0
+
+
+def test_golden_reference_record(spark, tmp_path):
+    """reference test_parse (/root/reference/tests/test_mychem.py) over the
+    verbatim resources/mychem/mychem.json record fed through the
+    drugcentral path: the indication edge + chemical/disease typings, the
+    contraindication skipped; biolink categories scoped out."""
+    import json
+    import os
+
+    src_json = "/root/reference/tests/resources/mychem/mychem.json"
+    if not os.path.exists(src_json):
+        pytest.skip("reference fixtures absent")
+    record = json.load(open(src_json))[0]
+    (tmp_path / "drugcentral_interactors.jsonl").write_text(json.dumps(record) + "\n")
+    (tmp_path / "drugbank_targets.jsonl").write_text(json.dumps(record) + "\n")
+    got = get_pipeline("mychem").transform(spark, str(tmp_path))
+    spo = _spo(got)
+    expected = {
+        ("UNII:46U771ERWK", "RO:0002606", "SNOMED:386761002"),
+        ("UNII:46U771ERWK", "rdfs:subClassOf", "CHEBI:23367"),
+        ("SNOMED:386761002", "rdfs:label", "Local anesthesia"),
+        ("SNOMED:386761002", "rdfs:subClassOf", "MONDO:0000001"),
+    }
+    assert expected <= spo, expected - spo
+    # the contraindication must not appear
+    assert not any(o == "SNOMED:30911005" for _, _, o in spo)

@@ -67,3 +67,15 @@ def test_resolve_chain_semantics():
     # miss falls to default then input
     assert tt.resolve_str("nope", default="D:0") == "D:0"
     assert tt.resolve_str("nope") == "nope"
+
+
+def test_global_table_is_bimap():
+    """reference test_trtable.py testIfTableIsBiMap: the global term table
+    must be value-unique (a bijection), so reverse lookups are unambiguous.
+    The reference's duplicate-key check is structural in Python dicts."""
+    from collections import Counter
+
+    from dipper_spark.core.vocab_data import GLOBAL_TERMS
+
+    dupes = [v for v, n in Counter(GLOBAL_TERMS.values()).items() if n > 1]
+    assert not dupes, f"duplicate values in the global table: {dupes[:10]}"
