@@ -90,6 +90,16 @@ def jaccard_pairs(
             )
         )
         return j.filter(F.col("jaccard") >= threshold).select("id_1", "id_2", "jaccard")
+    # ---- pruned (100 TB) path ----------------------------------------
+    # one tokenization pass: the shingle sets feed the doc-freq
+    # aggregation, both sides of the candidate self-join, the candidate-id
+    # dim AND the verify payload joins — these branches run as concurrent
+    # stages, so an EAGER localCheckpoint is the only way they share the
+    # computed partitions instead of each re-running the regex tokenizer
+    # (lazy checkpointing measured no faster at sf0.1; the durable 100 TB
+    # analog is a parquet staging write of the shingle sets)
+    sets = sets.localCheckpoint(eager=True)
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -103,9 +113,24 @@ def jaccard_pairs(
         .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
         .distinct()
     )
+    # verify only needs set payloads for CANDIDATE docs.  The candidate-id
+    # dim is derived WITHOUT re-running the pair join: a doc participates
+    # in a candidate pair iff one of its kept shingles occurs in ≥2 docs —
+    # so `cands` itself stays single-consumer and its LeftAnti+equi-join
+    # plan shape survives into the final physical plan.
+    shared = (
+        kept.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("kdf"))
+        .filter(F.col("kdf") >= 2)
+        .select("shingle")
+    )
+    cand_ids = (
+        kept.join(F.broadcast(shared), "shingle", "left_semi").select("id").distinct()
+    )
+    cand_sets = sets.join(F.broadcast(cand_ids), "id")
     withsets = (
-        cands.join(sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
-        .join(sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")
+        cands.join(cand_sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
+        .join(cand_sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")
     )
     inter = F.size(F.array_intersect("set_1", "set_2"))
     union = F.size("set_1") + F.size("set_2") - inter
@@ -326,10 +351,16 @@ def decontaminate(
        test is a map-side semi-join; the corpus is scanned once, no
        corpus-side shuffle of text;
     2. the per-document shingle total is computed **map-side** on the
-       un-exploded row (``F.size`` of the distinct shingle array) and rides
-       along through the explode, so the only shuffle is the hit-count
-       groupBy over the matched (doc, shingle) rows — that aggregation's
-       cost scales with contamination, not corpus size.
+       un-exploded row (``F.size`` of the distinct shingle array) in a
+       second scan branch, and the (small, contamination-sized) hit counts
+       broadcast back onto it — so the ONLY shuffle anywhere is the
+       hit-count groupBy over the matched (doc, shingle) rows, whose cost
+       scales with contamination, not corpus size.
+
+       (Deliberately NOT computed by carrying ``size(_shingles)`` through
+       the explode of the same array: Catalyst collapses that projection
+       into the Generate node and re-evaluates the whole shingle expression
+       per exploded row — measured ~5× slower at sf0.1.)
 
     Returns (id, n_hits, n_shingles, hit_frac) for documents with at least
     ``min_hits`` matching shingles, ordered nowhere (callers sort).  ``n=8``
@@ -340,27 +371,22 @@ def decontaminate(
         benchmark.select(F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("shingle"))
         .distinct()
     )
-    staged = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokens(text_col), n)).alias("_shingles"),
-    )
-    return (
+    staged = ensure_parallelism(docs)
+    hits = (
         staged.select(
-            "id",
-            F.size("_shingles").alias("n_shingles"),
-            F.explode("_shingles").alias("shingle"),
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("shingle"),
         )
         .join(F.broadcast(bench), "shingle")
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            # constant within a doc — carried through the explode instead of
-            # re-aggregated from a second scan branch
-            F.first("n_shingles").alias("n_shingles"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
-        .select(
-            "id", "n_hits", "n_shingles",
-            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
-        )
+    )
+    totals = staged.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(word_shingles(tokens(text_col), n))).alias("n_shingles"),
+    )
+    return totals.join(F.broadcast(hits), "id").select(
+        "id", "n_hits", "n_shingles",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
     )
