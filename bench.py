@@ -33,6 +33,8 @@ HEADLINE = [
     "q_range_join",
     # LLM-pipeline operators
     "q_doc_fingerprint",
+    "q_repetition",
+    "q_stratified_sample",
     "q_dedup_exact",
     "q_decontaminate",
     "q_jaccard_pruned",

@@ -99,3 +99,15 @@ def prefix_fingerprint(col: Column | str, n_tokens: int = 8) -> Column:
     """Fingerprint of the first ``n_tokens`` tokens — a cheap near-dup
     blocking key (documents sharing a long prefix are dup candidates)."""
     return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)))
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Intra-document repetition: ``1 - distinct/total`` word n-grams — the
+    standard repeated-n-gram quality signal for pretraining-data filtering
+    (heavily templated / looping documents score high).  Pure column
+    expressions, one map pass; 0.0 for documents shorter than ``n``."""
+    sh = word_shingles(tokens(col), n)
+    return F.when(
+        F.size(sh) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 6),
+    ).otherwise(F.lit(0.0))

@@ -174,14 +174,9 @@ def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
     return sets.select("id", "sh_set", *sigs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, num_perm: int = 8, rows_per_band: int = 2) -> DataFrame:
-    """LSH banding: hash each band of ``rows_per_band`` signature slots;
-    docs colliding in ANY band become candidate pairs.
-
-    Relational form: explode (band_idx, band_key) then self-equi-join — the
-    shuffle key is the band hash, so candidate generation is linear in
-    collisions, never all-pairs.
-    """
+def _band_keys(signatures: DataFrame, num_perm: int, rows_per_band: int) -> DataFrame:
+    """(id, band, key) rows: each band of ``rows_per_band`` signature slots
+    hashed to its bucket key."""
     n_bands = num_perm // rows_per_band
     bands = F.array(
         *[
@@ -196,9 +191,20 @@ def lsh_candidate_pairs(signatures: DataFrame, num_perm: int = 8, rows_per_band:
             for b in range(n_bands)
         ]
     )
-    exploded = signatures.select("id", F.explode(bands).alias("bk")).select(
+    return signatures.select("id", F.explode(bands).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_perm: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: hash each band of ``rows_per_band`` signature slots;
+    docs colliding in ANY band become candidate pairs.
+
+    Relational form: explode (band_idx, band_key) then self-equi-join — the
+    shuffle key is the band hash, so candidate generation is linear in
+    collisions, never all-pairs.
+    """
+    exploded = _band_keys(signatures, num_perm, rows_per_band)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -236,6 +242,12 @@ def minhash_lsh_pairs(
     )
     sigs = _signatures_from_sets(sets, num_perm).drop("sh_set")
     cands = lsh_candidate_pairs(sigs, num_perm, rows_per_band)
+    # the verify join partitions the shingle sets by id once; a
+    # candidate-filtered payload pass (as in jaccard_pairs' pruned path)
+    # was measured SLOWER here — deriving the candidate-id dim re-runs the
+    # signature map-pass plus a band-occupancy shuffle, which costs more
+    # than shuffling the sets (AQE broadcast-converts the candidate side
+    # when it is small anyway)
     withsets = (
         cands.join(sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
         .join(sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")

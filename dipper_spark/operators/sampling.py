@@ -1,0 +1,55 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Beyond-reference (SURVEY §2's LLM-pipeline section): corpus curation needs
+REPRODUCIBLE sampling — the same inputs must select the same rows on any
+cluster, any partitioning, any engine.  ``df.sample()`` is seed-and-
+partitioning dependent; these operators instead hash a stable key and
+compare against a rate threshold, so membership is a pure function of the
+row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex digits compared (md5 prefix); 16^8 buckets ≈ 2.3e-10 rate resolution
+_HEX_DIGITS = 8
+_BUCKETS = 16 ** _HEX_DIGITS
+
+
+def hash_fraction(key: Column | str) -> Column:
+    """The row's deterministic position in [0, 1): the first 8 hex chars of
+    md5(key) over 16^8.  Engine-portable (identical in DuckDB/Trino)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(k.cast("string")), 1, _HEX_DIGITS), 16, 10).cast(
+        "double"
+    ) / F.lit(float(_BUCKETS))
+
+
+def _threshold_hex(rate: float) -> str:
+    return format(min(int(rate * _BUCKETS), _BUCKETS - 1), f"0{_HEX_DIGITS}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the md5-prefix of
+    its key is below the stratum's rate threshold (lexicographic hex
+    compare — no numeric conversion, so the predicate is identical in any
+    engine with md5).
+
+    The per-stratum thresholds compile to a CASE expression evaluated
+    map-side on the scan: no shuffle, no join, no driver state.  At 100 TB
+    this is the only sampling shape that re-runs identically after a
+    repartition or an engine swap; rates are exact in expectation with
+    per-stratum deviation O(1/sqrt(stratum size))."""
+    key = F.md5(F.col(key_col).cast("string")).substr(1, _HEX_DIGITS)
+    thr = F.lit(_threshold_hex(default_rate))
+    for stratum, rate in rates.items():
+        thr = F.when(F.col(strata_col) == stratum, F.lit(_threshold_hex(rate))).otherwise(thr)
+    return df.filter(key < thr)

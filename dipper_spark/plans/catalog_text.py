@@ -491,3 +491,61 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), emb,
         n_centroids=16, k=5, refine_iters=2, nprobe=2,
     )
+
+
+# ---- repetition ratio (intra-doc repeated n-grams) ---------------------------
+
+_REP_SH = _shingles_sql(TOK, 3)
+
+
+@register(
+    "q_repetition",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len({_REP_SH}) > 0
+                THEN round(1.0 - len(list_distinct({_REP_SH})) / CAST(len({_REP_SH}) AS DOUBLE), 6)
+                ELSE 0.0 END AS repetition
+    FROM documents
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (repeated word-3-gram fraction) —
+    the standard templated/looping-document quality signal.  One map pass,
+    pure column expressions."""
+    from dipper_spark.functions.text import repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", repetition_ratio("text", 3).alias("repetition"))
+
+
+# ---- deterministic stratified sampling ---------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.125
+
+
+def _rate_hex(rate: float) -> str:
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '{_rate_hex(0.5)}'
+                    WHEN 'de' THEN '{_rate_hex(0.25)}'
+                    ELSE '{_rate_hex(0.125)}' END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling: membership is a pure
+    function of (doc_id, lang) via an md5-prefix threshold — identical
+    output on any partitioning, any engine (the reproducibility contract
+    corpus curation needs; df.sample() has neither property)."""
+    from dipper_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "lang")

@@ -422,3 +422,53 @@ class TestSeededAnnGolden:
         assert rows[0] == (0, 1, 365, 0.36999)
         canon = ";".join(f"{a}:{b}:{c}:{d:.5f}" for a, b, c, d in rows)
         assert hashlib.md5(canon.encode()).hexdigest() == self.RESULT_HASH
+
+
+class TestRepetitionAndSampling:
+    def test_repetition_ratio_edges(self, spark):
+        from dipper_spark.functions.text import repetition_ratio
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c a b c a b c"),    # 7 shingles, 3 distinct
+                (2, "all unique words here never repeat at all okay"),
+                (3, "xy"),                   # < n tokens → 0.0
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r.rep
+            for r in df.select("doc_id", repetition_ratio("text", 3).alias("rep")).collect()
+        }
+        assert got[1] == round(1 - 3 / 7, 6)
+        assert got[2] == 0.0  # 'all' repeats as a token but no 3-gram repeats
+        assert got[3] == 0.0
+
+    def test_stratified_sample_deterministic_and_rated(self, spark):
+        from dipper_spark.operators.sampling import stratified_sample
+
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        out1 = {r.doc_id for r in stratified_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.1}).collect()}
+        # identical selection under a different partitioning (the property
+        # df.sample() lacks)
+        out2 = {
+            r.doc_id
+            for r in stratified_sample(
+                df.repartition(7), "doc_id", "lang", {"en": 0.5, "de": 0.1}
+            ).collect()
+        }
+        assert out1 == out2
+        en = sum(1 for i in out1 if i % 2 == 0) / 2000
+        de = sum(1 for i in out1 if i % 2 == 1) / 2000
+        assert abs(en - 0.5) < 0.05 and abs(de - 0.1) < 0.03
+
+    def test_stratified_sample_is_map_side(self, spark):
+        from dipper_spark.operators.sampling import stratified_sample
+
+        df = spark.range(100).selectExpr("id AS doc_id", "'en' AS lang")
+        plan = (
+            stratified_sample(df, "doc_id", "lang", {"en": 0.5})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # pure filter: no shuffle, no join
