@@ -402,3 +402,69 @@ def decontaminate(
         "id", "n_hits", "n_shingles",
         F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id1: str = "id_1",
+    id2: str = "id_2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation — the cluster-election step a dedup pipeline needs between
+    "near-dup pairs found" and "one canonical document per group".
+
+    Beyond-reference operator.  Shape: each iteration is one equi-join of
+    the edge list against the current labels plus a min-aggregation; the
+    label frame is lineage-truncated per iteration (``localCheckpoint``,
+    the same discipline as the IVF Lloyd loop) so iteration cost stays
+    flat; the driver loop stops at the exact fixpoint (no changed labels),
+    reached after O(component diameter) iterations — near-dup clusters are
+    shallow, so this is a handful of small keyed shuffles, never a
+    whole-graph algorithm.  The component id is the minimum member id,
+    making the output deterministic and the canonical-doc choice free.
+
+    Returns (id, component) for every node that appears in ``edges``.
+    """
+    sym = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("n_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("n_comp").alias("n_comp"))
+            .select(F.col("src").alias("id"), "n_comp")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("n_comp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

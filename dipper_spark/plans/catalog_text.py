@@ -549,3 +549,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id", "lang", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
     ).select("doc_id", "lang")
+
+
+# ---- duplicate-cluster connected components ----------------------------------
+
+
+@register(
+    "q_dup_components",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id AS id, unnest(list_distinct({_SH})) AS s FROM documents),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id_1, id_2 FROM inter
+      JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
+      WHERE n_common / CAST(z1.n + z2.n - n_common AS DOUBLE) >= 0.5),
+    edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+              UNION ALL SELECT id_2, id_1 FROM pairs),
+    reach(id, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b)
+    SELECT id, min(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact 3-gram Jaccard >= 0.5) clustered into
+    connected components with min-id canonical labels — iterative
+    min-label propagation run to its exact fixpoint (the DuckDB mirror is
+    a recursive-CTE transitive closure)."""
+    from dipper_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return connected_components(pairs).select("id", "component")

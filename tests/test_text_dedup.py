@@ -472,3 +472,27 @@ class TestRepetitionAndSampling:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan  # pure filter: no shuffle, no join
+
+
+class TestConnectedComponents:
+    def test_components_min_label(self, spark):
+        from dipper_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(2, 3), (3, 4), (10, 11), (5, 4)], ["id_1", "id_2"]
+        )
+        got = {
+            r.id: r.component for r in connected_components(edges).collect()
+        }
+        # chain 2-3-4-5 collapses to min id 2; isolated pair keeps min 10
+        assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10}
+
+    def test_components_deep_chain_converges(self, spark):
+        from dipper_spark.operators.dedup import connected_components
+
+        # a 30-node path: fixpoint needs ~diameter iterations
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], ["id_1", "id_2"]
+        )
+        got = {r.id: r.component for r in connected_components(edges).collect()}
+        assert set(got.values()) == {0} and len(got) == 31
