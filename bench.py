@@ -35,6 +35,8 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_repetition",
     "q_stratified_sample",
+    "q_source_quota",
+    "q_token_stats",
     "q_dedup_exact",
     "q_decontaminate",
     "q_jaccard_pruned",

@@ -53,3 +53,24 @@ def stratified_sample(
     for stratum, rate in rates.items():
         thr = F.when(F.col(strata_col) == stratum, F.lit(_threshold_hex(rate))).otherwise(thr)
     return df.filter(key < thr)
+
+
+def source_quota(
+    df: DataFrame, key_col: str, source_col: str, quota: int
+) -> DataFrame:
+    """Deterministic per-source document caps (domain-quota sampling): keep
+    at most ``quota`` rows per source, chosen by md5-hash rank with the key
+    as tiebreaker — a uniform, reproducible draw independent of row order
+    or partitioning.
+
+    One window over the source partition; at scale this shuffles once on
+    the source key (skewed mega-sources are exactly the rows the quota
+    discards, and rank-k selection spills linearly, never materializing a
+    sort of the whole corpus per group beyond the shuffle)."""
+    from pyspark.sql import Window
+
+    k = F.col(key_col)
+    rank = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(F.md5(k.cast("string")), k)
+    )
+    return df.withColumn("_r", rank).filter(F.col("_r") <= quota).drop("_r")

@@ -587,3 +587,49 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return connected_components(pairs).select("id", "component")
+
+
+@register(
+    "q_source_quota",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents)
+    WHERE r <= 25
+    """,
+)
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (domain-quota sampling): at most 25 docs
+    per source, selected by deterministic md5-hash rank — reproducible on
+    any partitioning, one keyed window shuffle."""
+    from dipper_spark.operators.sampling import source_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_quota(docs, "doc_id", "source", 25).select("doc_id", "source")
+
+
+@register(
+    "q_token_stats",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len({TOK})) AS BIGINT) AS total_tokens,
+           round(avg(len({TOK})), 6) AS avg_tokens,
+           CAST(max(len({TOK})) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — the budgeting numbers every
+    pretraining-data pipeline reports.  One map pass + one keyed agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).cast("long").alias("total_tokens"),
+        F.round(F.avg(tc), 6).alias("avg_tokens"),
+        F.max(tc).cast("long").alias("max_tokens"),
+    )

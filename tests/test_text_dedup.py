@@ -496,3 +496,18 @@ class TestConnectedComponents:
         )
         got = {r.id: r.component for r in connected_components(edges).collect()}
         assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_source_quota_deterministic(spark):
+    from dipper_spark.operators.sampling import source_quota
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = {r.doc_id for r in source_quota(df, "doc_id", "source", 10).collect()}
+    out2 = {
+        r.doc_id
+        for r in source_quota(df.repartition(11), "doc_id", "source", 10).collect()
+    }
+    assert out1 == out2 and len(out1) == 30
+    # quota larger than a group keeps the whole group
+    assert source_quota(df, "doc_id", "source", 200).count() == 300
