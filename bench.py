@@ -37,7 +37,12 @@ HEADLINE = [
     "q_stratified_sample",
     "q_source_quota",
     "q_token_stats",
+    "q_quality_rules",
+    "q_weighted_sample",
+    "q_bm25_topk",
+    "q_tfidf_keywords",
     "q_dedup_exact",
+    "q_chunk_dedup",
     "q_decontaminate",
     "q_jaccard_pruned",
     "q_minhash_lsh",

@@ -101,6 +101,71 @@ def prefix_fingerprint(col: Column | str, n_tokens: int = 8) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)))
 
 
+def token_chunks(toks: Column, chunk_tokens: int = 10) -> Column:
+    """Non-overlapping fixed-width token chunks — the dedup unit of
+    RefinedWeb-style line-level dedup, generalized to token windows (the
+    synthetic corpus has no newlines; real corpora would chunk on lines
+    first and windows second).  Only FULL chunks are produced: a 25-token
+    doc yields 2 ten-token chunks, the 5-token tail is ignored.  Empty
+    array (not null) below one chunk — same guard as word_shingles: Spark's
+    sequence(0, -1) counts DOWN, it does not produce an empty array."""
+    n_full = F.floor(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    return F.when(
+        n_full > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def mean_token_chars(toks: Column) -> Column:
+    """Mean token length in characters — total chars via length(array_join)
+    (no higher-order aggregate needed), so the expression is portable and
+    codegen-friendly.  Null-safe only for non-empty token arrays."""
+    return F.length(F.array_join(toks, "")) / F.size(toks).cast("double")
+
+
+def alpha_ratio(toks: Column) -> Column:
+    """Fraction of tokens that are purely alphabetic (post-lowering) — the
+    symbol/garbage-content signal in Gopher-style quality rule sets."""
+    return F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))) / F.size(toks).cast(
+        "double"
+    )
+
+
+def quality_rules(col: Column | str) -> dict[str, Column]:
+    """Gopher-style quality-rule breakdown: each rule is an independent 0/1
+    flag (INT, not BOOLEAN, for engine-portable hashing), plus the overall
+    ``passed`` conjunction.  Thresholds follow the published Gopher rules
+    rescaled to the synthetic corpus (docs are 10-500 tokens):
+
+    - ``r_len``        50 <= n_tokens <= 100000
+    - ``r_word_len``   3 <= mean token chars <= 10
+    - ``r_stop``       >= 2 English stopword occurrences
+    - ``r_alpha``      >= 80% purely-alphabetic tokens
+    - ``r_rep``        repeated word-3-gram fraction < 0.2
+
+    All pure column expressions over one tokenization — a single map pass,
+    no shuffle, no UDFs; at 100 TB this is a scan-speed filter."""
+    t = tokens(col)
+    n = F.size(t)
+    rules = {
+        "r_len": (n >= 50) & (n <= 100000),
+        "r_word_len": (mean_token_chars(t) >= 3.0) & (mean_token_chars(t) <= 10.0),
+        "r_stop": stopword_hits(t, EN_STOPWORDS) >= 2,
+        "r_alpha": alpha_ratio(t) >= 0.8,
+        "r_rep": repetition_ratio(col, 3) < 0.2,
+    }
+    out: dict[str, Column] = {"n_tokens": n.cast("long")}
+    passed = None
+    for name, rule in rules.items():
+        out[name] = rule.cast("int")
+        passed = rule if passed is None else (passed & rule)
+    out["passed"] = passed.cast("int")
+    return out
+
+
 def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     """Intra-document repetition: ``1 - distinct/total`` word n-grams — the
     standard repeated-n-gram quality signal for pretraining-data filtering

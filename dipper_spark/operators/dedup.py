@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dipper_spark.functions.text import tokens, word_shingles
+from dipper_spark.functions.text import token_chunks, tokens, word_shingles
 from dipper_spark.operators.util import ensure_parallelism
 
 
@@ -401,6 +401,54 @@ def decontaminate(
     return totals.join(F.broadcast(hits), "id").select(
         "id", "n_hits", "n_shingles",
         F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 10,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Chunk-level (RefinedWeb line-dedup-style) duplication profile: split
+    each document into non-overlapping ``chunk_tokens``-token chunks and flag
+    chunks whose exact text occurs in >= ``min_doc_freq`` documents.
+
+    Beyond-reference operator.  Shape (the exact, fully-relational form):
+
+    1. per-doc DISTINCT chunk explode → (id, chunk) long table;
+    2. chunk document-frequency by hash-agg (map-side partial combine — a
+       chunk repeated across a partition pre-aggregates before the shuffle);
+    3. doc-freq joined back on the chunk key (one shuffle; duplicated-chunk
+       volume, not corpus volume, survives the filter);
+    4. per-doc duplicated-chunk counts re-joined to the map-side chunk
+       totals (the hit side is contamination-sized → broadcast).
+
+    Unlike MinHash/SimHash this is EXACT — the unit is the verbatim chunk —
+    which is why production pipelines run it alongside fuzzy dedup: it
+    removes boilerplate segments fuzzy doc-level dedup keeps.  Returns
+    (id, n_chunks, n_dup, dup_frac) for documents with >= 1 duplicated
+    chunk; docs shorter than one chunk are excluded (no denominator).
+    """
+    staged = ensure_parallelism(df)
+    base = staged.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_chunks(tokens(text_col), chunk_tokens)).alias("chunks"),
+    ).filter(F.size("chunks") > 0)
+    ex = base.select("id", F.explode("chunks").alias("chunk"))
+    dfreq = ex.groupBy("chunk").agg(F.count(F.lit(1)).alias("dfreq"))
+    hits = (
+        ex.join(dfreq.filter(F.col("dfreq") >= min_doc_freq), "chunk")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    totals = base.select("id", F.size("chunks").cast("long").alias("n_chunks"))
+    return totals.join(F.broadcast(hits), "id").select(
+        "id",
+        "n_chunks",
+        F.col("n_dup").cast("long").alias("n_dup"),
+        F.round(F.col("n_dup") / F.col("n_chunks"), 6).alias("dup_frac"),
     )
 
 

@@ -55,6 +55,21 @@ def stratified_sample(
     return df.filter(key < thr)
 
 
+def weighted_sample(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
+    """Deterministic importance sampling with a PER-ROW keep probability:
+    keep a row iff hash_fraction(key) < weight, where ``weight`` is any
+    column expression in [0, 1] (e.g. a quality score mapped to a rate).
+
+    This is the up/down-weighting primitive corpus mixing needs (quality-
+    weighted retention, per-domain temperature sampling): membership is a
+    pure function of (key, weight-inputs), so the draw reproduces exactly
+    across partitionings, re-runs, and engines, and E[kept | row] = weight.
+    Map-side only — no shuffle, no state; at 100 TB it is a scan-speed
+    filter.  The hash fraction is a 32-bit md5 prefix over 2^32 (exactly
+    representable as a double on both sides of the oracle compare)."""
+    return df.filter(hash_fraction(F.col(key_col)) < weight)
+
+
 def source_quota(
     df: DataFrame, key_col: str, source_col: str, quota: int
 ) -> DataFrame:

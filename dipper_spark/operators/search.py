@@ -1,0 +1,186 @@
+"""Full-text relevance operators for corpus curation: BM25 query scoring
+and per-document TF-IDF keyword extraction.
+
+Beyond-reference operators (SURVEY §2's LLM-pipeline section): a
+training-data pipeline needs lexical retrieval both for corpus inspection
+("show me the docs most about X") and for targeted quality/topic filtering.
+Both operators are pure relational plans — no UDFs, no driver loops — and
+their arithmetic is written so a SQL oracle reproduces it bit-for-bit:
+
+- global corpus statistics (N, avg doc length, per-term doc frequency) are
+  integer-valued, and the average is computed as exact-integer sum/count, so
+  every downstream double is a deterministic function of integers;
+- BM25 per-document scores sum the per-term contributions in FIXED textual
+  term order inside one map-side expression (never a groupBy SUM whose
+  float addition order would depend on shuffle arrival).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dipper_spark.functions.text import tokens
+from dipper_spark.operators.util import ensure_parallelism
+
+_TERM_RE = re.compile(r"^[a-z0-9]+$")
+
+
+def _tf(term: str) -> Column:
+    """Term frequency inside the pre-tokenized ``_toks`` array.
+
+    SQL-text lambda, not F.filter(python_lambda): pyspark 4.1 reuses
+    lambda-variable ids across multiple higher-order functions in one
+    select (see operators/dedup.py:_signatures_from_sets) — with one tf
+    column per query term in a single select, expr() keeps each lambda in
+    its own scope."""
+    assert _TERM_RE.match(term), f"query term must be [a-z0-9]+: {term!r}"
+    return F.expr(f"CAST(size(filter(_toks, x -> x = '{term}')) AS DOUBLE)")
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents for a bag of query terms.
+
+    score(d) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                    · tf_td·(k1+1) / (tf_td + k1·(1 - b + b·|d|/avgdl))
+
+    Plan shape (the scale path): one corpus scan computes per-term tf and
+    doc length map-side; a single tiny aggregate derives ALL global stats
+    (N, Σ|d|, per-term document frequencies) as parallel aggregates in one
+    pass; the 1-row stats frame broadcasts back over the scan; scoring is a
+    map-side expression; the final top-k compiles to TakeOrderedAndProject
+    (per-partition partial top-k, no global sort).  Total cost: two corpus
+    scans, zero wide shuffles — at 100 TB the stats row is bytes.
+
+    Determinism: avgdl = Σ|d|/N is exact (integer-valued doubles below 2^53
+    sum exactly in any order); tf/df/N are integers; the per-doc score adds
+    its ≤|query| terms in fixed textual order — so the score doubles are
+    bit-identical on any engine and the (score DESC, id) ranking is stable.
+
+    Returns (id, score, rank), score rounded to 6, rank 1..k.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    )
+    base = base.select(
+        "id",
+        F.size("_toks").cast("double").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("double").alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    score = None
+    for i in range(len(query_terms)):
+        tf, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        )
+        contrib = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        score = contrib if score is None else score + contrib
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("score", score)
+        .filter(F.col("score") > 0)  # exact: all-zero tf sums to exactly 0.0
+        .select("id", "score")
+    )
+    top = scored.orderBy(F.desc("score"), "id").limit(k)
+    w = Window.orderBy(F.desc("score"), "id")
+    return top.select(
+        "id",
+        F.round("score", 6).alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the cheap LM-quality proxy (CCNet-style
+    perplexity filtering, degraded to order-0): documents of rare/garbage
+    tokens score low, fluent in-distribution text scores high.
+
+    Plan shape: explode → corpus term frequencies by hash-agg (map-side
+    combine) → frequency joined back on the term key → per-doc sum/count.
+    The total-token scalar is a broadcast 1-row frame.  Two keyed shuffles
+    (term, then doc id), both with partial aggregation — no UDFs, no
+    driver state.
+
+    Returns (id, n_tokens, avg_logprob) with avg_logprob = Σ ln(cnt/T)/n
+    rounded to 6 (per-doc float summation is ~hundreds of terms; the
+    1e-13-scale order sensitivity is far below the rounding grain).
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("cnt") / F.col("t"))).alias("_s"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(F.col("_s") / F.col("n_tokens"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Per-document top-``top_n`` keywords by TF-IDF (raw term count ×
+    ln(N/df)), ties broken lexically by term.
+
+    Plan shape: tokenize + explode → (doc, term) hash-agg for tf (map-side
+    partial combine absorbs within-partition repeats); term doc-frequency
+    is a second hash-agg OVER THE TF TABLE (already one row per (doc,term),
+    so df = count(*) — no distinct needed); df joins back on the term key
+    (AQE broadcasts it when the vocabulary is small, sort-merge otherwise —
+    natural-language vocabularies grow ~O(corpus^0.5) [Heaps' law], so the
+    join stays far below corpus scale); final per-doc ranking is one window
+    over the doc key.
+
+    Determinism: tfidf = tf·ln(N/df) is a pure function of three integers —
+    identical doubles on any engine; equal scores tie-break on the term.
+
+    Returns (id, term, tfidf, rank) with tfidf rounded to 6.
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("dft")))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

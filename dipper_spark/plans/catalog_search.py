@@ -1,0 +1,215 @@
+"""Query catalog, part 4: corpus curation round 2 — chunk-level dedup,
+BM25 retrieval, TF-IDF keywords, Gopher-style quality rules, weighted
+importance sampling.
+
+Oracle parity notes (same discipline as catalog_text):
+- BM25/TF-IDF doubles are pure functions of integer stats (tf, df, N,
+  exact avgdl), summed in fixed textual order — bit-identical cross-engine;
+- rule flags are INT 0/1, never BOOLEAN (hash-render portability);
+- the weighted-sample threshold compare runs on exact doubles (32-bit md5
+  prefix / 2^32) so membership is identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dipper_spark.functions.text import quality_rules, quality_score, tokens
+from dipper_spark.operators.dedup import chunk_dedup
+from dipper_spark.operators.sampling import weighted_sample
+from dipper_spark.operators.search import bm25_topk, tfidf_keywords
+from dipper_spark.plans.catalog import register
+from dipper_spark.plans.catalog_text import (
+    LANG_MARKERS,
+    TOK,
+    _lang_hits_sql,
+    _shingles_sql,
+)
+from dipper_spark.session import load_table
+
+# ---- chunk-level dedup (RefinedWeb line-dedup analog) ------------------------
+
+_CHUNK = 10
+
+_CHUNKS_SQL = (
+    f"list_distinct(list_transform(range(0, len({TOK}) // {_CHUNK}), "
+    f"i -> array_to_string(({TOK})[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ')))"
+)
+
+
+@register(
+    "q_chunk_dedup",
+    f"""
+    WITH ch AS (
+      SELECT doc_id AS id, {_CHUNKS_SQL} AS chunks
+      FROM documents WHERE len({TOK}) >= {_CHUNK}),
+    ex AS (SELECT id, unnest(chunks) AS chunk FROM ch),
+    dfq AS (SELECT chunk, count(*) AS dfreq FROM ex GROUP BY chunk),
+    hits AS (SELECT id, count(*) AS n_dup
+             FROM ex JOIN dfq USING (chunk) WHERE dfreq >= 2 GROUP BY id)
+    SELECT c.id AS id, CAST(len(c.chunks) AS BIGINT) AS n_chunks,
+           CAST(h.n_dup AS BIGINT) AS n_dup,
+           round(h.n_dup / CAST(len(c.chunks) AS DOUBLE), 6) AS dup_frac
+    FROM ch c JOIN hits h ON h.id = c.id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup profile: non-overlapping 10-token chunks,
+    flagging chunks occurring verbatim in >= 2 documents — the line-dedup
+    pass production pipelines run alongside fuzzy doc-level dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(docs, "doc_id", "text", chunk_tokens=_CHUNK, min_doc_freq=2)
+
+
+# ---- BM25 retrieval ----------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql(terms: list[str], k: int, k1: float, b: float) -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter({TOK}, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE tf{i} > 0) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    # fixed textual term order — the same addition order the Spark side uses
+    score = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0!r}"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id, CAST(len({TOK}) AS DOUBLE) AS dl, {tf_cols}
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_cols}
+      FROM base),
+    scored AS (
+      SELECT id, ({score}) AS s FROM base CROSS JOIN stats)
+    SELECT id, round(s, 6) AS score, rank FROM (
+      SELECT id, s,
+             CAST(row_number() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank
+      FROM scored WHERE s > 0)
+    WHERE rank <= {k}
+    """
+
+
+@register("q_bm25_topk", _bm25_sql(_BM25_TERMS, 10, _BM25_K1, _BM25_B))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {spark, join, window}: broadcast 1-row
+    corpus stats, map-side scoring, TakeOrdered top-k — zero wide shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+# ---- TF-IDF keywords ---------------------------------------------------------
+
+
+@register(
+    "q_tfidf_keywords",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, unnest({TOK}) AS term FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+    dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT id, term, tf * ln(n_docs / dft) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+    SELECT id, term, round(tfidf, 6) AS tfidf, rank FROM (
+      SELECT id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY id
+                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (raw tf × ln(N/df), lexical
+    tie-break) — the corpus-inspection staple."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "doc_id", "text", top_n=3)
+
+
+# ---- Gopher-style quality rules ----------------------------------------------
+
+_STOP_SQL = _lang_hits_sql(LANG_MARKERS["en"])
+_MEANC_SQL = f"(length(array_to_string({TOK}, '')) / CAST(len({TOK}) AS DOUBLE))"
+_ALPHA_SQL = (
+    f"(len(list_filter({TOK}, x -> regexp_full_match(x, '[a-z]+')))"
+    f" / CAST(len({TOK}) AS DOUBLE))"
+)
+_REP3_SQL = (
+    "CASE WHEN len({sh}) > 0 "
+    "THEN round(1.0 - len(list_distinct({sh})) / CAST(len({sh}) AS DOUBLE), 6) "
+    "ELSE 0.0 END"
+).format(sh=_shingles_sql(TOK, 3))
+
+_RULES_SQL = {
+    "r_len": f"len({TOK}) BETWEEN 50 AND 100000",
+    "r_word_len": f"({_MEANC_SQL} >= 3.0 AND {_MEANC_SQL} <= 10.0)",
+    "r_stop": f"{_STOP_SQL} >= 2",
+    "r_alpha": f"{_ALPHA_SQL} >= 0.8",
+    "r_rep": f"{_REP3_SQL} < 0.2",
+}
+
+
+@register(
+    "q_quality_rules",
+    f"""
+    SELECT doc_id,
+           CAST(len({TOK}) AS BIGINT) AS n_tokens,
+           {", ".join(f"CAST(CASE WHEN {c} THEN 1 ELSE 0 END AS INT) AS {n}" for n, c in _RULES_SQL.items())},
+           CAST(CASE WHEN {" AND ".join(_RULES_SQL.values())} THEN 1 ELSE 0 END AS INT) AS passed
+    FROM documents
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule breakdown: per-document 0/1 flags for
+    length / mean-word-length / stopword / alphabetic-ratio / repetition
+    rules plus the overall pass — one map pass, pure column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = quality_rules("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in rules.items()])
+
+
+# ---- weighted importance sampling --------------------------------------------
+
+_QUALITY_SQL = f"""
+    round(least(len({TOK}) / 100.0, 1.0) * 0.5
+          + (len(list_distinct({TOK})) / CAST(len({TOK}) AS DOUBLE)) * 0.3
+          + least(({_STOP_SQL} / CAST(len({TOK}) AS DOUBLE)) * 10.0, 1.0) * 0.2,
+          6)
+"""
+
+_HASH_FRAC_SQL = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+
+
+@register(
+    "q_weighted_sample",
+    f"""
+    SELECT doc_id, lang, round(w, 6) AS keep_weight FROM (
+      SELECT doc_id, lang, 0.1 + 0.8 * ({_QUALITY_SQL}) AS w FROM documents)
+    WHERE {_HASH_FRAC_SQL} < w
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep probability
+    0.1 + 0.8·quality per document, membership a pure hash function of the
+    id — the reproducible corpus-mixing primitive (map-side, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(0.1) + F.lit(0.8) * quality_score("text")
+    return weighted_sample(docs.withColumn("_w", w), "doc_id", F.col("_w")).select(
+        "doc_id", "lang", F.round("_w", 6).alias("keep_weight")
+    )
