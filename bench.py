@@ -38,6 +38,10 @@ HEADLINE = [
     "q_source_quota",
     "q_token_stats",
     "q_quality_rules",
+    "q_unigram_logprob",
+    "q_length_percentiles",
+    "q_anonymize",
+    "q_label_centroids",
     "q_weighted_sample",
     "q_bm25_topk",
     "q_tfidf_keywords",

@@ -73,6 +73,35 @@ def group_zscore(
     )
 
 
+def group_percentiles(
+    df: DataFrame,
+    group: str | list[str],
+    value: Column | str,
+    probs: list[float],
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value`` per group — the corpus
+    length-distribution report (p50/p90/p99 tokens per source et al.).
+
+    Uses the EXACT ``percentile`` aggregate, not approx_percentile: the
+    linear-interpolation-at-rank-(n-1)p definition is shared by DuckDB's
+    quantile_cont / Trino et al., so results are engine-portable and
+    oracle-checkable; approx sketches are not.  All requested percentiles
+    compute in ONE aggregate pass (a single sort per group inside the
+    aggregate, one shuffle on the group key).  Exactness costs a per-group
+    value buffer — right for per-group reporting where groups are bounded;
+    switch to approx_percentile for unbounded single-group scans."""
+    group_cols = [group] if isinstance(group, str) else list(group)
+    v = F.col(value) if isinstance(value, str) else value
+    names = names or [f"p{int(p * 100)}" for p in probs]
+    pct = F.percentile(v, F.array(*[F.lit(p) for p in probs]))
+    out = df.groupBy(*group_cols).agg(pct.alias("_pct"))
+    return out.select(
+        *group_cols,
+        *[F.round(F.col("_pct")[i], 6).alias(n) for i, n in enumerate(names)],
+    )
+
+
 def hit_miss_counts(matched: DataFrame, missed: DataFrame) -> DataFrame:
     """Hit/miss counters as a tiny metrics DataFrame.
 

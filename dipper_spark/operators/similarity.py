@@ -233,6 +233,25 @@ def kmeans_centroids(
     return centroids
 
 
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Mean-pool embeddings per label — the centroid/prototype aggregation
+    (cluster summaries, class prototypes, dataset-cartography anchors).
+
+    Long relational form: posexplode → groupBy(label, dim) → avg — one
+    shuffle on (label, dim) with map-side partial sums, so a label with a
+    billion members costs the same shuffle rows as one with ten.  Returns
+    (label, dim, mean_v) with ``dim`` 0-based; callers wanting arrays
+    re-assemble with sort_array(collect_list(struct(dim, mean_v))) (see
+    kmeans_centroids, the consumer of the same pattern)."""
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("mean_v"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -196,6 +196,120 @@ _HASH_FRAC_SQL = (
 )
 
 
+# ---- unigram LM quality proxy ------------------------------------------------
+
+
+@register(
+    "q_unigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, unnest({TOK}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln(cnt / t)) / count(*), 6) AS avg_logprob
+    FROM tok JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM — the order-0 perplexity-filtering proxy (CCNet-style)."""
+    from dipper_spark.operators.search import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text")
+
+
+# ---- per-label embedding centroids -------------------------------------------
+
+
+@register(
+    "q_label_centroids",
+    """
+    SELECT label, CAST(dim AS INT) AS dim, round(avg(CAST(v AS DOUBLE)), 6) AS mean_v
+    FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(embedding) AS v
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embedding centroid per cluster label, long (label, dim)
+    form — one keyed shuffle with map-side partial sums."""
+    from dipper_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_centroids(emb, "label", "embedding")
+    return out.select("label", "dim", F.round("mean_v", 6).alias("mean_v"))
+
+
+# ---- corpus length-distribution report ---------------------------------------
+
+
+@register(
+    "q_length_percentiles",
+    f"""
+    SELECT source,
+           round(quantile_cont(n, 0.5), 6) AS p50,
+           round(quantile_cont(n, 0.9), 6) AS p90,
+           round(quantile_cont(n, 0.99), 6) AS p99
+    FROM (SELECT source, len({TOK}) AS n FROM documents)
+    GROUP BY source
+    """,
+)
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated token-length percentiles per source — the corpus
+    length-distribution report; EXACT percentile (portable interpolation
+    semantics), all three probs in one aggregate pass."""
+    from dipper_spark.functions.text import token_count
+    from dipper_spark.operators.aggregates import group_percentiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    lengths = docs.select("source", token_count("text").alias("n"))
+    return group_percentiles(lengths, "source", "n", [0.5, 0.9, 0.99])
+
+
+# ---- anonymization / k-anonymity audit ---------------------------------------
+
+_ANON_K = 5
+_ANON_SALT = "corpus-v1"
+
+
+@register(
+    "q_anonymize",
+    f"""
+    SELECT c_custkey,
+           md5('{_ANON_SALT}:' || c_name) AS pseudonym,
+           CAST(floor(c_acctbal / 500.0) AS BIGINT) * 500 AS acctbal_band,
+           c_nationkey, c_mktsegment,
+           CAST(count(*) OVER w AS BIGINT) AS group_n,
+           CAST(CASE WHEN count(*) OVER w < {_ANON_K} THEN 1 ELSE 0 END AS INT)
+             AS suppressed
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment)
+    """,
+)
+def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-hygiene pass over customer records: salted pseudonym for the
+    direct identifier, banded account balance, and a k-anonymity audit on
+    the (nation, segment) quasi-identifier pair — rows in groups smaller
+    than k={_ANON_K} flagged for suppression."""
+    from dipper_spark.operators.governance import (
+        generalize_numeric,
+        k_anonymity_annotate,
+        pseudonym,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        pseudonym("c_name", _ANON_SALT).alias("pseudonym"),
+        generalize_numeric("c_acctbal", 500.0).alias("acctbal_band"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    return k_anonymity_annotate(cust, ["c_nationkey", "c_mktsegment"], k=_ANON_K)
+
+
 @register(
     "q_weighted_sample",
     f"""

@@ -156,6 +156,74 @@ class TestQualityRules:
         assert "Exchange" not in plan and "Python" not in plan
 
 
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        from dipper_spark.operators.search import unigram_logprob
+
+        docs = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+        got = {r.id: (r.n_tokens, r.avg_logprob)
+               for r in unigram_logprob(docs, "doc_id", "text").collect()}
+        # freq: a=2, b=2, c=1; T=5
+        assert got[1] == (3, round(math.log(2 / 5), 6))
+        assert got[2] == (2, round((math.log(2 / 5) + math.log(1 / 5)) / 2, 6))
+        # in-distribution text scores strictly higher than the rare-token doc
+        assert got[1][1] > got[2][1]
+
+
+class TestGroupPercentiles:
+    def test_interpolation_matches_quantile_cont(self, spark):
+        from dipper_spark.operators.aggregates import group_percentiles
+
+        rows = [("a", i) for i in range(1, 11)] + [("b", 7)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {r.g: r for r in group_percentiles(df, "g", "v", [0.5, 0.9, 0.99]).collect()}
+        # rank-(n-1)p linear interpolation (same values DuckDB quantile_cont gives)
+        assert (got["a"].p50, got["a"].p90, got["a"].p99) == (5.5, 9.1, 9.91)
+        assert (got["b"].p50, got["b"].p90, got["b"].p99) == (7.0, 7.0, 7.0)
+
+
+class TestLabelCentroids:
+    def test_mean_pool(self, spark):
+        from dipper_spark.operators.similarity import label_centroids
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [5.0, 5.0])],
+            ["label", "embedding"],
+        )
+        got = {(r.label, r.dim): r.mean_v for r in label_centroids(df).collect()}
+        assert got == {(0, 0): 2.0, (0, 1): 4.0, (1, 0): 5.0, (1, 1): 5.0}
+
+
+class TestGovernance:
+    def test_pseudonym_stable_and_salted(self, spark):
+        from dipper_spark.operators.governance import pseudonym
+
+        df = spark.createDataFrame([("alice",), ("alice",), ("bob",)], ["name"])
+        out = df.select(
+            pseudonym("name", "s1").alias("p1"), pseudonym("name", "s2").alias("p2")
+        ).collect()
+        assert out[0].p1 == out[1].p1          # stable per value
+        assert out[0].p1 != out[2].p1          # distinct values differ
+        assert out[0].p1 != out[0].p2          # salt changes the mapping
+
+    def test_generalize_negative_band(self, spark):
+        from dipper_spark.operators.governance import generalize_numeric
+
+        df = spark.createDataFrame([(1, -123.4), (2, 123.4), (3, 999.9)], ["id", "v"])
+        got = {r.id: r.b for r in df.select("id", generalize_numeric("v", 500.0).alias("b")).collect()}
+        assert got == {1: -500, 2: 0, 3: 500}  # floor semantics, negatives band down
+
+    def test_k_anonymity_flags_small_groups(self, spark):
+        from dipper_spark.operators.governance import k_anonymity_annotate
+
+        rows = [(i, "x", "u") for i in range(6)] + [(10, "y", "u"), (11, "y", "v")]
+        df = spark.createDataFrame(rows, ["id", "qa", "qb"])
+        got = {r.id: (r.group_n, r.suppressed)
+               for r in k_anonymity_annotate(df, ["qa", "qb"], k=3).collect()}
+        assert got[0] == (6, 0)
+        assert got[10] == (1, 1) and got[11] == (1, 1)
+
+
 class TestWeightedSample:
     def test_boundary_weights(self, spark):
         df = spark.range(500).withColumnRenamed("id", "doc_id")
