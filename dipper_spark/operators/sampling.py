@@ -55,6 +55,59 @@ def stratified_sample(
     return df.filter(key < thr)
 
 
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture resampling: draw a ``target_frac`` subset
+    whose source mixture follows p_s^alpha (renormalized) instead of the
+    raw corpus shares — the standard pretraining up/down-weighting of rare
+    vs dominant sources (alpha<1 flattens, alpha=1 keeps proportions).
+
+    Per-source Bernoulli rate: rate_s = min(1, target_frac · q_s / p_s)
+    with p_s the corpus share and q_s = p_s^alpha / Σ p_t^alpha; membership
+    is the deterministic md5-hash draw (see :func:`weighted_sample`), so
+    the sample reproduces exactly on any partitioning/engine.
+
+    Plan shape: one groupBy(source) count (map-side partials), the rate
+    table computed ON the #sources-row frame (the unpartitioned window is
+    over sources, not rows — bounded by the source vocabulary), broadcast
+    back, map-side filter.  Two corpus scans, zero wide shuffles.
+
+    alpha=0.5 computes p^alpha via sqrt (IEEE-exact, so bit-identical
+    across engines); other alphas use pow (within 1 ulp per libm — the
+    threshold compare is still deterministic to ~1e-16 boundary mass).
+    Rates are exact in expectation; realized counts deviate
+    O(1/sqrt(N_s)) per source.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    total = counts.agg(F.sum("n_s").alias("n"))
+    rates = counts.crossJoin(F.broadcast(total)).withColumn(
+        "p", F.col("n_s") / F.col("n")
+    )
+    w = F.sqrt(F.col("p")) if alpha == 0.5 else F.pow(F.col("p"), F.lit(alpha))
+    rates = rates.withColumn("w", w).withColumn(
+        "q", F.col("w") / F.sum("w").over(Window.partitionBy())
+    )
+    rates = rates.select(
+        "_src",
+        F.least(F.lit(1.0), F.lit(target_frac) * F.col("q") / F.col("p")).alias(
+            "keep_rate"
+        ),
+    )
+    joined = df.join(
+        F.broadcast(rates), F.col(source_col) == F.col("_src")
+    ).drop("_src")
+    return joined.filter(hash_fraction(F.col(key_col)) < F.col("keep_rate"))
+
+
 def weighted_sample(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
     """Deterministic importance sampling with a PER-ROW keep probability:
     keep a row iff hash_fraction(key) < weight, where ``weight`` is any

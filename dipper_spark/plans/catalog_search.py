@@ -196,6 +196,44 @@ _HASH_FRAC_SQL = (
 )
 
 
+# ---- temperature-based mixture resampling ------------------------------------
+
+_TEMP_ALPHA, _TEMP_FRAC = 0.5, 0.3
+
+
+@register(
+    "q_temperature_sample",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_s) AS DOUBLE) AS n FROM counts),
+    shares AS (
+      SELECT source, n_s / n AS p, sqrt(n_s / n) AS w FROM counts CROSS JOIN tot),
+    norm AS (SELECT sum(w) AS wsum FROM shares),
+    rates AS (
+      SELECT source, least(1.0, {_TEMP_FRAC} * (w / wsum) / p) AS keep_rate
+      FROM shares CROSS JOIN norm)
+    SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0) < r.keep_rate
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (alpha=0.5, target 30%): rare
+    sources up-weight toward the p^alpha mixture; the per-source rate table
+    is broadcast and membership is the deterministic md5 draw."""
+    from dipper_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_resample(
+        docs, "doc_id", "source", alpha=_TEMP_ALPHA, target_frac=_TEMP_FRAC
+    )
+    return out.select(
+        "doc_id", "source", F.round("keep_rate", 6).alias("keep_rate")
+    )
+
+
 # ---- unigram LM quality proxy ------------------------------------------------
 
 

@@ -104,6 +104,40 @@ class TestJoinStrategies:
         assert "BroadcastNestedLoopJoin" in plan
 
 
+class TestRound5Plans:
+    def test_chunk_dedup_no_cartesian(self, spark, sf):
+        # chunk dedup is hash-aggs + equi-joins on the chunk/id keys
+        plan = plan_of(QUERIES["q_chunk_dedup"](spark, sf))
+        assert "CartesianProduct" not in plan
+
+    def test_bm25_is_broadcast_stats_plus_take_ordered(self, spark, sf):
+        # the only join is the 1-row stats broadcast; top-k must be the
+        # partial-per-partition TakeOrdered, never a global sort
+        plan = plan_of(QUERIES["q_bm25_topk"](spark, sf))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_unigram_logprob_freq_join_is_keyed(self, spark, sf):
+        plan = plan_of(QUERIES["q_unigram_logprob"](spark, sf))
+        assert "CartesianProduct" not in plan
+
+    def test_quality_rules_scan_only(self, spark, sf):
+        # pure column expressions: no exchange, no python
+        plan = plan_of(QUERIES["q_quality_rules"](spark, sf))
+        assert "Exchange" not in plan
+
+    def test_weighted_sample_filter_reaches_scan_stage(self, spark, sf):
+        plan = plan_of(QUERIES["q_weighted_sample"](spark, sf))
+        assert "Exchange" not in plan  # map-side membership, no shuffle
+
+    def test_anonymize_single_window_shuffle(self, spark, sf):
+        # one analytic window over the quasi-identifier key: exactly one
+        # hash-partitioning exchange
+        plan = plan_of(QUERIES["q_anonymize"](spark, sf))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
 class TestCodegen:
     def test_headline_aggregate_is_whole_stage_codegen(self, spark, sf):
         # the '*(n)' stage prefix is the WholeStageCodegen marker in
@@ -115,7 +149,10 @@ class TestCodegen:
         # every oracle-checked relational query stays JVM-side; Python
         # appears only in the explicitly-Arrow paths (multimodal, xml scan)
         for name in ("q_pricing_summary", "q_star_join_revenue", "q_topk_per_group",
-                     "q_minhash_lsh", "q_simhash", "q_lang_id"):
+                     "q_minhash_lsh", "q_simhash", "q_lang_id",
+                     "q_chunk_dedup", "q_bm25_topk", "q_tfidf_keywords",
+                     "q_quality_rules", "q_weighted_sample", "q_unigram_logprob",
+                     "q_label_centroids", "q_length_percentiles", "q_anonymize"):
             plan = plan_of(QUERIES[name](spark, sf))
             assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name

@@ -224,6 +224,42 @@ class TestGovernance:
         assert got[10] == (1, 1) and got[11] == (1, 1)
 
 
+class TestTemperatureResample:
+    def test_flattens_mixture_and_reproduces(self, spark):
+        from dipper_spark.operators.sampling import temperature_resample
+
+        # 9:1 source imbalance; alpha=0.5 must up-weight the rare source
+        rows = [(i, "big" if i < 3600 else "small") for i in range(4000)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = temperature_resample(df, "doc_id", "source", alpha=0.5, target_frac=0.3)
+        rates = {r.source: r.keep_rate for r in out.select("source", "keep_rate").distinct().collect()}
+        assert rates["small"] > rates["big"]
+        # q_s/p_s = sqrt-flattening: small source rate = 0.3*(sqrt(.1)/wsum)/.1
+        import math
+
+        wsum = math.sqrt(0.9) + math.sqrt(0.1)
+        assert abs(rates["small"] - min(1.0, 0.3 * (math.sqrt(0.1) / wsum) / 0.1)) < 1e-12
+        # deterministic across partitionings
+        ids1 = {r.doc_id for r in out.collect()}
+        ids2 = {
+            r.doc_id
+            for r in temperature_resample(
+                df.repartition(11), "doc_id", "source", 0.5, 0.3
+            ).collect()
+        }
+        assert ids1 == ids2
+
+    def test_rate_capped_at_one(self, spark):
+        from dipper_spark.operators.sampling import temperature_resample
+
+        # extreme imbalance: the rare source's boosted rate must clamp to 1
+        rows = [(i, "big" if i < 999 else "tiny") for i in range(1000)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = temperature_resample(df, "doc_id", "source", alpha=0.5, target_frac=0.9)
+        kept_tiny = out.filter(F.col("source") == "tiny")
+        assert kept_tiny.count() == 1  # rate 1.0 keeps the single row
+
+
 class TestWeightedSample:
     def test_boundary_weights(self, spark):
         df = spark.range(500).withColumnRenamed("id", "doc_id")
