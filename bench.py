@@ -37,6 +37,8 @@ HEADLINE = [
     "q_stratified_sample",
     "q_source_quota",
     "q_token_stats",
+    "q_bpe_token_count",
+    "q_rolling_fingerprint",
     "q_quality_rules",
     "q_unigram_logprob",
     "q_length_percentiles",

@@ -101,6 +101,43 @@ def prefix_fingerprint(col: Column | str, n_tokens: int = 8) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)))
 
 
+#: BPE-ish pre-tokenizer: letter runs / digit runs / single non-alnum marks —
+#: the GPT-2 pre-tokenization regex stripped of its contraction/unicode
+#: classes so the SAME pattern runs on Spark (java.util.regex) and the
+#: DuckDB oracle (RE2) with identical match semantics.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-style pre-tokenization (letter runs, digit runs, punctuation
+    marks) after lowering — the token-accounting granularity LLM pipelines
+    budget in, vs the whitespace tokens of :func:`tokens`."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def rolling_fingerprint(
+    text_col: str, base: int = 131, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial (Rabin–Karp-style) rolling hash over whitespace tokens:
+    fp = fold(tokens, 0, acc·base + h(tok) mod m) with h(tok) the 32-bit
+    md5 prefix mod m.  Order-SENSITIVE — the complement of the bag-of-words
+    :func:`doc_fingerprint`: token transpositions change this fingerprint
+    but not that one.  All arithmetic stays below 2^63 (acc < m ≈ 1e9, so
+    acc·131 + h < 1.4e11), so ANSI overflow checking never fires and the
+    fold is bit-identical in any engine with 64-bit integers.
+
+    Built as one SQL-text expression (nested transform+aggregate lambdas
+    each get their own scope — see operators/dedup.py on pyspark 4.1's
+    lambda-id reuse); takes a column NAME for that reason."""
+    return F.expr(
+        f"aggregate("
+        f"  transform(split(lower(trim({text_col})), '\\\\s+'),"
+        f"    t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {mod}),"
+        f"  CAST(0 AS BIGINT),"
+        f"  (acc, x) -> (acc * {base} + x) % {mod})"
+    )
+
+
 def token_chunks(toks: Column, chunk_tokens: int = 10) -> Column:
     """Non-overlapping fixed-width token chunks — the dedup unit of
     RefinedWeb-style line-level dedup, generalized to token windows (the

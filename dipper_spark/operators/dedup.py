@@ -423,7 +423,10 @@ def chunk_dedup(
     3. doc-freq joined back on the chunk key (one shuffle; duplicated-chunk
        volume, not corpus volume, survives the filter);
     4. per-doc duplicated-chunk counts re-joined to the map-side chunk
-       totals (the hit side is contamination-sized → broadcast).
+       totals.  Unlike decontaminate's hit side (contamination-sized by
+       nature), a boilerplate-heavy corpus can have MOST docs carrying a
+       duplicated chunk — so the re-join is a plain equi-join on the id and
+       AQE broadcast-converts it only when the hit side actually is small.
 
     Unlike MinHash/SimHash this is EXACT — the unit is the verbatim chunk —
     which is why production pipelines run it alongside fuzzy dedup: it
@@ -444,7 +447,7 @@ def chunk_dedup(
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )
     totals = base.select("id", F.size("chunks").cast("long").alias("n_chunks"))
-    return totals.join(F.broadcast(hits), "id").select(
+    return totals.join(hits, "id").select(
         "id",
         "n_chunks",
         F.col("n_dup").cast("long").alias("n_dup"),

@@ -196,6 +196,63 @@ _HASH_FRAC_SQL = (
 )
 
 
+# ---- BPE-ish token accounting ------------------------------------------------
+
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "q_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS BIGINT) AS n_bpe,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word,
+           CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_num,
+           CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS n_other
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting (letter runs / digit runs / marks) — the
+    budgeting granularity LLM pipelines report, next to whitespace tokens."""
+    from dipper_spark.functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_bpe"),
+        F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), 0)).cast("long").alias("n_word"),
+        F.size(F.regexp_extract_all(low, F.lit("[0-9]+"), 0)).cast("long").alias("n_num"),
+        F.size(F.regexp_extract_all(low, F.lit(r"[^a-z0-9\s]"), 0)).cast("long").alias("n_other"),
+    )
+
+
+# ---- order-sensitive rolling-hash fingerprint --------------------------------
+
+
+@register(
+    "q_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({TOK},
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000000007)),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint per document
+    (Rabin–Karp fold over the token stream) — detects re-orderings the
+    bag-of-words md5 fingerprint is blind to.  Pure map pass."""
+    from dipper_spark.functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
+
+
 # ---- temperature-based mixture resampling ------------------------------------
 
 _TEMP_ALPHA, _TEMP_FRAC = 0.5, 0.3

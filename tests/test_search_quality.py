@@ -156,6 +156,45 @@ class TestQualityRules:
         assert "Exchange" not in plan and "Python" not in plan
 
 
+class TestBpeIshAndRollingHash:
+    def test_bpe_tokens_split_runs_and_marks(self, spark):
+        from dipper_spark.functions.text import bpe_ish_tokens
+
+        df = spark.createDataFrame([(1, "Ab12 x-y!")], ["doc_id", "text"])
+        got = df.select(bpe_ish_tokens("text").alias("t")).first().t
+        assert got == ["ab", "12", "x", "-", "y", "!"]
+
+    def test_rolling_fingerprint_is_order_sensitive(self, spark):
+        from dipper_spark.functions.text import doc_fingerprint, rolling_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha")], ["doc_id", "text"]
+        )
+        rows = df.select(
+            "doc_id",
+            rolling_fingerprint("text").alias("rfp"),
+            doc_fingerprint("text").alias("bag"),
+        ).collect()
+        by_id = {r.doc_id: r for r in rows}
+        # transposition: bag fingerprint identical, rolling hash differs
+        assert by_id[1].bag == by_id[2].bag
+        assert by_id[1].rfp != by_id[2].rfp
+        assert 0 <= by_id[1].rfp < 1_000_000_007
+
+    def test_rolling_fingerprint_matches_python_fold(self, spark):
+        import hashlib
+
+        from dipper_spark.functions.text import rolling_fingerprint
+
+        text, mod, base = "the quick fox", 1_000_000_007, 131
+        acc = 0
+        for t in text.split():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % mod
+            acc = (acc * base + h) % mod
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        assert df.select(rolling_fingerprint("text").alias("f")).first().f == acc
+
+
 class TestUnigramLogprob:
     def test_hand_computed(self, spark):
         from dipper_spark.operators.search import unigram_logprob
