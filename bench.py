@@ -31,6 +31,8 @@ HEADLINE = [
     "q_windowed_events",
     "q_hash_ids",
     "q_range_join",
+    "q_asof_join",
+    "q_vec_quantize",
     # LLM-pipeline operators
     "q_doc_fingerprint",
     "q_repetition",

@@ -153,3 +153,70 @@ def anti_join(df: DataFrame, other: DataFrame, on: str | list[str]) -> DataFrame
     """Non-existence check (reference: KEGG omim↔disease reconciliation
     branches, KEGG.py:466-634)."""
     return df.join(other, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tiebreak: str | None = None,
+    match_col: str = "asof",
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row of the same
+    key with right_ts <= left_ts (backward direction — the attribution /
+    point-in-time-lookup primitive; DuckDB/kdb ASOF JOIN semantics).
+
+    Beyond-reference operator.  Scale shape — the sort-merge-asof form, NOT
+    the naive inequality join: both sides are tagged and UNIONed, then ONE
+    window per key (ordered by time, right rows before left rows at equal
+    timestamps, so a simultaneous right row is visible to the left row)
+    forward-fills the most recent right payload via last(ignorenulls).
+    Cost: a single shuffle on the key and one sort within partitions —
+    independent of match multiplicity, where the inequality-join form
+    explodes each left row against every earlier right row before pruning
+    to rank 1.
+
+    ``tiebreak`` (a right-side column) makes the pick among equal
+    (key, right_ts) rows deterministic: the greatest tiebreak value wins.
+    Returns every left column plus ``match_col`` — a struct of the matched
+    right row's columns, NULL when no right row precedes the left row
+    (filter it out for inner semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r_payload = [c for c in right.columns if c not in keys]
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    r_struct = F.struct(*[F.col(c) for c in r_payload])
+    l_type = left.select(l_struct.alias("_s")).schema["_s"].dataType
+    r_type = right.select(r_struct.alias("_s")).schema["_s"].dataType
+
+    tagged_l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        l_struct.alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+        F.lit(None).cast("string").alias("_tie"),
+    )
+    tagged_r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_type).alias("_l"),
+        r_struct.alias("_r"),
+        (F.col(tiebreak).cast("string") if tiebreak else F.lit(None).cast("string")).alias("_tie"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc(), F.col("_tie").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        tagged_l.unionByName(tagged_r)
+        .withColumn(match_col, F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+    )
+    return filled.select(*[F.col(f"_l.{c}").alias(c) for c in left.columns], match_col)

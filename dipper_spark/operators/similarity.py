@@ -340,3 +340,36 @@ def blocked_neardup(emb: DataFrame, block_col: str = "label", threshold: float =
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("b").alias(block_col), "id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
+    floor(x_i/scale + 0.5) — the memory-bandwidth lever for 100 TB vector
+    search (4x smaller scans; reconstruction error bounded by scale/2 per
+    component).
+
+    Rounding is written as floor(x + 0.5) explicitly, NOT round(): SQL
+    engines disagree on round-half semantics (HALF_UP vs banker's), while
+    floor is floor everywhere — the oracle must reproduce every code
+    bit-for-bit.  All math in double before the int cast.  Zero vectors
+    quantize to zeros with scale 0.  Pure map pass, no shuffle.
+
+    Returns (id, scale, qvec array<int>).
+    """
+    out = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .withColumn(
+            "scale",
+            F.expr("array_max(transform(_v, x -> abs(CAST(x AS DOUBLE)))) / 127.0"),
+        )
+        .withColumn(
+            "qvec",
+            F.expr(
+                "transform(_v, x -> CAST(CASE WHEN scale = 0 THEN 0"
+                " ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INT))"
+            ),
+        )
+    )
+    return out.select("id", "scale", "qvec")

@@ -196,6 +196,86 @@ _HASH_FRAC_SQL = (
 )
 
 
+# ---- int8 vector quantization ------------------------------------------------
+
+
+@register(
+    "q_vec_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings)
+    SELECT vec_id, CAST(dim AS INT) AS dim, qval, round(scale, 6) AS scale6 FROM (
+      SELECT vec_id, scale,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(list_transform(embedding,
+               x -> CAST(CASE WHEN scale = 0 THEN 0
+                         ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INT)))
+               AS qval
+      FROM s)
+    """,
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column, exploded to
+    (vec_id, dim, qval) long form with the per-vector scale — floor(x+0.5)
+    rounding so both engines agree bit-for-bit."""
+    from dipper_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.posexplode("qvec").alias("dim", "qval"),
+        F.round("scale", 6).alias("scale6"),
+    ).select("vec_id", "dim", "qval", "scale6")
+
+
+# ---- as-of join (event attribution) ------------------------------------------
+
+
+@register(
+    "q_asof_join",
+    """
+    WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    clk AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+            WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           epoch_us(e.ts) AS err_us,
+           c.click_id,
+           epoch_us(c.cts) AS click_us,
+           epoch_us(e.ts) - epoch_us(c.cts) AS gap_us
+    FROM err e ASOF JOIN clk c ON e.user_id = c.user_id AND e.ts >= c.cts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event attributed to the user's most recent
+    preceding click — the sort-merge-asof form (union + one keyed window),
+    checked against DuckDB's native ASOF JOIN.  Inner semantics (errors
+    with no prior click drop out)."""
+    from dipper_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    j = asof_join(err, clk, on="user_id", left_ts="ts", right_ts="cts",
+                  tiebreak="click_id")
+    # ts is TIMESTAMP_NTZ (session TZ pinned UTC, so the cast is identity)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.filter(F.col("asof").isNotNull()).select(
+        "event_id",
+        "user_id",
+        us("ts").alias("err_us"),
+        F.col("asof.click_id").alias("click_id"),
+        us("asof.cts").alias("click_us"),
+        (us("ts") - us("asof.cts")).alias("gap_us"),
+    )
+
+
 # ---- BPE-ish token accounting ------------------------------------------------
 
 _BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"

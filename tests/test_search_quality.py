@@ -263,6 +263,76 @@ class TestGovernance:
         assert got[10] == (1, 1) and got[11] == (1, 1)
 
 
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(100, 1, 10), (101, 1, 20), (102, 2, 7)], ["event_id", "user_id", "ts"]
+        )
+        right = spark.createDataFrame(
+            [(9000, 1, 5), (9001, 1, 15), (9002, 1, 25), (9003, 3, 1)],
+            ["click_id", "user_id", "cts"],
+        )
+        return left, right
+
+    def test_backward_match_and_unmatched_null(self, spark):
+        from dipper_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, "user_id", "ts", "cts", tiebreak="click_id")
+        got = {r.event_id: (r.asof.click_id if r.asof else None) for r in out.collect()}
+        assert got == {100: 9000, 101: 9001, 102: None}
+
+    def test_equal_timestamp_is_eligible_and_tiebreak_wins(self, spark):
+        from dipper_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 1, 10)], ["event_id", "user_id", "ts"])
+        right = spark.createDataFrame(
+            [(50, 1, 10), (51, 1, 10), (40, 1, 3)], ["click_id", "user_id", "cts"]
+        )
+        out = asof_join(left, right, "user_id", "ts", "cts", tiebreak="click_id")
+        # right row at the same instant IS visible (>=); among equal
+        # (key, ts) rows the greatest tiebreak wins deterministically
+        assert out.first().asof.click_id == 51
+
+    def test_single_shuffle_plan(self, spark):
+        from dipper_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        plan = (
+            asof_join(left, right, "user_id", "ts", "cts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the sort-merge-asof form: one keyed window shuffle, no join node
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+
+class TestQuantizeInt8:
+    def test_known_values_and_bounds(self, spark):
+        from dipper_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+        )
+        got = {r.id: r for r in quantize_int8(df).collect()}
+        assert got[1].qvec == [127, -63, 32, 0]  # floor(x/scale + 0.5)
+        assert abs(got[1].scale - 1.0 / 127) < 1e-15
+        assert got[2].scale == 0.0 and got[2].qvec == [0, 0]
+
+    def test_reconstruction_error_bounded(self, spark):
+        from dipper_spark.operators.similarity import quantize_int8
+        from dipper_spark.session import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+        rows = quantize_int8(emb).join(
+            emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+        ).collect()
+        for r in rows:
+            for x, q in zip(r.embedding, r.qvec):
+                assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12
+            assert max(abs(v) for v in r.qvec) <= 127
+
+
 class TestTemperatureResample:
     def test_flattens_mixture_and_reproduces(self, spark):
         from dipper_spark.operators.sampling import temperature_resample
