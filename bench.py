@@ -29,6 +29,7 @@ HEADLINE = [
     "q_zscore_threshold",
     "q_json_extract",
     "q_windowed_events",
+    "q_rolling_avg",
     "q_hash_ids",
     "q_range_join",
     "q_asof_join",

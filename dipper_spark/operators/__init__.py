@@ -8,6 +8,7 @@ from dipper_spark.operators.filters import (
 )
 from dipper_spark.operators.joins import (
     anti_join,
+    asof_join,
     broadcast_lookup,
     canonical_pair,
     composite_key,
@@ -17,11 +18,43 @@ from dipper_spark.operators.joins import (
     range_join,
     semi_join,
 )
-from dipper_spark.operators.aggregates import group_zscore, interval_rollup
+from dipper_spark.operators.aggregates import (
+    group_percentiles,
+    group_zscore,
+    interval_rollup,
+)
+from dipper_spark.operators.governance import (
+    generalize_numeric,
+    k_anonymity_annotate,
+    pseudonym,
+)
+from dipper_spark.operators.sampling import (
+    source_quota,
+    stratified_sample,
+    temperature_resample,
+    weighted_sample,
+)
+from dipper_spark.operators.search import (
+    bm25_topk,
+    tfidf_keywords,
+    unigram_logprob,
+)
 from dipper_spark.operators.windows import topk_per_group
 from dipper_spark.operators.setops import except_diff, intersect_all, union_dedup
 
 __all__ = [
+    "asof_join",
+    "bm25_topk",
+    "generalize_numeric",
+    "group_percentiles",
+    "k_anonymity_annotate",
+    "pseudonym",
+    "source_quota",
+    "stratified_sample",
+    "temperature_resample",
+    "tfidf_keywords",
+    "unigram_logprob",
+    "weighted_sample",
     "dispatch",
     "limit_scan",
     "qualifier_filter",

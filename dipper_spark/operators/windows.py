@@ -32,3 +32,34 @@ def topk_per_group(
     w = Window.partitionBy(*parts).orderBy(*order)
     out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    partition: str | list[str],
+    order_value: Column,
+    agg: Column,
+    preceding: int,
+    out_col: str = "rolling",
+) -> DataFrame:
+    """Sliding aggregate over a VALUE RANGE (not a row count): for each row,
+    ``agg`` over the partition's rows whose ``order_value`` lies in
+    [current - preceding, current] — the trailing-window event-time
+    aggregate (per-user moving averages, rate counters, rolling exposure).
+
+    RANGE framing is the semantic Spark shares exactly with DuckDB/ANSI
+    (peers at equal order values always enter the frame together, so the
+    result is deterministic even with timestamp ties — a ROWS frame is
+    not).  One shuffle on the partition key; the frame scan is the
+    streaming-window pass within each sorted partition.  The batch twin of
+    the Structured Streaming windowed aggregate (streaming/events.py) for
+    when the trailing window must END at each event rather than on tumbling
+    boundaries.
+    """
+    parts = [partition] if isinstance(partition, str) else list(partition)
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(order_value)
+        .rangeBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, agg.over(w))

@@ -196,6 +196,50 @@ _HASH_FRAC_SQL = (
 )
 
 
+# ---- trailing event-time rolling aggregate -----------------------------------
+
+_ROLL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@register(
+    "q_rolling_avg",
+    f"""
+    SELECT event_id, user_id,
+           CAST(n AS BIGINT) AS n_in_window,
+           round(s / n, 6) AS avg_1h
+    FROM (
+      SELECT event_id, user_id,
+             count(*) OVER w AS n,
+             sum(value) OVER w AS s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW))
+    """,
+)
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour moving average of event values — RANGE
+    framing over event-time micros, the deterministic sliding-window
+    semantic shared exactly with the ANSI oracle.  avg is computed as
+    sum/count so both engines round the same double."""
+    from dipper_spark.operators.windows import rolling_range_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    out = rolling_range_agg(
+        ev, "user_id", F.col("_us"), F.count(F.lit(1)), _ROLL_US, out_col="n"
+    )
+    out = rolling_range_agg(
+        out, "user_id", F.col("_us"), F.sum("value"), _ROLL_US, out_col="s"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("n").cast("long").alias("n_in_window"),
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_1h"),
+    )
+
+
 # ---- int8 vector quantization ------------------------------------------------
 
 

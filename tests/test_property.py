@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): operators vs independent pure-Python
+reference implementations on randomized inputs — the class of edge cases
+hand-written fixtures miss (duplicate timestamps, empty sides, degenerate
+keys).  Example counts are kept small: each example is a Spark action."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ROW = st.tuples(st.integers(0, 3), st.integers(0, 30))  # (key, ts)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(_ROW, min_size=1, max_size=12),
+    right=st.lists(_ROW, min_size=0, max_size=12),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from dipper_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["lid", "k", "ts"]
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, k, t) for i, (k, t) in enumerate(right)],
+        ["rid", "k", "rts"],
+    ) if right else spark.createDataFrame([], "rid long, k long, rts long")
+    got = {
+        r.lid: (r.asof.rid if r.asof else None)
+        for r in asof_join(ldf, rdf, "k", "ts", "rts", tiebreak="rid").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, 100 + j)
+            for j, (rk, rt) in enumerate(right)
+            if rk == k and rt <= t
+        ]
+        expected = max(cands)[1] if cands else None  # max ts, then max rid
+        assert got[i] == expected, (i, k, t, cands)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_rolling_fingerprint_matches_python_fold(spark, docs):
+    from dipper_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.f
+        for r in df.select("doc_id", rolling_fingerprint("text").alias("f")).collect()
+    }
+    mod, base = 1_000_000_007, 131
+    for i, toks in enumerate(docs):
+        acc = 0
+        for t in toks:
+            acc = (acc * base + int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % mod) % mod
+        assert got[i] == acc
+
+
+@settings(**SETTINGS)
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True))
+def test_weighted_sample_membership_is_pure_hash_predicate(spark, ids):
+    from dipper_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    kept = {r.doc_id for r in weighted_sample(df, "doc_id", F.lit(0.5)).collect()}
+    for i in ids:
+        frac = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 16**8
+        assert (i in kept) == (frac < 0.5)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=12
+    ).filter(lambda es: all(a != b for a, b in es))
+)
+def test_connected_components_match_union_find(spark, edges):
+    from dipper_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+    got = {r.id: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for node, comp in got.items():
+        assert comp == find(node), (node, edges)
