@@ -43,6 +43,7 @@ HEADLINE = [
     "q_bpe_token_count",
     "q_rolling_fingerprint",
     "q_quality_rules",
+    "q_curation_funnel",
     "q_unigram_logprob",
     "q_length_percentiles",
     "q_anonymize",
@@ -66,6 +67,7 @@ HEADLINE = [
     # multimodal columns
     "q_media_stats",
     "q_media_features",
+    "q_media_dedup",
 ]
 
 

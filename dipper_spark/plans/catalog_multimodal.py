@@ -106,3 +106,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cnt") > 0)
     )
+
+
+@register(
+    "q_media_dedup",
+    """
+    SELECT md5(substr(text, 1, 48)) AS payload_key, min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY payload_key HAVING count(*) >= 2
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup by payload digest: md5 over a 48-byte prefix of the
+    BINARY media column (storage dedup for image/audio/video assets — the
+    leading-bytes digest is the header-block key real asset dedup starts
+    from; hash the whole blob for strict identity).  Spark slices/hashes
+    the blob; the oracle hashes the source text whose utf-8 bytes ARE the
+    blob, so the keys coincide on this ascii corpus.  One hash-agg on the
+    digest; the payload never shuffles."""
+    from dipper_spark.operators.dedup import exact_dedup
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    key = F.md5(F.substring(F.col("media"), 1, 48))
+    return exact_dedup(media, "doc_id", key, min_group=2).select(
+        F.col("dup_key").alias("payload_key"),
+        "canonical_id",
+        F.col("n_dups").alias("n_copies"),
+    )

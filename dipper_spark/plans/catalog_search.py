@@ -181,6 +181,37 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(n) for n, c in rules.items()])
 
 
+# ---- curation funnel report ---------------------------------------------------
+
+
+@register(
+    "q_curation_funnel",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           {", ".join(f"CAST(count(*) FILTER (WHERE NOT ({c})) AS BIGINT) AS fail_{n[2:]}" for n, c in _RULES_SQL.items())},
+           CAST(count(*) FILTER (WHERE {" AND ".join(_RULES_SQL.values())}) AS BIGINT) AS n_pass
+    FROM documents
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-funnel report: corpus size, per-rule failure counts
+    (non-exclusive — a doc can fail several rules), and survivors of the
+    full Gopher-style rule set.  One scan, one 1-row aggregate — the
+    monitoring numbers a filtering pipeline publishes each run."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = quality_rules("text")
+    flags = docs.select(*[c.alias(n) for n, c in rules.items()])
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.count(F.when(F.col(n) == 0, 1)).alias(f"fail_{n[2:]}")
+            for n in rules
+            if n.startswith("r_")
+        ],
+        F.count(F.when(F.col("passed") == 1, 1)).alias("n_pass"),
+    )
+
+
 # ---- weighted importance sampling --------------------------------------------
 
 _QUALITY_SQL = f"""
