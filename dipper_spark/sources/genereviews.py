@@ -8,9 +8,13 @@ OMIM ids run through the mimTitles replacement/obsolete/phenotype-type
 filter exactly like OMIA, then ``OMIM subClassOf NBK``), every book also
 ``subClassOf`` 'disease or disorder'.
 
-The HTML book scrape (``process_nbk_html``, GeneReviews.py:291-405) is the
-S7 surface SURVEY scopes out of the engine core (NCBI Bookshelf prohibits
-automated download; the reference only parses manually-acquired files).
+The HTML book scrape (``process_nbk_html``, GeneReviews.py:291-405) — the
+S7 surface — is implemented over manually-acquired books (NCBI Bookshelf
+prohibits automated download, so, exactly like the reference, only files
+present under ``raw/<src>/books/`` are processed): clinical-description
+definitions with the reference's copyright/citation suffix, and cited-PMID
+``is_about`` links with journal-article typing (io/nbk_html.py holds the
+stdlib-HTMLParser extraction + binaryFile/mapInPandas scan).
 """
 
 from __future__ import annotations
@@ -101,7 +105,12 @@ class GeneReviewsPipeline(SourcePipeline):
             )
         omim = omim.withColumn("omim_id", F.concat(F.lit("OMIM:"), "omim_num"))
         books = titles.select("gr_id").union(idmap.select("gr_id")).distinct()
+        parts = []
+        books_dir = os.path.join(os.path.dirname(self.path(raw_dir, "titles")), "books")
+        if os.path.isdir(books_dir):
+            parts.append(self._book_triples(spark, books_dir))
         return union_graphs(
+            *parts,
             class_triples(titles, "gr_id", label_col="title", graph_id=g),
             make_triples(
                 titles.select("gr_id", F.col("shortname").alias("syn"))
@@ -115,3 +124,41 @@ class GeneReviewsPipeline(SourcePipeline):
                 books, "gr_id", F.lit(T.SUBCLASS_OF), F.lit(DISEASE), is_literal=False, graph_id=g,
             ),
         ).dropDuplicates(["subject", "predicate", "object"])
+
+    def _book_triples(self, spark: SparkSession, books_dir: str) -> DataFrame:
+        """process_nbk_html (GeneReviews.py:291-405): per locally-present
+        book, the clinical-description definition (summary + reference-exact
+        copyright/citation suffix, IAO:0000115) and cited-PMID links
+        (PMID is_about NBK; PMID typed journal article)."""
+        from dipper_spark.io.nbk_html import read_nbk_books
+        from dipper_spark.models.context import reference_triples
+
+        g = self.name
+        parsed = read_nbk_books(spark, books_dir).withColumn(
+            "gr_id", F.concat(F.lit("GeneReviews:"), F.col("nbk"))
+        )
+        defs = parsed.filter(F.col("summary").isNotNull()).select(
+            "gr_id",
+            F.trim(
+                F.concat(
+                    F.col("summary"),
+                    F.lit(" [GeneReviews:NBK1116, GeneReviews:NBK138602, "),
+                    F.col("gr_id"),
+                    F.lit("]"),
+                )
+            ).alias("definition"),
+        )
+        pmids = parsed.select(
+            "gr_id", F.explode("pmids").alias("pm")
+        ).select("gr_id", F.concat(F.lit("PMID:"), "pm").alias("pmid"))
+        return union_graphs(
+            make_triples(
+                defs, "gr_id", F.lit("IAO:0000115"), "definition",
+                is_literal=True, graph_id=g,
+            ),
+            make_triples(
+                pmids, "pmid", F.lit("IAO:0000136"), "gr_id",
+                is_literal=False, graph_id=g,
+            ),
+            reference_triples(pmids, "pmid", type_col="IAO:0000013", graph_id=g),
+        )
