@@ -36,6 +36,7 @@ HEADLINE = [
     "q_vec_quantize",
     # LLM-pipeline operators
     "q_doc_fingerprint",
+    "q_count_min",
     "q_repetition",
     "q_stratified_sample",
     "q_source_quota",

@@ -1,0 +1,63 @@
+"""Count-min sketch as a relational aggregate: heavy-hitter frequency
+estimation with sublinear state.
+
+Beyond-reference operator (SURVEY §2's LLM-pipeline section).  The CMS is
+the streaming-world token/heavy-hitter counter; expressed relationally it
+is just a keyed aggregation, which buys the scale properties for free:
+
+- **build** = explode each item into ``depth`` (row, bucket) probes and
+  hash-aggregate — map-side partial combine compresses each partition to
+  at most depth x width counters before the shuffle, so the shuffle volume
+  is the SKETCH size, not the stream size;
+- **merge** across partitions/days/sources is the same groupBy (CMS is a
+  counter matrix; merging is addition) — no custom UDAF needed;
+- **estimate** = min over the item's depth counters, an overestimate by
+  construction (collisions only ever add).
+
+Hashes are the engine-portable md5-prefix integers used across the dedup
+family, so a SQL oracle reproduces the sketch bit-for-bit — unlike opaque
+binary sketch blobs (datasketches et al.), this one is auditable by query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(d: Column, item: Column, width: int) -> Column:
+    h = F.conv(F.substring(F.md5(F.concat(d.cast("string"), F.lit(":"), item)), 1, 8), 16, 10)
+    return (h.cast("long") % width).alias("bucket")
+
+
+def count_min_build(
+    df: DataFrame, item: Column | str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the sketch: (d, bucket, c) counter rows, d in [0, depth)."""
+    it = F.col(item) if isinstance(item, str) else item
+    probes = df.select(
+        it.alias("_item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    return (
+        probes.select("d", _bucket(F.col("d"), F.col("_item"), width))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_estimate(
+    cms: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: est = min over the
+    item's depth counters (0 when a counter row is absent — the item was
+    never seen).  The sketch side is depth x width rows → broadcast."""
+    probes = items.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    ).withColumn("bucket", _bucket(F.col("d"), F.col(item_col), width))
+    joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+    others = [c for c in items.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
+    )

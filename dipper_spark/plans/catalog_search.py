@@ -181,6 +181,56 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(n) for n, c in rules.items()])
 
 
+# ---- count-min sketch heavy hitters -------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+
+@register(
+    "q_count_min",
+    f"""
+    WITH tok AS (SELECT unnest({TOK}) AS t FROM documents),
+    exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n FROM tok
+              GROUP BY t ORDER BY exact_n DESC, t LIMIT 10),
+    ds AS (SELECT unnest([{", ".join(str(i) for i in range(_CMS_D))}]) AS d),
+    cms AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(d || ':' || t), 1, 8)) AS BIGINT) % {_CMS_W}
+               AS bucket,
+             count(*) AS c
+      FROM tok CROSS JOIN ds GROUP BY 1, 2)
+    SELECT e.t AS token, e.exact_n, CAST(min(c.c) AS BIGINT) AS est_n
+    FROM exact e JOIN ds ON true
+    JOIN cms c
+      ON c.d = ds.d
+     AND c.bucket = CAST(('0x' || substr(md5(ds.d || ':' || e.t), 1, 8)) AS BIGINT)
+                    % {_CMS_W}
+    GROUP BY e.t, e.exact_n
+    """,
+)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 256) over the corpus token stream,
+    point-queried for the top-10 exact heavy hitters — est_n >= exact_n by
+    construction, and the relational sketch is bit-reproducible by the SQL
+    oracle (no opaque sketch blobs)."""
+    from dipper_spark.operators.sketches import count_min_build, count_min_estimate
+    from dipper_spark.operators.windows import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    exact = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "t").limit(10)
+    )
+    cms = count_min_build(tok, "t", _CMS_D, _CMS_W)
+    est = count_min_estimate(cms, exact, "t", _CMS_D, _CMS_W)
+    return est.select(
+        F.col("t").alias("token"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+    )
+
+
 # ---- curation funnel report ---------------------------------------------------
 
 

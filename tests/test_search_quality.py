@@ -263,6 +263,47 @@ class TestGovernance:
         assert got[10] == (1, 1) and got[11] == (1, 1)
 
 
+class TestCountMinSketch:
+    def test_overestimate_property_under_collisions(self, spark):
+        from dipper_spark.operators.sketches import count_min_build, count_min_estimate
+
+        rows = [(f"t{i % 7}",) for i in range(200)] + [("rare",)]
+        df = spark.createDataFrame(rows, ["t"])
+        exact = df.groupBy("t").agg(F.count(F.lit(1)).alias("exact_n"))
+        # width 4 forces collisions: estimates must still never undercount
+        cms = count_min_build(df, "t", depth=3, width=4)
+        est = {r.t: (r.exact_n, r.est_n)
+               for r in count_min_estimate(cms, exact, "t", 3, 4).collect()}
+        assert len(est) == 8
+        for t, (ex, es) in est.items():
+            assert es >= ex, (t, ex, es)
+
+    def test_sketch_is_mergeable_by_addition(self, spark):
+        from dipper_spark.operators.sketches import count_min_build
+
+        rows = [(f"w{i % 5}",) for i in range(100)]
+        half1 = spark.createDataFrame(rows[:50], ["t"])
+        half2 = spark.createDataFrame(rows[50:], ["t"])
+        whole = {
+            (r.d, r.bucket): r.c
+            for r in count_min_build(half1.unionAll(half2), "t", 2, 8).collect()
+        }
+        merged: dict = {}
+        for part in (half1, half2):
+            for r in count_min_build(part, "t", 2, 8).collect():
+                merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.c
+        assert merged == whole
+
+    def test_unseen_item_estimates_zero_when_bucket_empty(self, spark):
+        from dipper_spark.operators.sketches import count_min_build, count_min_estimate
+
+        df = spark.createDataFrame([("only",)], ["t"])
+        cms = count_min_build(df, "t", depth=4, width=4096)
+        probe = spark.createDataFrame([("never-seen",)], ["t"])
+        est = count_min_estimate(cms, probe, "t", 4, 4096).first()
+        assert est.est_n == 0  # wide sketch, 1 item: some counter is empty
+
+
 class TestAsofJoin:
     def _frames(self, spark):
         left = spark.createDataFrame(
