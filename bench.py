@@ -41,6 +41,8 @@ HEADLINE = [
     "q_stratified_sample",
     "q_source_quota",
     "q_token_stats",
+    "q_stats_rollup",
+    "q_lang_pivot",
     "q_bpe_token_count",
     "q_rolling_fingerprint",
     "q_quality_rules",
@@ -62,6 +64,7 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_cosine_topk",
     "q_cosine_topk_arrow",
+    "q_cosine_topk_quantized",
     "q_ann_ivf",
     "q_ann_ivf_refined",
     "q_embedding_neardup",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dipper_spark.functions.text import quality_rules, quality_score, tokens
+from dipper_spark.functions.vectors import duckdb_cosine
 from dipper_spark.operators.dedup import chunk_dedup
 from dipper_spark.operators.sampling import weighted_sample
 from dipper_spark.operators.search import bm25_topk, tfidf_keywords
@@ -179,6 +180,60 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rules = quality_rules("text")
     return docs.select("doc_id", *[c.alias(n) for n, c in rules.items()])
+
+
+# ---- multi-level rollup + pivot reporting -------------------------------------
+
+
+@register(
+    "q_stats_rollup",
+    f"""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({TOK})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY ROLLUP (source, lang)
+    """,
+)
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting at every grain in ONE pass: (source, lang) cells,
+    per-source subtotals, and the grand total via ROLLUP — the multi-level
+    report that would otherwise be three scans.  Spark expands grouping
+    sets before the same single hash-agg shuffle."""
+    from dipper_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count("text")
+    return docs.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).cast("long").alias("total_tokens"),
+    )
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "q_lang_pivot",
+    f"""
+    SELECT source,
+           {", ".join(f"CAST(count(*) FILTER (WHERE lang = '{lg}') AS BIGINT) AS n_{lg}" for lg in _PIVOT_LANGS)}
+    FROM documents GROUP BY source
+    """,
+)
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language count matrix via pivot — compiles to one hash-agg
+    with a conditional-count column per pivoted value (identical plan to
+    the FILTER-clause oracle), never a per-language scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}") for lg in _PIVOT_LANGS],
+    )
 
 
 # ---- count-min sketch heavy hitters -------------------------------------------
@@ -356,6 +411,54 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("qvec").alias("dim", "qval"),
         F.round("scale", 6).alias("scale6"),
     ).select("vec_id", "dim", "qval", "scale6")
+
+
+# ---- quantized brute-force search ---------------------------------------------
+
+_DEQ_SQL = """
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(CASE WHEN scale = 0 THEN 0
+                       ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INT)
+                  * scale) AS embedding
+    FROM (SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   / 127.0 AS scale,
+                 embedding
+          FROM embeddings)
+"""
+
+
+_COS_QDEQ = duckdb_cosine("q.embedding", "c.embedding")
+
+
+@register(
+    "q_cosine_topk_quantized",
+    f"""
+    WITH deq AS ({_DEQ_SQL})
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_QDEQ} AS c,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY {_COS_QDEQ} DESC, c.vec_id) AS BIGINT) AS rank
+      FROM embeddings q JOIN deq c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 5
+    """,
+)
+def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized-scan search path: full-precision queries scored
+    against the int8-DEQUANTIZED corpus (the 4x-cheaper scan, ranking
+    within the scale/2 reconstruction bound) — the oracle rebuilds the
+    identical quantize→dequantize→cosine pipeline."""
+    from dipper_spark.operators.similarity import cosine_topk, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = quantize_int8(emb).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(qvec, q -> CAST(q AS DOUBLE) * scale)").alias("embedding"),
+    )
+    return cosine_topk(emb.filter(F.col("vec_id") < 5), deq, k=5)
 
 
 # ---- as-of join (event attribution) ------------------------------------------
