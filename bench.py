@@ -30,8 +30,11 @@ HEADLINE = [
     "q_json_extract",
     "q_windowed_events",
     "q_rolling_avg",
+    "q_event_gaps",
+    "q_robust_outliers",
     "q_hash_ids",
     "q_range_join",
+    "q_fuzzy_join",
     "q_asof_join",
     "q_vec_quantize",
     # LLM-pipeline operators

@@ -332,6 +332,122 @@ _HASH_FRAC_SQL = (
 )
 
 
+# ---- event gap / session-start detection (lag) --------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q_event_gaps",
+    f"""
+    SELECT event_id, user_id, gap_us,
+           CAST(CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS INT) AS session_start
+    FROM (
+      SELECT event_id, user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events)
+    """,
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user via lag() with a 30-minute session-start
+    flag — the batch twin of the stateful streaming sessionizer, one keyed
+    window shuffle; (ts, event_id) ordering makes ties deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    gap = us - F.lag(us).over(w)
+    return ev.select(
+        "event_id", "user_id", gap.alias("gap_us"),
+        (gap.isNull() | (gap > _SESSION_GAP_US)).cast("int").alias("session_start"),
+    )
+
+
+# ---- robust (median/MAD) outlier detection -------------------------------------
+
+
+@register(
+    "q_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 2) AS value,
+           round(d.adev / NULLIF(m.mad, 0), 6) AS mad_score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.adev / NULLIF(m.mad, 0) > 3.0
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |value - median| / MAD > 3 per event type
+    (immune to the outliers a mean/stddev z-score absorbs).  Exact medians
+    (portable interpolation), two tiny per-type aggregates broadcast back
+    over the scan — no full-data sort."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    score = F.col("adev") / F.nullif(F.col("mad"), F.lit(0.0))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(score > 3.0)
+        .select(
+            "event_id", "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(score, 6).alias("mad_score"),
+        )
+    )
+
+
+# ---- blocked fuzzy (edit-distance) join ----------------------------------------
+
+
+@register(
+    "q_fuzzy_join",
+    """
+    SELECT a.p_partkey AS key_1, b.p_partkey AS key_2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: candidate pairs share a blocking key (the
+    brand), verified by Levenshtein <= 5 — the record-linkage shape (equi-
+    join on the block, edit distance only on candidates, never all-pairs);
+    same discipline as the LSH/simhash banded joins."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = part.alias("a"), part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 5)
+        .select(
+            F.col("a.p_partkey").alias("key_1"),
+            F.col("b.p_partkey").alias("key_2"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
 # ---- trailing event-time rolling aggregate -----------------------------------
 
 _ROLL_US = 3_600_000_000  # 1 hour in microseconds

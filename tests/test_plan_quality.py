@@ -138,6 +138,29 @@ class TestRound5Plans:
         assert plan.count("Exchange hashpartitioning") == 1
 
 
+class TestRound5LateBatch:
+    def test_fuzzy_join_is_blocked_equi_join(self, spark, sf):
+        # record linkage: the join key must be the blocking key, edit
+        # distance verified on candidates only — never an all-pairs loop
+        plan = plan_of(QUERIES["q_fuzzy_join"](spark, sf))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_robust_outliers_broadcasts_tiny_aggregates(self, spark, sf):
+        # the per-type median/MAD frames are broadcast back over the scan
+        plan = plan_of(QUERIES["q_robust_outliers"](spark, sf))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_event_gaps_single_window_shuffle(self, spark, sf):
+        plan = plan_of(QUERIES["q_event_gaps"](spark, sf))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_quantized_scan_stays_jvm_side(self, spark, sf):
+        plan = plan_of(QUERIES["q_cosine_topk_quantized"](spark, sf))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestCodegen:
     def test_headline_aggregate_is_whole_stage_codegen(self, spark, sf):
         # the '*(n)' stage prefix is the WholeStageCodegen marker in
