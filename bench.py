@@ -35,11 +35,13 @@ HEADLINE = [
     "q_hash_ids",
     "q_range_join",
     "q_fuzzy_join",
+    "q_pagerank",
     "q_asof_join",
     "q_vec_quantize",
     # LLM-pipeline operators
     "q_doc_fingerprint",
     "q_count_min",
+    "q_distinct_sketch",
     "q_repetition",
     "q_stratified_sample",
     "q_source_quota",

@@ -46,6 +46,46 @@ def count_min_build(
     )
 
 
+def linear_counting(
+    df: DataFrame,
+    item: Column | str,
+    groups: list[str],
+    m: int = 4096,
+) -> DataFrame:
+    """Linear-counting distinct estimate per group: hash items into ``m``
+    buckets, est = -m·ln(1 - occupied/m) — the low-cardinality-regime
+    distinct sketch (HLL's sibling), chosen over HLL here because its
+    state (a bucket bitmap = the distinct bucket set) and its estimator
+    are exact SQL, portable and oracle-checkable, where HLL register
+    blobs are engine-opaque.
+
+    Shape: distinct (group, bucket) hash-agg — state per group is at most
+    ``m`` rows however large the stream; merge across partitions/days is
+    the same distinct.  Estimator bias is O(m·e^{-n/m}); saturated groups
+    (occupied = m) return NULL rather than ±inf.  Rounding is
+    floor(x+0.5) for engine-identical half-handling.
+
+    Returns (*groups, occupied, est_distinct).
+    """
+    it = F.col(item) if isinstance(item, str) else item
+    bucket = (
+        F.conv(F.substring(F.md5(it), 1, 8), 16, 10).cast("long") % m
+    ).alias("bucket")
+    occ = (
+        df.select(*groups, bucket)
+        .distinct()
+        .groupBy(*groups)
+        .agg(F.count(F.lit(1)).alias("occupied"))
+    )
+    frac = F.col("occupied").cast("double") / F.lit(float(m))
+    est = F.floor(-F.lit(float(m)) * F.log(F.lit(1.0) - frac) + F.lit(0.5)).cast("long")
+    return occ.select(
+        *groups,
+        F.col("occupied").cast("long").alias("occupied"),
+        F.when(F.col("occupied") < m, est).alias("est_distinct"),
+    )
+
+
 def count_min_estimate(
     cms: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

@@ -286,6 +286,46 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- linear-counting distinct sketch -------------------------------------------
+
+_LC_M = 4096
+
+
+@register(
+    "q_distinct_sketch",
+    f"""
+    WITH tok AS (SELECT source, unnest({TOK}) AS t FROM documents),
+    b AS (SELECT DISTINCT source,
+                 CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {_LC_M} AS bucket
+          FROM tok),
+    occ AS (SELECT source, count(*) AS occupied FROM b GROUP BY source),
+    ex AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+           FROM tok GROUP BY source)
+    SELECT e.source, e.exact_distinct,
+           CAST(o.occupied AS BIGINT) AS occupied,
+           CASE WHEN o.occupied < {_LC_M}
+                THEN CAST(floor(-{_LC_M}.0 * ln(1 - o.occupied / {_LC_M}.0) + 0.5)
+                          AS BIGINT) END AS est_distinct
+    FROM ex e JOIN occ o ON o.source = e.source
+    """,
+)
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct-token estimate per source next to the
+    exact count — the portable, oracle-checkable distinct sketch (bucket
+    bitmap + closed-form estimator; HLL register blobs are not)."""
+    from dipper_spark.operators.sketches import linear_counting
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("t"))
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("t").cast("long").alias("exact_distinct")
+    )
+    lc = linear_counting(tok, "t", ["source"], m=_LC_M)
+    return exact.join(lc, "source").select(
+        "source", "exact_distinct", "occupied", "est_distinct"
+    )
+
+
 # ---- curation funnel report ---------------------------------------------------
 
 
@@ -330,6 +370,66 @@ _HASH_FRAC_SQL = (
     "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
     " / 4294967296.0)"
 )
+
+
+# ---- PageRank over the supplier-customer trade graph ---------------------------
+
+_PR_ITERS, _PR_D = 5, 0.85
+
+
+def _pagerank_sql(iters: int, d: float) -> str:
+    step = """
+    r{k} AS (
+      SELECT e.dst AS node,
+             {one_minus_d!r} / (SELECT nn FROM n)
+             + {d!r} * sum(p.r / e.outdeg) AS r
+      FROM ed e JOIN r{km1} p ON p.node = e.src
+      GROUP BY e.dst)"""
+    steps = ",".join(
+        step.format(k=k, km1=k - 1, d=d, one_minus_d=1.0 - d)
+        for k in range(1, iters + 1)
+    )
+    return f"""
+    WITH eraw AS (
+      SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT nn FROM n) AS r FROM deg),
+    {steps}
+    SELECT node, round(r * (SELECT nn FROM n), 6) AS rank_scaled
+    FROM r{iters}
+    """
+
+
+@register("q_pagerank", _pagerank_sql(_PR_ITERS, _PR_D))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 synchronous iterations, d=0.85) over the undirected
+    supplier↔customer trade graph from lineitem⋈orders — the second
+    iterative algorithm proven by CTE unrolling (after Lloyd's): fixed
+    iteration count + per-iteration lineage truncation keeps it
+    deterministic and flat-cost.  Rank scaled by N (mean 1) so the 6-dp
+    rounding has headroom."""
+    from dipper_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eraw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), "l_suppkey").alias("src"),
+            F.concat(F.lit("C"), "o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eraw.unionAll(eraw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
+    n = pr.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    return pr.crossJoin(F.broadcast(n)).select(
+        "node", F.round(F.col("rank") * F.col("nn"), 6).alias("rank_scaled")
+    )
 
 
 # ---- event gap / session-start detection (lag) --------------------------------

@@ -263,6 +263,55 @@ class TestGovernance:
         assert got[10] == (1, 1) and got[11] == (1, 1)
 
 
+class TestPagerank:
+    def test_star_hub_dominates_and_mass_conserved(self, spark):
+        from dipper_spark.operators.graph import pagerank
+
+        # undirected star: hub 0 <-> spokes 1..5 (fed as both directions)
+        und = [(0, i) for i in range(1, 6)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], ["src", "dst"]
+        )
+        got = {r.node: r.rank for r in pagerank(edges, iters=20).collect()}
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic: mass conserved
+        assert got[0] > got[1] > 0
+        spokes = [got[i] for i in range(1, 6)]
+        assert max(spokes) - min(spokes) < 1e-12  # symmetry
+        # fixed-iteration contract: must match a plain power iteration run
+        # the same number of steps (a star is bipartite, so the FIXPOINT is
+        # only approached at rate d^2 — the per-iteration value is the spec)
+        d, n = 0.85, 6
+        r = {v: 1 / n for v in range(n)}
+        outdeg = {0: 5, **{i: 1 for i in range(1, 6)}}
+        adj_in = {0: list(range(1, 6)), **{i: [0] for i in range(1, 6)}}
+        for _ in range(20):
+            r = {
+                v: (1 - d) / n + d * sum(r[u] / outdeg[u] for u in adj_in[v])
+                for v in range(n)
+            }
+        for v in range(n):
+            assert abs(got[v] - r[v]) < 1e-12, v
+
+
+class TestLinearCounting:
+    def test_estimates_near_exact_at_low_load(self, spark):
+        from dipper_spark.operators.sketches import linear_counting
+
+        rows = [(f"g{i % 2}", f"item{i}") for i in range(400)] * 3  # dups
+        df = spark.createDataFrame(rows, ["g", "t"])
+        got = {r.g: r for r in linear_counting(df, "t", ["g"], m=4096).collect()}
+        for g in ("g0", "g1"):
+            assert got[g].occupied <= 200
+            assert abs(got[g].est_distinct - 200) <= 10  # ~2.5% at 5% load
+
+    def test_saturated_group_returns_null(self, spark):
+        from dipper_spark.operators.sketches import linear_counting
+
+        df = spark.createDataFrame([("g", f"i{i}") for i in range(64)], ["g", "t"])
+        out = linear_counting(df, "t", ["g"], m=4).first()
+        assert out.occupied == 4 and out.est_distinct is None
+
+
 class TestCountMinSketch:
     def test_overestimate_property_under_collisions(self, spark):
         from dipper_spark.operators.sketches import count_min_build, count_min_estimate
