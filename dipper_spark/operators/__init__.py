@@ -39,11 +39,21 @@ from dipper_spark.operators.search import (
     tfidf_keywords,
     unigram_logprob,
 )
+from dipper_spark.operators.graph import pagerank
+from dipper_spark.operators.sketches import (
+    count_min_build,
+    count_min_estimate,
+    linear_counting,
+)
 from dipper_spark.operators.windows import topk_per_group
 from dipper_spark.operators.setops import except_diff, intersect_all, union_dedup
 
 __all__ = [
     "asof_join",
+    "count_min_build",
+    "count_min_estimate",
+    "linear_counting",
+    "pagerank",
     "bm25_topk",
     "generalize_numeric",
     "group_percentiles",

@@ -286,6 +286,57 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- dedup-signal agreement report ---------------------------------------------
+
+from dipper_spark.plans.catalog_text import _JACCARD_SQL, _SIMHASH_CTE  # noqa: E402
+
+
+@register(
+    "q_dedup_agreement",
+    f"""
+    WITH jac AS ({_JACCARD_SQL}),
+    simp AS (
+      {_SIMHASH_CTE}
+      SELECT a.id AS id_1, b.id AS id_2
+      FROM sim a JOIN sim b ON a.id < b.id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)
+    SELECT CASE WHEN j.id_1 IS NOT NULL AND s.id_1 IS NOT NULL THEN 'both'
+                WHEN j.id_1 IS NOT NULL THEN 'jaccard_only'
+                ELSE 'simhash_only' END AS signal,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac j FULL JOIN simp s ON j.id_1 = s.id_1 AND j.id_2 = s.id_2
+    GROUP BY signal
+    """,
+)
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal dedup audit: near-dup pairs by exact 3-gram Jaccard
+    (>= 0.5) vs SimHash (Hamming <= 1), full-outer joined into
+    both / jaccard-only / simhash-only counts — the precision/recall
+    triage report a production dedup stack runs before choosing
+    thresholds.  Pure composition of two existing operator pipelines."""
+    from dipper_spark.operators.dedup import jaccard_pairs, simhash, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    jac = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select("id_1", "id_2")
+    sim = simhash_pairs(simhash(docs, "doc_id", "text", 16), max_hamming=1, bits=16).select(
+        "id_1", "id_2"
+    )
+    j, s = jac.alias("j"), sim.alias("s")
+    joined = j.join(
+        s,
+        (F.col("j.id_1") == F.col("s.id_1")) & (F.col("j.id_2") == F.col("s.id_2")),
+        "full_outer",
+    )
+    signal = (
+        F.when(F.col("j.id_1").isNotNull() & F.col("s.id_1").isNotNull(), "both")
+        .when(F.col("j.id_1").isNotNull(), "jaccard_only")
+        .otherwise("simhash_only")
+    )
+    return joined.groupBy(signal.alias("signal")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 # ---- linear-counting distinct sketch -------------------------------------------
 
 _LC_M = 4096
