@@ -517,6 +517,41 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_session_ids",
+    f"""
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events)
+    """,
+)
+def q_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: running sum of the session-start flag assigns
+    each event its per-user session ordinal — the gap-flag query completed
+    into usable session ids, still one keyed window shuffle (both windows
+    share the (user, time) sort)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    order = [us.asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = us - F.lag(us).over(w_lag)
+    start = (gap.isNull() | (gap > _SESSION_GAP_US)).cast("int")
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(start).over(w_run).cast("long").alias("session_seq"),
+    )
+
+
 # ---- robust (median/MAD) outlier detection -------------------------------------
 
 
@@ -972,7 +1007,7 @@ def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-hygiene pass over customer records: salted pseudonym for the
     direct identifier, banded account balance, and a k-anonymity audit on
     the (nation, segment) quasi-identifier pair — rows in groups smaller
-    than k={_ANON_K} flagged for suppression."""
+    than k=5 flagged for suppression."""
     from dipper_spark.operators.governance import (
         generalize_numeric,
         k_anonymity_annotate,
