@@ -157,3 +157,40 @@ class TestStreamingCuration:
         # — cross-run dedup is the batch compaction's job, same contract as
         # the nt stream's deferred dedup)
         assert len({r.fp for r in streamed2.collect()}) == 3
+
+
+class TestStreamStreamJoin:
+    def test_interval_attribution_stream_matches_batch(self, spark, tables, tmp_path):
+        """The watermarked stream-stream interval join must produce exactly
+        the batch range-join's pairs when the landing zone is drained."""
+        from dipper_spark.streaming.joins import interval_attribution_join
+
+        ev = tables["events"].select("event_id", "user_id", "event_type", "ts")
+        errors_b = ev.filter(F.col("event_type") == "error")
+        clicks_b = ev.filter(F.col("event_type") == "click")
+        batch = interval_attribution_join(errors_b, clicks_b)
+        expected = {(r.error_id, r.click_id, r.gap_us) for r in batch.collect()}
+        assert expected  # the fixture window produces matches
+
+        landing = tmp_path / "events"
+        ev.write.mode("overwrite").parquet(str(landing))
+        schema = spark.read.parquet(str(landing)).schema
+        stream = spark.readStream.schema(schema).parquet(str(landing))
+        joined = interval_attribution_join(
+            stream.filter(F.col("event_type") == "error"),
+            stream.filter(F.col("event_type") == "click"),
+        )
+        out = tmp_path / "out"
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.error_id, r.click_id, r.gap_us)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        assert got == expected
