@@ -22,6 +22,8 @@ from dipper_spark.operators.sampling import weighted_sample
 from dipper_spark.operators.search import bm25_topk, tfidf_keywords
 from dipper_spark.plans.catalog import register
 from dipper_spark.plans.catalog_text import (
+    _JACCARD_SQL,
+    _SIMHASH_CTE,
     LANG_MARKERS,
     TOK,
     _lang_hits_sql,
@@ -287,8 +289,6 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- dedup-signal agreement report ---------------------------------------------
-
-from dipper_spark.plans.catalog_text import _JACCARD_SQL, _SIMHASH_CTE  # noqa: E402
 
 
 @register(
