@@ -23,6 +23,12 @@ from dipper_spark.core.literals import is_literal_col, normalize_whitespace
 from dipper_spark.core.schema import TRIPLE_COLUMNS
 
 
+#: biolink category-assignment vocabulary (RDFGraph._make_category_triple,
+#: RDFGraph.py:49-65; defaults from dipper.utils.rdf2dot / blv.terms)
+BIOLINK_CATEGORY = "biolink:category"
+BIOLINK_NAMED_THING = "biolink:NamedThing"
+
+
 def make_triples(
     df: DataFrame,
     subject: Column | str,
@@ -32,12 +38,20 @@ def make_triples(
     is_literal: Column | bool | None = None,
     datatype: Column | str | None = None,
     graph_id: str | None = None,
+    subject_category: Column | str | None = None,
+    object_category: Column | str | None = None,
 ) -> DataFrame:
     """Project a staging DataFrame into canonical triples.
 
     Mirrors Graph.addTriple (dipper/graph/Graph.py:23-41): if ``is_literal``
     is not given it is inferred per-row exactly like RDFGraph._is_literal;
     literal objects get dipper's whitespace normalization (RDFGraph.py:110-111).
+
+    ``subject_category`` / ``object_category`` mirror the biolink
+    category-assignment side triples (RDFGraph.addTriple 86-107):
+    ``<entity> biolink:category <category>``.  An object category is only
+    emitted for rows whose object is NOT a literal (the reference logs a
+    warning and drops it there — here it is skipped row-wise).
     """
     s = F.col(subject) if isinstance(subject, str) else subject
     p = F.col(predicate) if isinstance(predicate, str) else predicate
@@ -54,14 +68,49 @@ def make_triples(
         dt = F.lit(datatype)
     else:
         dt = datatype
-    o = F.when(lit, normalize_whitespace(o.cast("string"))).otherwise(o.cast("string"))
-    return df.select(
+    o_out = F.when(lit, normalize_whitespace(o.cast("string"))).otherwise(o.cast("string"))
+    base = df.select(
         s.cast("string").alias("subject"),
         p.cast("string").alias("predicate"),
-        o.alias("object"),
+        o_out.alias("object"),
         lit.alias("is_literal"),
         dt.alias("datatype"),
         F.lit(graph_id).cast("string").alias("graph_id"),
+    )
+    if subject_category is None and object_category is None:
+        return base
+    parts = [base]
+    if subject_category is not None:
+        parts.append(category_triples(df, s, subject_category, graph_id=graph_id))
+    if object_category is not None:
+        # the pre-normalization object value IS the entity id on these rows
+        non_lit = df.filter(~lit) if not isinstance(is_literal, bool) else (
+            df if is_literal is False else df.limit(0)
+        )
+        parts.append(category_triples(non_lit, o, object_category, graph_id=graph_id))
+    return union_graphs(*parts)
+
+
+def category_triples(
+    df: DataFrame,
+    entity: Column | str,
+    category: Column | str | None = None,
+    predicate: str = BIOLINK_CATEGORY,
+    graph_id: str | None = None,
+) -> DataFrame:
+    """RDFGraph._make_category_triple (RDFGraph.py:49-65):
+    ``<entity> biolink:category <category>``, defaulting the category to
+    ``biolink:NamedThing`` when none is given — the biolink-model typing
+    side channel next to rdf:type."""
+    e = F.col(entity) if isinstance(entity, str) else entity
+    if category is None:
+        c: Column = F.lit(BIOLINK_NAMED_THING)
+    elif isinstance(category, str):
+        c = F.lit(category)
+    else:
+        c = category
+    return make_triples(
+        df, e, F.lit(predicate), c, is_literal=False, graph_id=graph_id
     )
 
 
