@@ -377,6 +377,50 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- sequence packing (token-budget binning) -----------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "q_sequence_pack",
+    f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT doc_id, source, CAST(len({TOK}) AS BIGINT) AS n_tokens
+            FROM documents))
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents assigned to 2048-token bins by
+    contiguous greedy fill in deterministic (source, doc_id) order — the
+    pre-tokenization sharding step of a training pipeline.  bin_id =
+    floor(preceding-cumulative-tokens / budget), a pure window expression;
+    packing WITHIN source partitions keeps the running sum parallel (a
+    global pack order would serialize — at 100 TB you pack per shard by
+    construction)."""
+    from pyspark.sql import Window
+
+    from dipper_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id", "source", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / float(_PACK_BUDGET)).cast("long").alias("bin_id"),
+    )
+
+
 # ---- curation funnel report ---------------------------------------------------
 
 
