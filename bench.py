@@ -58,6 +58,9 @@ HEADLINE = [
     "q_label_centroids",
     "q_weighted_sample",
     "q_temperature_sample",
+    "q_epoch_shuffle",
+    "q_quality_classifier",
+    "q_passage_chunks",
     "q_bm25_topk",
     "q_tfidf_keywords",
     "q_dedup_exact",

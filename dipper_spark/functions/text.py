@@ -156,6 +156,24 @@ def token_chunks(toks: Column, chunk_tokens: int = 10) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def sliding_token_chunks(toks: Column, window: int = 8, stride: int = 4) -> Column:
+    """OVERLAPPING fixed-width token windows — the RAG/passage-extraction
+    chunking shape (window w, stride s < w, so consecutive chunks share
+    w - s tokens of context).  Start offsets are 0, s, 2s, ... up to the
+    last offset with a FULL window (a 10-token doc at w=8, s=4 yields
+    starts [0], not [0, 4] — partial tails are dropped, matching
+    :func:`token_chunks`).  Empty array below one window, same
+    sequence(0, -1)-counts-down guard as word_shingles."""
+    last = F.floor((F.size(toks) - F.lit(window)) / F.lit(stride)).cast("int")
+    return F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def mean_token_chars(toks: Column) -> Column:
     """Mean token length in characters — total chars via length(array_join)
     (no higher-order aggregate needed), so the expression is portable and

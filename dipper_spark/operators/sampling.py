@@ -123,6 +123,38 @@ def weighted_sample(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
     return df.filter(hash_fraction(F.col(key_col)) < weight)
 
 
+def epoch_shuffle(
+    df: DataFrame, key_col: str, n_shards: int = 8, seed: str = "ep1"
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment: the global training
+    order of a pretraining run, reproducible on any cluster.
+
+    Each row draws ``h = md5(seed ':' key)``; its output shard is the
+    32-bit hash prefix mod ``n_shards`` and its position within the shard
+    is its rank in (h, key) order.  Changing ``seed`` reshuffles the whole
+    corpus (a new epoch); nothing depends on input partitioning or row
+    order, so epoch k is identical across re-runs and engines.
+
+    Plan shape: one map pass to compute the draw, one shuffle keyed on the
+    shard (uniform by construction — md5 output is unskewed regardless of
+    key skew), and a per-shard rank.  At 100 TB each shard sorts only its
+    own ~1/n_shards slice; there is no global sort and no driver state.
+    This is the write-side ordering step feeding sequence packing
+    (``q_sequence_pack``) and shard-file sinks.
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key_col)
+    h = F.md5(F.concat(F.lit(seed + ":"), k.cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).cast("int")
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    pos = F.row_number().over(Window.partitionBy("shard").orderBy("_h", key_col))
+    return out.withColumn("pos", pos.cast("long")).drop("_h")
+
+
 def source_quota(
     df: DataFrame, key_col: str, source_col: str, quota: int
 ) -> DataFrame:

@@ -184,3 +184,52 @@ def tfidf_keywords(
         .filter(F.col("rank") <= top_n)
         .select("id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    weight_seed: str = "w",
+) -> DataFrame:
+    """Hashing-trick linear text classifier (fastText/CCNet-shape quality
+    scorer): each token hashes into one of ``n_buckets`` feature buckets,
+    each bucket carries a fixed weight in [-1, 1), and a document's score
+    is the mean bucket weight over its tokens.
+
+    The weight table is IMPLICIT — weight(b) = md5-fraction(seed ':' b)
+    rescaled to [-1, 1) — so the "model" ships as pure expression text: no
+    broadcast table, no UDF, and a SQL oracle reproduces it exactly (both
+    hash draws are 32-bit md5 prefixes over 2^32, exactly representable as
+    doubles).  A real trained model drops in by replacing the weight
+    lambda with a broadcast map lookup; the plan shape is unchanged.
+
+    Plan shape: one map-side pass — tokenize, fold the per-token weights
+    in array order inside a single ``aggregate`` lambda (fixed float
+    addition order, no shuffle).  At 100 TB this scores at scan speed,
+    which is the point of the hashing trick: the feature space never
+    materializes.
+
+    Returns (id, n_tokens, clf_score rounded to 6, label 0/1 int).
+    """
+    bucket = (
+        f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {n_buckets}"
+    )
+    weight = (
+        f"(CAST(conv(substring(md5(concat('{weight_seed}:', "
+        f"CAST({bucket} AS STRING))), 1, 8), 16, 10) AS DOUBLE) "
+        f"/ 4294967296.0) * 2.0 - 1.0"
+    )
+    fold = F.expr(
+        f"aggregate(_toks, CAST(0.0 AS DOUBLE), (acc, t) -> acc + ({weight}))"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks").cast("long"))
+    return base.select(
+        "id",
+        F.col("_n").alias("n_tokens"),
+        F.round(fold / F.col("_n"), 6).alias("clf_score"),
+        (fold / F.col("_n") > 0).cast("int").alias("label"),
+    )

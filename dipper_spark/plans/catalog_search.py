@@ -1085,3 +1085,106 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs.withColumn("_w", w), "doc_id", F.col("_w")).select(
         "doc_id", "lang", F.round("_w", 6).alias("keep_weight")
     )
+
+
+# ---- deterministic epoch shuffle / shard assignment --------------------------
+
+_EP_SHARDS = 8
+_EP_SEED = "ep1"
+_EP_H = f"md5('{_EP_SEED}:' || CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "q_epoch_shuffle",
+    f"""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr({_EP_H}, 1, 8)) AS BIGINT)
+                % {_EP_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY CAST(('0x' || substr({_EP_H}, 1, 8)) AS BIGINT)
+                               % {_EP_SHARDS}
+                  ORDER BY {_EP_H}, doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document drawn into one of 8
+    output shards with a reproducible within-shard position — the global
+    training-order primitive (seed = epoch id; a new seed is a new epoch).
+    One uniform shuffle keyed on the md5-derived shard, per-shard rank;
+    no global sort, no dependence on input partitioning."""
+    from dipper_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", n_shards=_EP_SHARDS, seed=_EP_SEED)
+
+
+# ---- hashing-trick linear quality classifier ---------------------------------
+
+_CLF_BUCKETS = 4096
+_CLF_W = (
+    "(CAST(('0x' || substr(md5('w:' || CAST("
+    "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % "
+    f"{_CLF_BUCKETS}"
+    " AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0) * 2.0 - 1.0"
+)
+
+
+@register(
+    "q_quality_classifier",
+    f"""
+    SELECT id, n_tokens, round(s / n_tokens, 6) AS clf_score,
+           CAST(s / n_tokens > 0 AS INT) AS label
+    FROM (
+      SELECT doc_id AS id, CAST(len({TOK}) AS BIGINT) AS n_tokens,
+             list_sum(list_transform({TOK}, t -> {_CLF_W})) AS s
+      FROM documents)
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier scoring (fastText/CCNet-shape
+    quality filter): tokens hash into 4096 weight buckets, the document
+    score is the mean bucket weight, label = sign.  The weight table is
+    implicit in the hash, so scoring is a single map-side fold — scan
+    speed at any corpus size."""
+    from dipper_spark.operators.search import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, "doc_id", "text", n_buckets=_CLF_BUCKETS)
+
+
+# ---- overlapping passage chunking (RAG prep) ---------------------------------
+
+_PC_W = 8
+_PC_S = 4
+
+
+@register(
+    "q_passage_chunks",
+    f"""
+    WITH t AS (SELECT doc_id AS id, {TOK} AS toks FROM documents
+               WHERE len({TOK}) >= {_PC_W}),
+    ex AS (SELECT id, toks,
+                  unnest(range(0, CAST(floor((len(toks) - {_PC_W}) / {_PC_S}.0)
+                                       AS BIGINT) + 1)) AS i
+           FROM t)
+    SELECT id, CAST(i AS INT) AS chunk_id,
+           array_to_string(toks[CAST(i*{_PC_S}+1 AS BIGINT)
+                                : CAST(i*{_PC_S}+{_PC_W} AS BIGINT)], ' ') AS chunk
+    FROM ex
+    """,
+)
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage extraction (window 8, stride 4): the RAG /
+    retrieval-corpus chunking step.  Pure map-side explode of a window
+    expression — no shuffle, no UDF; only full windows are emitted."""
+    from dipper_spark.functions.text import sliding_token_chunks, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        sliding_token_chunks(tokens("text"), _PC_W, _PC_S).alias("_chunks"),
+    ).filter(F.size("_chunks") > 0)
+    return base.select(
+        "id", F.posexplode("_chunks").alias("chunk_id", "chunk")
+    ).select("id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk")

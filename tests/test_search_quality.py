@@ -483,3 +483,93 @@ class TestWeightedSample:
         assert {r.doc_id % 2 for r in out.collect()} == {0}
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # pure filter
+
+
+class TestEpochShuffle:
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from dipper_spark.operators.sampling import epoch_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+        a = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(df, "doc_id").collect()}
+        # re-run on a different partitioning → identical assignment
+        b = {
+            r.doc_id: (r.shard, r.pos)
+            for r in epoch_shuffle(df.repartition(7), "doc_id").collect()
+        }
+        assert a == b
+        # a new seed is a new epoch: order must change somewhere
+        c = {
+            r.doc_id: (r.shard, r.pos)
+            for r in epoch_shuffle(df, "doc_id", seed="ep2").collect()
+        }
+        assert a != c
+
+    def test_positions_dense_per_shard(self, spark):
+        from collections import Counter
+
+        from dipper_spark.operators.sampling import epoch_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+        rows = epoch_shuffle(df, "doc_id", n_shards=4).collect()
+        by_shard = Counter(r.shard for r in rows)
+        assert set(by_shard) <= {0, 1, 2, 3}
+        for s, n in by_shard.items():
+            pos = sorted(r.pos for r in rows if r.shard == s)
+            assert pos == list(range(1, n + 1))  # dense rank, no gaps
+
+
+class TestHashedLinearScore:
+    def test_score_is_mean_of_token_weights(self, spark):
+        import hashlib
+
+        from dipper_spark.operators.search import hashed_linear_score
+
+        def w(tok: str, buckets: int = 4096) -> float:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % buckets
+            f = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+            return (f / 4294967296.0) * 2.0 - 1.0
+
+        df = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+        row = hashed_linear_score(df, "doc_id", "text").collect()[0]
+        expect = sum(w(t) for t in ["alpha", "beta", "gamma"]) / 3.0
+        assert row.n_tokens == 3
+        assert abs(row.clf_score - round(expect, 6)) < 1e-9
+        assert row.label == int(expect > 0)
+
+    def test_map_side_no_shuffle(self, spark):
+        from dipper_spark.operators.search import hashed_linear_score
+
+        df = spark.createDataFrame([(1, "a b"), (2, "c d")], ["doc_id", "text"])
+        plan = hashed_linear_score(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestSlidingTokenChunks:
+    def test_window_stride_overlap(self, spark):
+        from dipper_spark.functions.text import sliding_token_chunks, tokens
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r.ch
+            for r in df.select(
+                "doc_id", sliding_token_chunks(tokens("text"), 8, 4).alias("ch")
+            ).collect()
+        }
+        # 10 tokens, w=8 s=4 → only start 0 has a full window
+        assert got[1] == [" ".join(f"t{i}" for i in range(8))]
+        assert got[2] == []
+
+    def test_consecutive_chunks_share_context(self, spark):
+        from dipper_spark.functions.text import sliding_token_chunks, tokens
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(16)))], ["doc_id", "text"]
+        )
+        [row] = df.select(sliding_token_chunks(tokens("text"), 8, 4).alias("ch")).collect()
+        assert len(row.ch) == 3  # starts 0, 4, 8
+        # overlap: tail 4 tokens of chunk k == head 4 tokens of chunk k+1
+        for a, b in zip(row.ch, row.ch[1:]):
+            assert a.split()[4:] == b.split()[:4]
