@@ -53,6 +53,10 @@ HEADLINE = [
     "q_quality_rules",
     "q_curation_funnel",
     "q_unigram_logprob",
+    "q_bigram_logprob",
+    "q_ngram_diversity",
+    "q_incremental_dedup",
+    "q_embedding_outliers",
     "q_length_percentiles",
     "q_anonymize",
     "q_label_centroids",

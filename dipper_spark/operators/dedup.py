@@ -519,3 +519,77 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def incremental_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_frac: float = 0.8,
+    n: int = 3,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Dedup an INCOMING BATCH against an EXISTING CORPUS — the incremental-
+    ingestion shape (each new crawl snapshot dedups against everything
+    already kept, not against itself).
+
+    Here the corpus/batch split is the deterministic md5 draw on the id
+    (frac < ``split_frac`` → existing) so the operator is self-contained and
+    oracle-checkable; production passes two DataFrames and drops the split.
+
+    Per batch document:
+      - ``exact_dup``   — 1 iff its full-text md5 already exists in the
+        corpus (left semi-shaped join on the 32-hex key; at 100 TB this is
+        the bloom-filterable content-key lookup, shuffling only 32-byte
+        keys, never text);
+      - ``max_overlap`` — the largest count of distinct word ``n``-gram
+        shingles shared with any single existing document, 0 when none.
+        Shingles whose EXISTING-corpus document frequency exceeds
+        ``max_doc_freq`` are pruned from the index first (same hot-shingle
+        cap as :func:`jaccard_pairs` — one boilerplate shingle in 1M docs
+        would mint 10¹² candidate rows).
+
+    Plan shape: the batch side is the small side by construction (one
+    snapshot vs the whole corpus); both joins key on content hashes, so
+    AQE's skew splitting covers residual hot keys.  Nothing is all-pairs.
+    """
+    from dipper_spark.operators.sampling import hash_fraction
+
+    frac = hash_fraction(F.col(id_col))
+    existing = df.filter(frac < split_frac)
+    batch = df.filter(frac >= split_frac)
+
+    key = F.md5(F.col(text_col)).alias("k")
+    ex_keys = existing.select(key).distinct()
+    b = batch.select(F.col(id_col).alias("id"), key)
+    exact = (
+        b.join(ex_keys.withColumn("_hit", F.lit(1)), "k", "left")
+        .select("id", F.coalesce(F.col("_hit"), F.lit(0)).alias("exact_dup"))
+    )
+
+    sh_e = shingle_table(existing, id_col, text_col, n).withColumnRenamed(
+        "id", "old_id"
+    )
+    hot = (
+        sh_e.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") > max_doc_freq)
+        .select("shingle")
+    )
+    sh_e = sh_e.join(F.broadcast(hot), "shingle", "left_anti")
+    sh_b = shingle_table(batch, id_col, text_col, n)
+    overlap = (
+        sh_b.join(sh_e, "shingle")
+        .groupBy("id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .groupBy("id")
+        .agg(F.max("shared").cast("long").alias("max_overlap"))
+    )
+    return (
+        exact.join(overlap, "id", "left")
+        .select(
+            "id",
+            "exact_dup",
+            F.coalesce(F.col("max_overlap"), F.lit(0)).alias("max_overlap"),
+        )
+    )

@@ -233,3 +233,50 @@ def hashed_linear_score(
         F.round(fold / F.col("_n"), 6).alias("clf_score"),
         (fold / F.col("_n") > 0).cast("int").alias("label"),
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    order-1 LM — one rung up the perplexity-filter ladder from
+    :func:`unigram_logprob` (CCNet-style: flag documents whose local word
+    order is improbable even when their vocabulary is normal).
+
+    p(b | a) = count(a b) / count(a ·), both counts over corpus bigram
+    occurrences, so the model is closed over the corpus and needs no
+    smoothing (every observed bigram has positive probability).
+
+    Plan shape: one bigram explode; two hash aggregations (bigram counts,
+    prefix counts — both map-side partial); two equi-joins back on the
+    count keys; one per-doc aggregation.  Everything keys on token
+    strings, no UDFs.  Docs with < 2 tokens drop out (no bigrams).
+    """
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        .select("id", F.explode(bigrams).alias("b"))
+    )
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = (
+        bg.select(F.split(F.col("b"), " ").getItem(0).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    scored = (
+        bg.join(c2, "b")
+        .withColumn("a", F.split(F.col("b"), " ").getItem(0))
+        .join(c1, "a")
+        .withColumn(
+            "lp", F.log(F.col("cnt2").cast("double") / F.col("cnt1").cast("double"))
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )

@@ -373,3 +373,61 @@ def quantize_int8(
         )
     )
     return out.select("id", "scale", "qvec")
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Per-cluster embedding outlier detection: distance to the own-label
+    centroid, z-scored within the label, rows with \\|z\\| > ``z_thresh``
+    returned — the embedding-QC sweep (mislabeled vectors, collapsed
+    encodings, garbage inputs sit in a cluster's distance tail).
+
+    Long relational form end-to-end: the centroid reuses
+    :func:`label_centroids` (one (label, dim) shuffle, map-side partials);
+    squared distance re-aggregates the same long table joined to the
+    broadcast-sized centroid frame; the per-label mean/stddev window is
+    over #labels groups.  No UDFs, no arrays cross the shuffle — at 100 TB
+    the widest shuffle carries (id, label, dim, v) longs/doubles with
+    partial aggregation, and every join's small side is labels×dims.
+
+    Returns (id, label, dist, z) rounded to 6, outliers only.
+    """
+    lf = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = label_centroids(df, label_col, vec_col)
+    d = (
+        lf.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("id", "label")
+        .agg(
+            F.sqrt(F.sum((F.col("v") - F.col("mean_v")) * (F.col("v") - F.col("mean_v"))))
+            .alias("dist")
+        )
+    )
+    st = d.groupBy("label").agg(
+        F.avg("dist").alias("_md"), F.stddev_pop("dist").alias("_sd")
+    )
+    # a zero-variance label (all members equidistant — e.g. duplicates of one
+    # vector) has no outliers; the division must sit under F.when (which DOES
+    # guarantee conditional evaluation, unlike `&` in a filter, where ANSI
+    # mode can still evaluate the divide and kill the job on DIVIDE_BY_ZERO)
+    z = F.when(
+        F.col("_sd") > 0, (F.col("dist") - F.col("_md")) / F.col("_sd")
+    )
+    return (
+        d.join(F.broadcast(st), "label")
+        .filter(F.abs(z) > z_thresh)
+        .select(
+            "id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -1188,3 +1188,148 @@ def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "id", F.posexplode("_chunks").alias("chunk_id", "chunk")
     ).select("id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk")
+
+
+# ---- order-1 LM scoring (bigram perplexity proxy) ----------------------------
+
+_BG_SQL = f"list_transform(range(1, len({TOK})), i -> ({TOK})[i] || ' ' || ({TOK})[i+1])"
+
+
+@register(
+    "q_bigram_logprob",
+    f"""
+    WITH bg AS (SELECT doc_id AS id, unnest({_BG_SQL}) AS b
+                FROM documents WHERE len({TOK}) >= 2),
+    c2 AS (SELECT b, count(*) AS cnt2 FROM bg GROUP BY b),
+    c1 AS (SELECT split_part(b, ' ', 1) AS a, count(*) AS cnt1
+           FROM bg GROUP BY a)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE)))
+                 / count(*), 6) AS avg_logprob
+    FROM bg JOIN c2 USING (b)
+            JOIN c1 ON split_part(bg.b, ' ', 1) = c1.a
+    GROUP BY id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    order-1 LM — the next rung of perplexity filtering above
+    q_unigram_logprob (improbable word ORDER, not just vocabulary)."""
+    from dipper_spark.operators.search import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text")
+
+
+# ---- incremental batch-vs-corpus dedup ---------------------------------------
+
+_INC_SPLIT = 0.8
+_INC_CAP = 50
+_INC_SH = _shingles_sql(TOK, 3)
+
+
+@register(
+    "q_incremental_dedup",
+    f"""
+    WITH base AS (SELECT doc_id, text, {_HASH_FRAC_SQL} AS frac FROM documents),
+    ex AS (SELECT * FROM base WHERE frac < {_INC_SPLIT}),
+    nw AS (SELECT * FROM base WHERE frac >= {_INC_SPLIT}),
+    exk AS (SELECT DISTINCT md5(text) AS k FROM ex),
+    sh_e AS (SELECT doc_id AS old_id, unnest(list_distinct({_INC_SH})) AS shingle
+             FROM ex),
+    hot AS (SELECT shingle FROM sh_e GROUP BY shingle
+            HAVING count(*) > {_INC_CAP}),
+    sh_ep AS (SELECT * FROM sh_e WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sh_b AS (SELECT doc_id AS id, unnest(list_distinct({_INC_SH})) AS shingle
+             FROM nw),
+    ov AS (SELECT id, max(shared) AS max_overlap FROM (
+             SELECT sh_b.id, sh_ep.old_id, count(*) AS shared
+             FROM sh_b JOIN sh_ep USING (shingle)
+             GROUP BY sh_b.id, sh_ep.old_id)
+           GROUP BY id)
+    SELECT nw.doc_id AS id,
+           CAST(CASE WHEN exk.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+           CAST(coalesce(ov.max_overlap, 0) AS BIGINT) AS max_overlap
+    FROM nw LEFT JOIN exk ON md5(nw.text) = exk.k
+            LEFT JOIN ov ON ov.id = nw.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the md5-split 'new batch' (20%) checked
+    against the 'existing corpus' (80%) for exact content-hash duplicates
+    and the max shared-shingle overlap with any single existing doc —
+    every crawl snapshot's admission gate."""
+    from dipper_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs, "doc_id", "text", split_frac=_INC_SPLIT, n=3, max_doc_freq=_INC_CAP
+    )
+
+
+# ---- corpus n-gram diversity -------------------------------------------------
+
+
+@register(
+    "q_ngram_diversity",
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT sh) AS BIGINT) AS distinct_ngrams,
+           round(count(DISTINCT sh) / CAST(count(*) AS DOUBLE), 6) AS diversity
+    FROM (SELECT source, unnest({_shingles_sql(TOK, 3)}) AS sh
+          FROM documents WHERE len({TOK}) >= 3)
+    GROUP BY source
+    """,
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-over-total 3-gram ratio per source (distinct-n diversity):
+    the template/boilerplate detector — a source whose shingles are mostly
+    repeats is a mining target for chunk-level dedup.  One explode + one
+    grouped count-distinct (Spark expands count-distinct into the standard
+    two-phase plan with partial aggregation)."""
+    from dipper_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "source", F.explode(word_shingles(tokens("text"), 3)).alias("sh")
+    )
+    return ex.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+        F.countDistinct("sh").cast("long").alias("distinct_ngrams"),
+        F.round(
+            F.countDistinct("sh") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("diversity"),
+    )
+
+
+# ---- embedding QC: per-label distance outliers -------------------------------
+
+
+@register(
+    "q_embedding_outliers",
+    """
+    WITH lf AS (SELECT vec_id AS id, label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings),
+    cent AS (SELECT label, dim, avg(v) AS m FROM lf GROUP BY label, dim),
+    d AS (SELECT id, lf.label, sqrt(sum((v - m) * (v - m))) AS dist
+          FROM lf JOIN cent ON lf.label = cent.label AND lf.dim = cent.dim
+          GROUP BY id, lf.label),
+    st AS (SELECT label, avg(dist) AS md, stddev_pop(dist) AS sd
+           FROM d GROUP BY label)
+    SELECT id, d.label AS label, round(dist, 6) AS dist,
+           round((dist - md) / sd, 6) AS z
+    FROM d JOIN st ON d.label = st.label
+    WHERE sd > 0 AND abs((dist - md) / sd) > 2
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC: vectors whose distance to their own label centroid is
+    > 2 population standard deviations from the label mean — the
+    mislabeled/garbage-vector sweep run before clustering or retrieval
+    indexing."""
+    from dipper_spark.operators.similarity import embedding_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, "vec_id", "label", "embedding", z_thresh=2.0)

@@ -573,3 +573,97 @@ class TestSlidingTokenChunks:
         # overlap: tail 4 tokens of chunk k == head 4 tokens of chunk k+1
         for a, b in zip(row.ch, row.ch[1:]):
             assert a.split()[4:] == b.split()[:4]
+
+
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        from dipper_spark.operators.search import bigram_logprob
+
+        # corpus: "a b a b" and "a b". bigrams: d1 [a b, b a, a b], d2 [a b]
+        # counts: c2(a b)=3, c2(b a)=1; prefixes: c1(a)=3, c1(b)=1
+        df = spark.createDataFrame([(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+        got = {r.id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+        assert got[1].n_bigrams == 3
+        assert got[2].n_bigrams == 1
+        # p(b|a)=3/3=1 → lp 0; p(a|b)=1/1=1 → lp 0
+        assert got[1].avg_logprob == 0.0
+        assert got[2].avg_logprob == 0.0
+
+    def test_improbable_order_scores_lower(self, spark):
+        from dipper_spark.operators.search import bigram_logprob
+
+        # prefix "x" continues to "y" 9× and to "z" once — the rare
+        # continuation scores ln(1/10), the common one ln(9/10)
+        import math
+
+        rows = [(i, "x y") for i in range(9)] + [(99, "x z")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.id: r.avg_logprob for r in bigram_logprob(df, "doc_id", "text").collect()}
+        assert got[99] < got[0]
+        assert abs(got[0] - round(math.log(9 / 10), 6)) < 1e-9
+        assert abs(got[99] - round(math.log(1 / 10), 6)) < 1e-9
+
+
+class TestIncrementalDedup:
+    def test_exact_and_overlap_flags(self, spark):
+        from dipper_spark.operators.dedup import incremental_dedup
+        from dipper_spark.operators.sampling import hash_fraction
+        import pyspark.sql.functions as F
+
+        text_a = "alpha beta gamma delta epsilon zeta"
+        rows = [(i, text_a if i % 3 == 0 else f"unique{i} filler{i} pad{i} x{i} y{i}")
+                for i in range(60)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        split = {r.doc_id: r.f for r in df.select(
+            "doc_id", (hash_fraction(F.col("doc_id")) < 0.8).alias("f")).collect()}
+        out = {r.id: r for r in incremental_dedup(df, "doc_id", "text").collect()}
+        # every output id is from the new batch
+        assert all(not split[i] for i in out)
+        existing_has_a = any(split[i] and i % 3 == 0 for i in range(60))
+        for i, r in out.items():
+            if i % 3 == 0 and existing_has_a:
+                assert r.exact_dup == 1
+                assert r.max_overlap == 4  # all 4 distinct 3-shingles shared
+            else:
+                assert r.exact_dup == 0
+
+    def test_no_self_match_within_batch(self, spark):
+        from dipper_spark.operators.dedup import incremental_dedup
+        from dipper_spark.operators.sampling import hash_fraction
+        import pyspark.sql.functions as F
+
+        # two identical docs that BOTH land in the new batch must not flag
+        # each other (dedup is against the corpus only)
+        df = spark.createDataFrame(
+            [(i, "only in batch one two three") for i in range(200)],
+            ["doc_id", "text"],
+        )
+        batch_ids = [r.doc_id for r in df.select(
+            "doc_id", hash_fraction(F.col("doc_id")).alias("f")
+        ).collect() if r.f >= 0.8]
+        only_batch = df.filter(F.col("doc_id").isin(batch_ids[:2]) | (F.col("doc_id") < -1))
+        # build a frame where the 2 batch docs exist but no existing doc shares text
+        mixed = only_batch.union(
+            spark.createDataFrame([(batch_ids[2] if len(batch_ids) > 2 else -5, "totally different words here now")], ["doc_id", "text"])
+        )
+        out = {r.id: r for r in incremental_dedup(mixed, "doc_id", "text").collect()}
+        for i in batch_ids[:2]:
+            if i in out:
+                assert out[i].exact_dup == 0
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_found(self, spark):
+        from dipper_spark.operators.similarity import embedding_outliers
+
+        rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(20)]
+        rows += [(100, [50.0, 50.0, 0.0], 0)]          # far outlier in label 0
+        rows += [(200 + i, [0.0, 1.0, 0.0], 1) for i in range(10)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = embedding_outliers(df, "vec_id", "label", "embedding").collect()
+        ids = {r.id for r in out}
+        assert 100 in ids
+        [r] = [r for r in out if r.id == 100]
+        assert r.z > 2
+        # the tight label-1 cluster has zero variance → no outliers (sd=0 → null z)
+        assert all(r.label == 0 for r in out)
