@@ -32,6 +32,9 @@ HEADLINE = [
     "q_rolling_avg",
     "q_event_gaps",
     "q_robust_outliers",
+    "q_conversion_funnel",
+    "q_cohort_retention",
+    "q_triangle_count",
     "q_hash_ids",
     "q_range_join",
     "q_fuzzy_join",

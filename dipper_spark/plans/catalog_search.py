@@ -1333,3 +1333,164 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, "vec_id", "label", "embedding", z_thresh=2.0)
+
+
+# ---- ordered conversion funnel ----------------------------------------------
+
+
+@register(
+    "q_conversion_funnel",
+    """
+    WITH t1 AS (SELECT user_id,
+                       min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s1
+                FROM events GROUP BY user_id),
+    t2 AS (SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'view'
+                           AND epoch_us(e.ts) > t1.s1 THEN epoch_us(e.ts) END) AS s2
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'purchase'
+                           AND epoch_us(e.ts) > t2.s2 THEN epoch_us(e.ts) END) AS s3
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           GROUP BY e.user_id)
+    SELECT t1.user_id,
+           CAST(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS did_signup,
+           CAST(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS did_view,
+           CAST(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS did_purchase
+    FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+            JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: each stage's
+    timestamp must FOLLOW the previous stage's (min-timestamp cascade, the
+    product-analytics sequence-match shape).  Three conditional
+    aggregations over events, each keyed on user_id; the per-user stage
+    frames are dimension-sized, so at scale every join back is a
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select("user_id", "event_type", us.alias("us"))
+    t1 = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("s1")
+    )
+    t2 = (
+        base.join(t1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("us") > F.col("s1")),
+                    F.col("us"),
+                )
+            ).alias("s2")
+        )
+    )
+    t3 = (
+        base.join(t2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("s2")),
+                    F.col("us"),
+                )
+            ).alias("s3")
+        )
+    )
+    return (
+        t1.join(t2, "user_id")
+        .join(t3, "user_id")
+        .select(
+            "user_id",
+            F.col("s1").isNotNull().cast("int").alias("did_signup"),
+            F.col("s2").isNotNull().cast("int").alias("did_view"),
+            F.col("s3").isNotNull().cast("int").alias("did_purchase"),
+        )
+    )
+
+
+# ---- cohort retention ---------------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1000000
+
+
+@register(
+    "q_cohort_retention",
+    f"""
+    WITH wk AS (SELECT user_id,
+                       CAST(floor(epoch_us(ts) / {_WEEK_US}.0) AS BIGINT) AS w
+                FROM events),
+    coh AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT cohort_week, w - cohort_week AS offset_week,
+           CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+    FROM wk JOIN coh ON wk.user_id = coh.user_id
+    GROUP BY cohort_week, offset_week
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    distinct actives counted per (cohort, week-offset) — integer epoch-week
+    arithmetic so the bucketing is engine-exact.  One per-user min
+    aggregation (dimension-sized, broadcast back) + one grouped
+    count-distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / float(_WEEK_US))
+        .cast("long")
+        .alias("w"),
+    )
+    coh = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        wk.join(F.broadcast(coh), "user_id")
+        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("offset_week"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+# ---- triangle counting / clustering coefficient -------------------------------
+
+
+@register(
+    "q_triangle_count",
+    """
+    WITH pairs AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e AS (SELECT DISTINCT p1.s AS a, p2.s AS b
+          FROM pairs p1 JOIN pairs p2 ON p1.o = p2.o AND p1.s < p2.s),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+             SELECT x AS node FROM tri UNION ALL
+             SELECT y FROM tri UNION ALL SELECT z FROM tri)
+           GROUP BY node),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node)
+    SELECT deg.node, degree, CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+           round(CASE WHEN degree >= 2
+                 THEN 2.0 * coalesce(pn.n_tri, 0) / (degree * (degree - 1))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN pn ON deg.node = pn.node
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the supplier
+    co-occurrence graph (suppliers sharing an order are adjacent) — the
+    canonical-order two-join enumeration, each triangle materialized
+    exactly once."""
+    from dipper_spark.operators.graph import triangles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        li.alias("p1")
+        .join(li.alias("p2"), F.col("p1.o") == F.col("p2.o"))
+        .filter(F.col("p1.s") < F.col("p2.s"))
+        .select(F.col("p1.s").alias("a"), F.col("p2.s").alias("b"))
+    )
+    return triangles(edges, "a", "b")

@@ -667,3 +667,55 @@ class TestEmbeddingOutliers:
         assert r.z > 2
         # the tight label-1 cluster has zero variance → no outliers (sd=0 → null z)
         assert all(r.label == 0 for r in out)
+
+
+class TestTriangles:
+    def test_hand_graph(self, spark):
+        from dipper_spark.operators.graph import triangles
+
+        # K3 on {1,2,3} plus pendant 4-1; one triangle
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 1), (2, 1)],  # includes dup reversed edge
+            ["a", "b"],
+        )
+        got = {r.node: r for r in triangles(edges).collect()}
+        assert got[1].n_tri == got[2].n_tri == got[3].n_tri == 1
+        assert got[4].n_tri == 0
+        assert got[1].degree == 3 and got[4].degree == 1
+        # cc(1) = 2*1/(3*2) = 1/3; leaf node guarded to 0.0, no ANSI divide
+        assert abs(got[1].clustering - round(1 / 3, 6)) < 1e-9
+        assert got[2].clustering == 1.0
+        assert got[4].clustering == 0.0
+
+    def test_self_loop_dropped(self, spark):
+        from dipper_spark.operators.graph import triangles
+
+        edges = spark.createDataFrame([(1, 1), (1, 2)], ["a", "b"])
+        got = {r.node: r for r in triangles(edges).collect()}
+        assert 1 in got and got[1].degree == 1  # self-loop removed
+
+
+class TestConversionFunnel:
+    def test_order_matters(self, spark):
+        from dipper_spark.plans import QUERIES
+        import datetime as dt
+
+        # build a tiny parquet dir with an events table: user 1 completes
+        # the funnel in order; user 2 purchases BEFORE viewing (no credit)
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "signup", 0.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+            (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+            (4, t0, 2, "signup", 0.0, "{}"),
+            (5, t0 + dt.timedelta(minutes=1), 2, "purchase", 0.0, "{}"),
+            (6, t0 + dt.timedelta(minutes=2), 2, "view", 0.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.user_id: r for r in QUERIES["q_conversion_funnel"](spark, d).collect()}
+        assert (got[1].did_signup, got[1].did_view, got[1].did_purchase) == (1, 1, 1)
+        assert (got[2].did_signup, got[2].did_view, got[2].did_purchase) == (1, 1, 0)
