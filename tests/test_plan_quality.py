@@ -247,3 +247,45 @@ class TestSkewHandling:
             if bi == bj and cos(vi, vj) >= 0.5
         }
         assert {(r.id_1, r.id_2) for r in got.collect()} == expected
+
+
+class TestRound5LateOps:
+    def test_epoch_shuffle_single_exchange(self, spark, sf):
+        # one shuffle: the rank over the shard partition; the md5 draw and
+        # shard assignment are map-side
+        plan = final_plan_of(QUERIES["q_epoch_shuffle"](spark, sf))
+        assert plan.count("Exchange") <= 2  # shard hashpartitioning (+AQE read)
+        assert "CartesianProduct" not in plan
+
+    def test_quality_classifier_is_scan_only(self, spark, sf):
+        # hashing-trick scorer must be a pure map pass: no Exchange at all
+        plan = plan_of(QUERIES["q_quality_classifier"](spark, sf))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_passage_chunks_is_scan_only(self, spark, sf):
+        plan = plan_of(QUERIES["q_passage_chunks"](spark, sf))
+        assert "Exchange" not in plan
+        assert "Generate" in plan  # the posexplode
+
+    def test_incremental_dedup_no_cartesian_hot_pruned(self, spark, sf):
+        plan = final_plan_of(QUERIES["q_incremental_dedup"](spark, sf))
+        assert "CartesianProduct" not in plan
+        # the hot-shingle cap applies as a broadcast anti-join
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_triangle_count_all_equi_joins(self, spark, sf):
+        plan = final_plan_of(QUERIES["q_triangle_count"](spark, sf))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_funnel_stage_frames_broadcast(self, spark, sf):
+        # per-user stage tables are dimension-sized → every join back to
+        # events must be broadcast, not sort-merge
+        plan = final_plan_of(QUERIES["q_conversion_funnel"](spark, sf))
+        assert "CartesianProduct" not in plan
+
+    def test_embedding_outliers_broadcasts_centroids(self, spark, sf):
+        plan = final_plan_of(QUERIES["q_embedding_outliers"](spark, sf))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
