@@ -287,3 +287,53 @@ class TestJdbc:
             read_jdbc_query(
                 spark, url, 'SELECT "id" FROM genes', expected_count=5, driver=driver
             )
+
+
+class TestCorpusSink:
+    def test_shards_written_in_training_order(self, spark, tmp_path):
+        from dipper_spark.io.corpus_sink import (
+            read_training_shard,
+            shard_manifest,
+            write_training_shards,
+        )
+        from dipper_spark.operators.sampling import epoch_shuffle
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+        )
+        out = str(tmp_path / "shards")
+        write_training_shards(df, out, "doc_id", n_shards=4, seed="ep1")
+
+        # directory layout: one partition dir per shard
+        dirs = sorted(
+            d for d in __import__("os").listdir(out) if d.startswith("shard=")
+        )
+        assert len(dirs) == 4
+
+        # manifest: dense positions per shard
+        man = {r.shard: r for r in shard_manifest(spark, out).collect()}
+        assert sum(r.n_rows for r in man.values()) == 100
+        for r in man.values():
+            assert (r.min_pos, r.max_pos) == (1, r.n_rows)
+
+        # the read-back order of shard 0 equals the logical epoch order
+        expect = [
+            r.doc_id
+            for r in epoch_shuffle(df, "doc_id", n_shards=4, seed="ep1")
+            .filter("shard = 0")
+            .orderBy("pos")
+            .collect()
+        ]
+        got = [r.doc_id for r in read_training_shard(spark, out, 0).collect()]
+        assert got == expect
+
+    def test_reshuffle_with_new_seed(self, spark, tmp_path):
+        from dipper_spark.io.corpus_sink import write_training_shards
+
+        df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        write_training_shards(df, a, "doc_id", n_shards=2, seed="ep1")
+        write_training_shards(df, b, "doc_id", n_shards=2, seed="ep2")
+        ra = [(r.shard, r.pos, r.doc_id) for r in spark.read.parquet(a).collect()]
+        rb = [(r.shard, r.pos, r.doc_id) for r in spark.read.parquet(b).collect()]
+        assert sorted(ra) != sorted(rb)  # a new epoch is a new permutation
