@@ -22,6 +22,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     damping: float = 0.85,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iters`` synchronous
     iterations from the uniform distribution.
@@ -32,24 +33,39 @@ def pagerank(
     as both directions and this holds by construction — no dangling-mass
     redistribution needed).  Per iteration: one equi-join of the static
     (edge, outdeg) frame against the rank frame on the source key and one
-    hash-agg on the destination — two keyed shuffles whose volume is the
-    edge list, never node².  The (edge, outdeg) frame is computed once and
-    checkpointed; the rank frame (node-sized) is checkpointed per
+    hash-agg on the destination.  The (edge, outdeg) frame is computed
+    once and checkpointed; the rank frame (node-sized) is checkpointed per
     iteration to truncate lineage.
+
+    ``broadcast_ranks=True`` (default) hash-broadcasts the rank frame into
+    the per-iteration join: the edge list — orders of magnitude bigger
+    than the node set — is then NEVER re-shuffled (localCheckpoint erases
+    partitioning info from Catalyst's view, so without the hint every
+    iteration would pay a full edge shuffle just to meet the node-sized
+    frame).  The only remaining shuffle per iteration is the hash-agg on
+    the destination key — the irreducible PageRank shuffle.  For graphs
+    whose NODE frame outgrows executor memory (billions of vertices) pass
+    False and both sides shuffle on the source key.
 
     Returns (node, rank) with Σ rank = 1.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # deg is node-sized and has no stats after the agg — without the hint
+    # Catalyst sort-merge-joins it, shuffling the whole edge list once more
+    degj = F.broadcast(deg) if broadcast_ranks else deg
+    ed = e.join(degj, "src").localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node"))
     n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("r")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        rsrc = ranks.select(F.col("node").alias("src"), "r")
+        if broadcast_ranks:
+            rsrc = F.broadcast(rsrc)
         contribs = (
-            ed.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            ed.join(rsrc, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("outdeg")).alias("in_r"))
         )

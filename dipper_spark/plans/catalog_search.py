@@ -511,19 +511,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # iterate on INTEGER node ids (2k = supplier k, 2k+1 = customer k) and
+    # decode to the 'S'/'C' labels only on the final node-sized frame: the
+    # distinct, the degree join, and five iterations of join+agg then hash
+    # and shuffle 8-byte longs instead of strings (~2x on the edge build)
+    # orders is broadcast-sized (2 int columns); without the hint Catalyst
+    # sort-merge-joins and pays 3x.  eraw is checkpointed because BOTH
+    # union branches read it — Spark does not share common subplans, so an
+    # un-materialized eraw would run the join+distinct twice.
     eraw = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("S"), "l_suppkey").alias("src"),
-            F.concat(F.lit("C"), "o_custkey").alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = eraw.unionAll(eraw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     pr = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
     n = pr.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("S"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("C"), ((F.col("node") - 1) / 2).cast("long")))
     return pr.crossJoin(F.broadcast(n)).select(
-        "node", F.round(F.col("rank") * F.col("nn"), 6).alias("rank_scaled")
+        label.alias("node"),
+        F.round(F.col("rank") * F.col("nn"), 6).alias("rank_scaled"),
     )
 
 
