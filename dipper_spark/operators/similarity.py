@@ -431,3 +431,55 @@ def embedding_outliers(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def label_pca_spectrum(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    k: int = 2,
+) -> DataFrame:
+    """Top-``k`` PCA eigenvalues + variance-explained per label — the
+    embedding-collapse diagnostic (a healthy cluster spreads variance
+    across components; a collapsed/duplicated one concentrates ~100% in
+    the first).
+
+    This is the engine's grouped ``applyInPandas`` surface: an
+    eigendecomposition is genuinely inexpressible in relational ops, so
+    each label's member matrix is handed to numpy as one Arrow batch.
+    Rows are sorted by id before the covariance accumulation so the float
+    reduction order — and therefore the spectrum — is identical on any
+    partitioning.
+
+    Scale posture: per-group cost is O(rows·d²) and per-group memory is
+    the member matrix.  For labels with billions of members, compute the
+    d×d Gramian relationally instead (explode to (id, dim, v), self-join
+    on id, sum v_i·v_j by (dim_i, dim_j) — one keyed shuffle of d² rows
+    per vector) and eigensolve the broadcast-sized Gramian on the driver;
+    d is small (embedding width), so only the member-matrix collection
+    needs replacing.  Returns (label, component, eigval, var_frac).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        xc = x - x.mean(axis=0, keepdims=True)
+        cov = (xc.T @ xc) / max(len(x), 1)
+        eig = np.linalg.eigvalsh(cov)[::-1]  # descending
+        total = float(eig.sum())
+        top = eig[:k]
+        return pd.DataFrame(
+            {
+                "label": pdf[label_col].iloc[0],
+                "component": np.arange(len(top), dtype=np.int32),
+                "eigval": np.round(top, 6),
+                "var_frac": np.round(top / total, 6) if total > 0 else 0.0,
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(
+        spectrum, "label int, component int, eigval double, var_frac double"
+    )

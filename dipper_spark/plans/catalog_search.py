@@ -1507,3 +1507,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p1.s").alias("a"), F.col("p2.s").alias("b"))
     )
     return triangles(edges, "a", "b")
+
+
+# ---- grouped-applyInPandas PCA spectrum (no SQL oracle: eigensolve) ----------
+
+
+@register("q_label_pca")
+def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA eigenvalues + variance-explained per embedding label —
+    the grouped-applyInPandas surface (eigendecomposition is genuinely
+    non-relational, so this entry has no SQL oracle; the driver records
+    the rows-only check).  Deterministic: member rows are sorted by id
+    before the covariance fold."""
+    from dipper_spark.operators.similarity import label_pca_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_pca_spectrum(emb, "vec_id", "label", "embedding", k=2)

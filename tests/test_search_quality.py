@@ -719,3 +719,37 @@ class TestConversionFunnel:
         got = {r.user_id: r for r in QUERIES["q_conversion_funnel"](spark, d).collect()}
         assert (got[1].did_signup, got[1].did_view, got[1].did_purchase) == (1, 1, 1)
         assert (got[2].did_signup, got[2].did_view, got[2].did_purchase) == (1, 1, 0)
+
+
+class TestLabelPcaSpectrum:
+    def test_anisotropic_cluster_spectrum(self, spark):
+        from dipper_spark.operators.similarity import label_pca_spectrum
+
+        # label 0: variance only along x → first component carries ~100%
+        rows = [(i, [float(i - 5), 0.0, 0.0], 0) for i in range(11)]
+        # label 1: isotropic square in (x, y) → two equal components
+        rows += [
+            (100 + 4 * j + k, [float(j % 2), float(k % 2), 0.0], 1)
+            for j in range(2)
+            for k in range(2)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = label_pca_spectrum(df, "vec_id", "label", "embedding", k=2).collect()
+        by = {(r.label, r.component): r for r in out}
+        assert by[(0, 0)].var_frac == 1.0
+        assert by[(0, 1)].eigval == 0.0
+        assert abs(by[(1, 0)].var_frac - 0.5) < 1e-6
+        assert abs(by[(1, 1)].var_frac - 0.5) < 1e-6
+
+    def test_partitioning_invariant(self, spark):
+        from dipper_spark.operators.similarity import label_pca_spectrum
+
+        import random
+        rnd = random.Random(7)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        a = sorted(map(tuple, label_pca_spectrum(df, k=3).collect()))
+        b = sorted(map(tuple, label_pca_spectrum(df.repartition(13), k=3).collect()))
+        assert a == b
