@@ -66,6 +66,9 @@ HEADLINE = [
     "q_weighted_sample",
     "q_temperature_sample",
     "q_epoch_shuffle",
+    "q_snapshot_diff",
+    "q_novelty_rate",
+    "q_label_pca",
     "q_quality_classifier",
     "q_passage_chunks",
     "q_bm25_topk",

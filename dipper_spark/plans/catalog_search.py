@@ -1523,3 +1523,116 @@ def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_pca_spectrum(emb, "vec_id", "label", "embedding", k=2)
+
+
+# ---- snapshot diff (CDC between corpus versions) ------------------------------
+
+_SNAP_V1 = 0.9   # v1 = frac < 0.9
+_SNAP_V2 = 0.1   # v2 = frac >= 0.1
+_SNAP_MUT_LO, _SNAP_MUT_HI = 0.4, 0.5  # v2 rewrites this hash slice
+
+
+@register(
+    "q_snapshot_diff",
+    f"""
+    WITH base AS (SELECT doc_id, text, {_HASH_FRAC_SQL} AS frac FROM documents),
+    v1 AS (SELECT doc_id, md5(text) AS h FROM base WHERE frac < {_SNAP_V1}),
+    v2 AS (SELECT doc_id,
+                  md5(CASE WHEN frac >= {_SNAP_MUT_LO} AND frac < {_SNAP_MUT_HI}
+                           THEN reverse(text) ELSE text END) AS h
+           FROM base WHERE frac >= {_SNAP_V2})
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the CDC shape between two dataset versions):
+    full-outer join on the id, content-hash compare for changed rows —
+    added / removed / changed / unchanged per document.  The two versions
+    here are deterministic hash slices of the same table (v2 rewrites one
+    slice) so the op is self-contained; production passes two snapshots.
+    One keyed shuffle each side; only 32-hex content keys cross the wire,
+    never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dipper_spark.operators.sampling import hash_fraction
+
+    frac = hash_fraction(F.col("doc_id"))
+    base = docs.select("doc_id", "text", frac.alias("frac"))
+    v1 = base.filter(F.col("frac") < _SNAP_V1).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    mut = F.when(
+        (F.col("frac") >= _SNAP_MUT_LO) & (F.col("frac") < _SNAP_MUT_HI),
+        F.reverse(F.col("text")),
+    ).otherwise(F.col("text"))
+    v2 = base.filter(F.col("frac") >= _SNAP_V2).select(
+        "doc_id", F.md5(mut).alias("h")
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("id"),
+        status.alias("status"),
+    )
+
+
+# ---- first-seen novelty rate ---------------------------------------------------
+
+
+@register(
+    "q_novelty_rate",
+    """
+    WITH d AS (SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+               FROM events),
+    first_day AS (SELECT user_id, min(day) AS f FROM d GROUP BY user_id)
+    SELECT day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active,
+           CAST(count(DISTINCT CASE WHEN f = day THEN d.user_id END) AS BIGINT) AS n_new,
+           round(count(DISTINCT CASE WHEN f = day THEN d.user_id END)
+                 / CAST(count(DISTINCT d.user_id) AS DOUBLE), 6) AS novelty
+    FROM d JOIN first_day ON d.user_id = first_day.user_id
+    GROUP BY day
+    """,
+)
+def q_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen novelty per epoch-day: active users, first-ever-seen
+    users, and their ratio — the growth/novelty accounting every ingestion
+    dashboard needs (for documents, swap user_id for the content
+    fingerprint: 'how much of today's crawl is actually new').  Per-user
+    min is dimension-sized and broadcast back; one grouped
+    count-distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86400000000.0)
+        .cast("long")
+        .alias("day")
+    )
+    d = ev.select("user_id", day)
+    first = d.groupBy("user_id").agg(F.min("day").alias("f"))
+    return (
+        d.join(F.broadcast(first), "user_id")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.countDistinct(
+                F.when(F.col("f") == F.col("day"), F.col("user_id"))
+            ).cast("long").alias("n_new"),
+            F.round(
+                F.countDistinct(
+                    F.when(F.col("f") == F.col("day"), F.col("user_id"))
+                )
+                / F.countDistinct("user_id").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -753,3 +753,19 @@ class TestLabelPcaSpectrum:
         a = sorted(map(tuple, label_pca_spectrum(df, k=3).collect()))
         b = sorted(map(tuple, label_pca_spectrum(df.repartition(13), k=3).collect()))
         assert a == b
+
+
+class TestSnapshotDiff:
+    def test_all_statuses_present_and_consistent(self, spark):
+        from dipper_spark.plans import QUERIES
+
+        out = QUERIES["q_snapshot_diff"](spark, "/root/testdata/sf0.001").collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.status, set()).add(r.id)
+        # v1 covers frac<0.9, v2 covers frac>=0.1 → every doc appears once
+        assert sum(len(v) for v in by.values()) == 500
+        assert set(by) == {"added", "removed", "changed", "unchanged"}
+        # statuses partition the id space
+        ids = [i for v in by.values() for i in v]
+        assert len(ids) == len(set(ids))
