@@ -250,17 +250,14 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     count keys; one per-doc aggregation.  Everything keys on token
     strings, no UDFs.  Docs with < 2 tokens drop out (no bigrams).
     """
-    bigrams = F.when(
-        F.size("_toks") >= 2,
-        F.expr(
-            "transform(sequence(1, size(_toks) - 1), "
-            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
-        .select("id", F.explode(bigrams).alias("b"))
+    from dipper_spark.operators.util import exploded_word_ngrams
+
+    bg = exploded_word_ngrams(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        ["id"],
+        text_col,
+        n=2,
+        out="b",
     )
     c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt2"))
     c1 = (
