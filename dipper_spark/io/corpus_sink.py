@@ -30,20 +30,27 @@ def write_training_shards(
     key_col: str,
     n_shards: int = 8,
     seed: str = "ep1",
+    fmt: str = "parquet",
 ) -> None:
-    """Write ``df`` as ``n_shards`` parquet shards in deterministic
-    training order (see module docstring).  ``key_col`` must be a stable
-    unique id — the permutation is a pure function of (seed, key)."""
+    """Write ``df`` as ``n_shards`` shards in deterministic training order
+    (see module docstring).  ``key_col`` must be a stable unique id — the
+    permutation is a pure function of (seed, key).  ``fmt`` is "parquet"
+    (columnar, the default) or "json" (jsonl — the common hand-off format
+    to tokenizer pipelines; same layout, one JSON object per line in
+    training order)."""
     from dipper_spark.operators.sampling import epoch_shuffle
 
     ordered = epoch_shuffle(df, key_col, n_shards=n_shards, seed=seed)
-    (
+    writer = (
         ordered.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("pos")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    if fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
 
 
 def read_training_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:

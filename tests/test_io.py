@@ -337,3 +337,24 @@ class TestCorpusSink:
         ra = [(r.shard, r.pos, r.doc_id) for r in spark.read.parquet(a).collect()]
         rb = [(r.shard, r.pos, r.doc_id) for r in spark.read.parquet(b).collect()]
         assert sorted(ra) != sorted(rb)  # a new epoch is a new permutation
+
+    def test_jsonl_shards(self, spark, tmp_path):
+        import json as _json
+        import glob
+        import os
+
+        from dipper_spark.io.corpus_sink import write_training_shards
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+        )
+        out = str(tmp_path / "jl")
+        write_training_shards(df, out, "doc_id", n_shards=2, seed="ep1", fmt="json")
+        files = glob.glob(os.path.join(out, "shard=*", "part-*"))
+        assert files
+        rows = []
+        for f in files:
+            with open(f) as fh:
+                rows += [_json.loads(ln) for ln in fh if ln.strip()]
+        assert sorted(r["doc_id"] for r in rows) == list(range(40))
+        assert all("pos" in r and "text" in r for r in rows)

@@ -112,3 +112,52 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     for node, comp in got.items():
         assert comp == find(node), (node, edges)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    n=st.integers(2, 4),
+)
+def test_exploded_ngrams_equals_array_form(spark, docs, n):
+    """The explode-first fast path and the array<string> column form are the
+    same operator: identical (id, ngram) multisets on arbitrary text."""
+    from collections import Counter
+
+    from dipper_spark.functions.text import tokens, word_shingles
+    from dipper_spark.operators.util import exploded_word_ngrams
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["id", "text"])
+    fast = Counter(
+        (r.id, r.sh)
+        for r in exploded_word_ngrams(df, ["id"], "text", n=n, out="sh").collect()
+    )
+    slow = Counter(
+        (r.id, r.sh)
+        for r in df.select(
+            "id", F.explode(word_shingles(tokens("text"), n)).alias("sh")
+        ).collect()
+    )
+    assert fast == slow
+
+
+@settings(**SETTINGS)
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=30, unique=True))
+def test_epoch_shuffle_is_permutation(spark, ids):
+    """Every input row appears exactly once, positions are dense per shard,
+    and the assignment matches the pure-python md5 draw."""
+    import hashlib
+
+    from dipper_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    rows = epoch_shuffle(df, "doc_id", n_shards=4, seed="px").collect()
+    assert sorted(r.doc_id for r in rows) == sorted(ids)
+    for s in {r.shard for r in rows}:
+        pos = sorted(r.pos for r in rows if r.shard == s)
+        assert pos == list(range(1, len(pos) + 1))
+    for r in rows:
+        h = hashlib.md5(f"px:{r.doc_id}".encode()).hexdigest()
+        assert r.shard == int(h[:8], 16) % 4
