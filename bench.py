@@ -52,6 +52,7 @@ HEADLINE = [
     "q_stats_rollup",
     "q_lang_pivot",
     "q_bpe_token_count",
+    "q_bpe_merges",
     "q_rolling_fingerprint",
     "q_quality_rules",
     "q_curation_funnel",

@@ -1653,3 +1653,84 @@ def q_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---- BPE vocabulary training (iterative; CTE-unrolled oracle) -----------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Unroll ``n_merges`` BPE steps as CTEs: per step an adjacent-pair
+    count (lateral unnest of int positions), a windowless LIMIT-1 argmax
+    with the (freq desc, left, right) tie-break, and a list_reduce fold
+    applying the merge greedy-left-to-right — the DuckDB mirror of the
+    Spark ``aggregate`` fold in operators/bpe.py."""
+    ctes = [
+        f"w AS (SELECT word, count(*) AS freq FROM "
+        f"(SELECT unnest({TOK}) AS word FROM documents) GROUP BY word)",
+        "s0 AS (SELECT word, freq, "
+        "list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms FROM w)",
+    ]
+    sel = []
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"p{k} AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt "
+            f"FROM s{k-1}, unnest(range(1, len(syms))) AS u(i) GROUP BY l, r)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT word, freq, CASE WHEN len(syms) < 2 THEN syms ELSE "
+            f"list_reduce(list_transform(syms, x -> [x]), (acc, x) -> "
+            f"CASE WHEN acc[-1] = b{k}.l AND x[1] = b{k}.r "
+            f"THEN list_concat(acc[1:len(acc)-1], [b{k}.l || b{k}.r]) "
+            f"ELSE list_concat(acc, x) END) END AS syms "
+            f"FROM s{k-1} CROSS JOIN b{k})"
+        )
+        sel.append(
+            f"SELECT {k} AS step, l AS left, r AS right, l || r AS merged, "
+            f"CAST(cnt AS BIGINT) AS pair_freq FROM b{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel)
+
+
+@register("q_bpe_merges", _bpe_sql(_BPE_MERGES))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 3 merges over the corpus — the third
+    iterative algorithm proven by CTE unrolling (after Lloyd's and
+    PageRank).  Corpus-sized work is one word-count shuffle; every merge
+    step runs on the frequency-weighted vocabulary; the merge application
+    is a pure aggregate fold (greedy left-to-right), no UDFs anywhere."""
+    from dipper_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    return merges
+
+
+def _bpe_vocab_sql(n_merges: int) -> str:
+    """Same unrolled chain, but the final select is the corpus-weighted
+    count of the symbols the trained vocabulary induces."""
+    ctes = _bpe_sql(n_merges).rsplit("\nSELECT 1 AS step", 1)[0]
+    return (
+        ctes
+        + f"""
+    SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT freq, unnest(syms) AS sym FROM s{n_merges})
+    GROUP BY sym
+    """
+    )
+
+
+@register("q_bpe_vocab", _bpe_vocab_sql(_BPE_MERGES))
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted symbol distribution after 3 BPE merges (the token
+    histogram the trained vocabulary induces) — one explode + grouped sum
+    over the vocab frame."""
+    from dipper_spark.operators.bpe import bpe_segment_counts, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    return bpe_segment_counts(vocab)

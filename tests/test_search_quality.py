@@ -769,3 +769,68 @@ class TestSnapshotDiff:
         # statuses partition the id space
         ids = [i for v in by.values() for i in v]
         assert len(ids) == len(set(ids))
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _python_bpe(texts, n_merges):
+        """Independent reference: Sennrich-style BPE on word frequencies."""
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            words.update(t.lower().split())
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += words[w]
+            if not pairs:
+                break
+            # tie-break: freq desc, then (left, right) asc
+            (l, r), freq = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((l, r, l + r, freq))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges, vocab, words
+
+    def test_matches_python_reference(self, spark):
+        from dipper_spark.operators.bpe import bpe_train
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new newer",
+            "wider wide wide widest",
+        ]
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        merges, vocab = bpe_train(df, "text", n_merges=4)
+        got = [(r.left, r.right, r.merged, r.pair_freq) for r in merges.orderBy("step").collect()]
+        want, pvocab, pwords = self._python_bpe(texts, 4)
+        assert got == want
+        gvocab = {r.word: list(r.syms) for r in vocab.collect()}
+        assert gvocab == pvocab
+
+    def test_overlapping_run_is_greedy_left_to_right(self, spark):
+        from dipper_spark.operators.bpe import bpe_train
+
+        # 'aaa': pair (a,a) appears twice but merges once, leaving [aa, a]
+        df = spark.createDataFrame([(0, "aaa aaa bb")], ["doc_id", "text"])
+        merges, vocab = bpe_train(df, "text", n_merges=1)
+        [m] = merges.collect()
+        assert (m.left, m.right, m.merged) == ("a", "a", "aa")
+        assert m.pair_freq == 4  # 2 occurrences x freq 2 of 'aaa'
+        got = {r.word: list(r.syms) for r in vocab.collect()}
+        assert got["aaa"] == ["aa", "a"]
+        assert got["bb"] == ["b", "b"]
