@@ -76,6 +76,7 @@ HEADLINE = [
     "q_tfidf_keywords",
     "q_dedup_exact",
     "q_chunk_dedup",
+    "q_dedup_decision",
     "q_decontaminate",
     "q_jaccard_pruned",
     "q_minhash_lsh",

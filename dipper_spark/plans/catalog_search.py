@@ -1734,3 +1734,72 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _, vocab = bpe_train(docs, "text", n_merges=_BPE_MERGES)
     return bpe_segment_counts(vocab)
+
+
+# ---- capstone dedup decision: clusters -> surviving representative -----------
+
+
+@register(
+    "q_dedup_decision",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(TOK, 3)})) AS s
+           FROM documents),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id),
+    prs AS (
+      SELECT id_1, id_2 FROM inter
+      JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
+      WHERE n_common / CAST(z1.n + z2.n - n_common AS DOUBLE) >= 0.5),
+    edges AS (SELECT id_1 AS a, id_2 AS b FROM prs
+              UNION ALL SELECT id_2, id_1 FROM prs),
+    reach(id, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b),
+    comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    scored AS (
+      SELECT doc_id AS id, coalesce(component, doc_id) AS cluster,
+             {_QUALITY_SQL} AS q
+      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id)
+    SELECT id, cluster,
+           CAST(CASE WHEN row_number() OVER (
+                  PARTITION BY cluster ORDER BY q DESC, id) = 1
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored
+    """,
+)
+def q_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone dedup decision: near-dup pairs (exact 3-gram Jaccard
+    >= 0.5) -> connected components -> per-cluster survivor election by
+    quality score (ties to the lowest id); singletons are their own
+    cluster and survive.  This is the row-level keep/drop verdict a
+    curation pipeline actually applies — pairs and clusters are the
+    intermediate evidence."""
+    from pyspark.sql import Window
+
+    from dipper_spark.functions.text import quality_score
+    from dipper_spark.operators.dedup import connected_components, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    scored = (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+            quality_score("text").alias("q"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("id"))
+    )
+    return scored.select(
+        "id", "cluster", (rn == 1).cast("int").alias("keep")
+    )
