@@ -77,3 +77,32 @@ def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
             F.max("pos").alias("max_pos"),
         )
     )
+
+
+def compact_landing_zone(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Compact a small-files landing zone (the streaming-ingest side
+    effect: one file per micro-batch per partition) into evenly-sized
+    parquet files — the OPTIMIZE/compaction maintenance op every
+    long-running ingest needs, as plain Spark.
+
+    Row-count-driven: one cheap count, then ``ceil(n / target)`` output
+    files via a round-robin repartition (uniform by construction — no
+    skewed-file tail).  Writes to ``out_path`` so the swap is atomic at
+    the directory level (rename/retarget), never in place.
+
+    Returns {"rows": n, "files_in": k_in, "files_out": k_out}.
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    n = df.count()
+    files_in = len(df.inputFiles())
+    k = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(k).write.mode("overwrite").parquet(out_path)
+    files_out = len(spark.read.parquet(out_path).inputFiles())
+    return {"rows": n, "files_in": files_in, "files_out": files_out}

@@ -358,3 +358,19 @@ class TestCorpusSink:
                 rows += [_json.loads(ln) for ln in fh if ln.strip()]
         assert sorted(r["doc_id"] for r in rows) == list(range(40))
         assert all("pos" in r and "text" in r for r in rows)
+
+    def test_compact_landing_zone(self, spark, tmp_path):
+        from dipper_spark.io.corpus_sink import compact_landing_zone
+
+        src = str(tmp_path / "landing")
+        # simulate a micro-batch-fragmented landing zone: 24 tiny files
+        df = spark.createDataFrame([(i, f"d{i}") for i in range(240)], ["id", "v"])
+        df.repartition(24).write.parquet(src)
+        out = str(tmp_path / "compacted")
+        rep = compact_landing_zone(spark, src, out, target_rows_per_file=100)
+        assert rep["rows"] == 240
+        assert rep["files_in"] >= 20
+        assert rep["files_out"] == 3  # ceil(240/100)
+        a = sorted(r.id for r in spark.read.parquet(src).collect())
+        b = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert a == b
