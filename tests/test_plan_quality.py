@@ -289,3 +289,14 @@ class TestRound5LateOps:
         plan = final_plan_of(QUERIES["q_embedding_outliers"](spark, sf))
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_dedup_decision_no_cartesian(self, spark, sf):
+        plan = final_plan_of(QUERIES["q_dedup_decision"](spark, sf))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bpe_merges_runs_no_python_eval(self, spark, sf):
+        # the merge fold and pair explode are pure JVM expressions
+        df = QUERIES["q_bpe_merges"](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
