@@ -55,6 +55,26 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     )
     ap.add_argument("--force-fetch", action="store_true", help="re-download even when fresh")
     ap.add_argument("--cache-base", default=None, help="web-cache base url tried before origin")
+    ap.add_argument(
+        "--fetch-only", action="store_true",
+        help="stage source files and stop (dipper-etl --fetch_only)",
+    )
+    ap.add_argument(
+        "--parse-only", action="store_true",
+        help="transform and report triple counts without writing output "
+        "(dipper-etl --parse_only)",
+    )
+    ap.add_argument(
+        "--taxon", default=None,
+        help="comma-separated NCBITaxon numbers constraining sources that "
+        "declare tax_ids (dipper-etl -t/--taxon; NCBIGene, Panther, BioGrid, "
+        "UCSCBands, GO)",
+    )
+    ap.add_argument(
+        "--data-release-version", default=None,
+        help="release tag (e.g. 201908) used in the dataset stanza's version "
+        "and distribution IRIs (dipper-etl -d)",
+    )
     args = ap.parse_args(argv)
 
     own_spark = spark is None
@@ -66,9 +86,18 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
 
     report: dict = {"sources": {}, "fmt": args.dest_fmt}
     props = default_property_table(spark)
+    taxa = (
+        [t.strip() for t in args.taxon.split(",") if t.strip()]
+        if args.taxon
+        else None
+    )
     for name in names:
         timings: dict[str, float] = {}
         pipe = get_pipeline(name)
+        if taxa is not None and hasattr(pipe, "tax_ids"):
+            # reference semantics (dipper-etl.py:95-105 + Source.settaxon):
+            # constrain a taxon-aware source to the supplied ids
+            pipe.tax_ids = taxa
         source_files: dict | None = None
         if args.fetch:
             t_f = time.time()
@@ -92,6 +121,9 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
                             _os.path.getmtime(local)
                         ).isoformat()
                     }
+        if args.fetch_only:
+            report["sources"][name] = timings
+            continue
         t0 = time.time()
         graph = pipe.transform(
             spark, args.raw_dir, limit=args.limit, test_mode=args.test_only
@@ -109,12 +141,18 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         meta = hcls_dataset_triples(
             spark, graph, name, ingest_title=name,
             distribution_type=args.dest_fmt, source_files=source_files,
-            graph_id=name,
+            graph_id=name, data_release_version=args.data_release_version,
         )
         if not args.no_axioms:
             graph = add_property_axioms(graph, props)
         out = union_graphs(graph, meta)
         timings["transform"] = round(time.time() - t0, 3)
+
+        if args.parse_only:
+            timings["n_triples"] = out.count()
+            report["sources"][name] = timings
+            LOG.info("%s: parse-only, %d triples", name, timings["n_triples"])
+            continue
 
         t1 = time.time()
         dest = f"{args.out_dir.rstrip('/')}/{name}"

@@ -105,3 +105,52 @@ def test_etl_all_formats(spark, tmp_path):
             assert len(parse_turtle(open(out / "ctd.n3").read())) > 0
         else:
             assert spark.read.parquet(str(out / "ctd.parquet")).count() > 0
+
+
+def test_etl_parse_only_and_release_version(spark, tmp_path):
+    raw = tmp_path / "raw"
+    out = tmp_path / "out"
+    raw.mkdir()
+    (raw / "phenotype.hpoa").write_text(HPOA_FIXTURE)
+
+    # --parse-only: triple counts reported, nothing written
+    report = run(
+        ["--sources", "hpoa", "--raw-dir", str(raw), "--out-dir", str(out),
+         "--dest-fmt", "nt", "--parse-only"],
+        spark=spark,
+    )
+    assert report["sources"]["hpoa"]["n_triples"] > 10
+    assert not out.exists() or not any(out.iterdir())
+
+    # --data-release-version lands in the dataset stanza's version IRIs
+    report = run(
+        ["--sources", "hpoa", "--raw-dir", str(raw), "--out-dir", str(out),
+         "--dest-fmt", "nt", "--data-release-version", "209901"],
+        spark=spark,
+    )
+    lines = []
+    for f in os.listdir(out / "hpoa.nt"):
+        if f.startswith("part-"):
+            lines += open(out / "hpoa.nt" / f).read().splitlines()
+    assert any("209901" in ln for ln in lines)
+
+
+def test_etl_taxon_override(spark, tmp_path):
+    from dipper_spark.sources import get_pipeline
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # panther fixture: one human-mouse pair and one fly-worm pair; restricting
+    # --taxon to 9606 must drop the fly-worm row
+    rows = [
+        "HUMAN|GeneID=1234|UniProtKB=P1\tMOUSE|GeneID=2176|UniProtKB=P2\tLDO\tEuarchontoglires\tPTHR10003",
+        "DROME|Gene=Dmel_CG123|UniProtKB=P3\tCAEEL|Gene=WBGene4|UniProtKB=P4\tLDO\tBilateria\tPTHR10004",
+    ]
+    (raw / "RefGenomeOrthologs.tsv").write_text("\n".join(rows) + "\n")
+    base = ["--raw-dir", str(raw), "--out-dir", str(tmp_path / "o"),
+            "--dest-fmt", "nt", "--parse-only", "--sources", "panther"]
+    all_tax = run(base, spark=spark)["sources"]["panther"]["n_triples"]
+    human = run(base + ["--taxon", "9606"], spark=spark)["sources"]["panther"]["n_triples"]
+    assert human < all_tax
+    # the override is per-run state; restore the class default for other tests
+    get_pipeline("panther").__class__.tax_ids = ["9606", "10090", "10116", "7955", "6239", "7227"]

@@ -264,9 +264,12 @@ class TestRound5LateOps:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     def test_passage_chunks_is_scan_only(self, spark, sf):
+        # no KEYED shuffle — the only allowed Exchange is the deliberate
+        # round-robin parallelism repartition over a single-file scan
         plan = plan_of(QUERIES["q_passage_chunks"](spark, sf))
-        assert "Exchange" not in plan
-        assert "Generate" in plan  # the posexplode
+        assert "hashpartitioning" not in plan
+        assert "rangepartitioning" not in plan
+        assert "Generate" in plan  # the explode
 
     def test_incremental_dedup_no_cartesian_hot_pruned(self, spark, sf):
         plan = final_plan_of(QUERIES["q_incremental_dedup"](spark, sf))
