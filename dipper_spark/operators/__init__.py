@@ -29,17 +29,21 @@ from dipper_spark.operators.governance import (
     pseudonym,
 )
 from dipper_spark.operators.sampling import (
+    epoch_shuffle,
     source_quota,
     stratified_sample,
     temperature_resample,
     weighted_sample,
 )
 from dipper_spark.operators.search import (
+    bigram_logprob,
     bm25_topk,
+    hashed_linear_score,
     tfidf_keywords,
     unigram_logprob,
 )
-from dipper_spark.operators.graph import pagerank
+from dipper_spark.operators.bpe import bpe_segment_counts, bpe_train
+from dipper_spark.operators.graph import pagerank, triangles
 from dipper_spark.operators.sketches import (
     count_min_build,
     count_min_estimate,
@@ -50,6 +54,12 @@ from dipper_spark.operators.setops import except_diff, intersect_all, union_dedu
 
 __all__ = [
     "asof_join",
+    "bigram_logprob",
+    "bpe_segment_counts",
+    "bpe_train",
+    "epoch_shuffle",
+    "hashed_linear_score",
+    "triangles",
     "count_min_build",
     "count_min_estimate",
     "linear_counting",
