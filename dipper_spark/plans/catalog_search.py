@@ -1746,9 +1746,14 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(TOK, 3)})) AS s
            FROM documents),
     sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 50),
+    kept AS (SELECT id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+    cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2
+             FROM kept a JOIN kept b ON a.s = b.s AND a.id < b.id),
     inter AS (
       SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      JOIN cand c ON c.id_1 = a.id AND c.id_2 = b.id
       GROUP BY a.id, b.id),
     prs AS (
       SELECT id_1, id_2 FROM inter
@@ -1773,10 +1778,11 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone dedup decision: near-dup pairs (exact 3-gram Jaccard
-    >= 0.5) -> connected components -> per-cluster survivor election by
-    quality score (ties to the lowest id); singletons are their own
-    cluster and survive.  This is the row-level keep/drop verdict a
+    """The capstone dedup decision: near-dup pairs (hot-shingle-pruned
+    3-gram Jaccard >= 0.5, doc-freq cap 50 — the 100 TB candidate shape,
+    exact Jaccard verified on candidates) -> connected components ->
+    per-cluster survivor election by quality score (ties to the lowest
+    id); singletons are their own cluster and survive.  This is the row-level keep/drop verdict a
     curation pipeline actually applies — pairs and clusters are the
     intermediate evidence."""
     from pyspark.sql import Window
@@ -1785,7 +1791,9 @@ def q_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dipper_spark.operators.dedup import connected_components, jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+    )
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
