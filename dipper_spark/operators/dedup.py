@@ -460,6 +460,7 @@ def connected_components(
     id1: str = "id_1",
     id2: str = "id_2",
     max_iter: int = 50,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair list by min-label
     propagation — the cluster-election step a dedup pipeline needs between
@@ -475,6 +476,14 @@ def connected_components(
     whole-graph algorithm.  The component id is the minimum member id,
     making the output deterministic and the canonical-doc choice free.
 
+    ``broadcast_labels=True`` (default) hash-broadcasts the node-sized
+    label frame into each iteration's joins — after a localCheckpoint
+    Catalyst forgets partitioning, so without the hint every iteration
+    re-shuffles the edge list to meet a frame that is orders of magnitude
+    smaller (dup-cluster participants, not the corpus).  Pass False for
+    graphs whose participant set outgrows executor memory; both sides
+    then shuffle on the node key.
+
     Returns (id, component) for every node that appears in ``edges``.
     """
     sym = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
@@ -488,19 +497,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        lab_dst = labels.select(
+            F.col("id").alias("dst"), F.col("component").alias("n_comp")
+        )
+        if broadcast_labels:
+            lab_dst = F.broadcast(lab_dst)
         nbr = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("component").alias("n_comp")
-                ),
-                "dst",
-            )
+            sym.join(lab_dst, "dst")
             .groupBy("src")
             .agg(F.min("n_comp").alias("n_comp"))
             .select(F.col("src").alias("id"), "n_comp")
         )
         new_labels = (
-            labels.join(nbr, "id", "left")
+            labels.join(F.broadcast(nbr) if broadcast_labels else nbr, "id", "left")
             .select(
                 "id",
                 F.least(
@@ -511,7 +520,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(F.broadcast(labels.alias("o")) if broadcast_labels else labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )

@@ -23,6 +23,7 @@ from dipper_spark.operators.search import bm25_topk, tfidf_keywords
 from dipper_spark.plans.catalog import register
 from dipper_spark.plans.catalog_text import (
     _JACCARD_SQL,
+    _minhash_sql,
     _SIMHASH_CTE,
     LANG_MARKERS,
     TOK,
@@ -1743,22 +1744,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_decision",
     f"""
     WITH RECURSIVE
-    sh AS (SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(TOK, 3)})) AS s
-           FROM documents),
-    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-    hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 50),
-    kept AS (SELECT id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-    cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2
-             FROM kept a JOIN kept b ON a.s = b.s AND a.id < b.id),
-    inter AS (
-      SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-      JOIN cand c ON c.id_1 = a.id AND c.id_2 = b.id
-      GROUP BY a.id, b.id),
-    prs AS (
-      SELECT id_1, id_2 FROM inter
-      JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
-      WHERE n_common / CAST(z1.n + z2.n - n_common AS DOUBLE) >= 0.5),
+    prs AS (SELECT id_1, id_2 FROM ({_minhash_sql(threshold=0.5)})),
     edges AS (SELECT id_1 AS a, id_2 AS b FROM prs
               UNION ALL SELECT id_2, id_1 FROM prs),
     reach(id, comp) AS (
@@ -1778,21 +1764,22 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone dedup decision: near-dup pairs (hot-shingle-pruned
-    3-gram Jaccard >= 0.5, doc-freq cap 50 — the 100 TB candidate shape,
-    exact Jaccard verified on candidates) -> connected components ->
-    per-cluster survivor election by quality score (ties to the lowest
-    id); singletons are their own cluster and survive.  This is the row-level keep/drop verdict a
+    """The capstone dedup decision, production composition end-to-end:
+    MinHash+LSH banded candidates (8 perms, 4 bands of 2 — the 100 TB
+    dedup shape; candidates are band collisions, never all-pairs),
+    exact-Jaccard verified at >= 0.5, clustered by connected components,
+    then per-cluster survivor election by quality score (ties to the
+    lowest id); singletons are their own cluster and survive.  This is the row-level keep/drop verdict a
     curation pipeline actually applies — pairs and clusters are the
     intermediate evidence."""
     from pyspark.sql import Window
 
     from dipper_spark.functions.text import quality_score
-    from dipper_spark.operators.dedup import connected_components, jaccard_pairs
+    from dipper_spark.operators.dedup import connected_components, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=8, rows_per_band=2, threshold=0.5
     )
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
