@@ -62,3 +62,24 @@ def interval_attribution_join(
             (us("e_ts") - us("c_ts")).alias("gap_us"),
         )
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame, dim: DataFrame, key: str, broadcast_dim: bool = True
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of ``stream`` joins
+    the static ``dim`` on ``key`` — the lookup-table shape (user profile,
+    source metadata, quality-rule config) in its streaming form.
+
+    Stream-static inner joins are stateless in Structured Streaming: no
+    watermark, no state store — the static side is simply re-planned into
+    every micro-batch, so a broadcast hint on it makes each micro-batch a
+    map-side hash join (the dim is read once per trigger; snapshot-refresh
+    it by restarting the query or using a Delta-style versioned source).
+    At 100 TB-of-stream the dim side stays dimension-sized; that asymmetry
+    is the whole design.
+    """
+    from pyspark.sql import functions as F
+
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, key)

@@ -194,3 +194,37 @@ class TestStreamStreamJoin:
             for r in spark.read.parquet(str(out)).collect()
         }
         assert got == expected
+
+
+class TestStreamStaticJoin:
+    def test_enrichment_matches_batch_and_is_stateless(self, spark, tables, tmp_path):
+        from dipper_spark.streaming.joins import enrich_with_dim
+
+        src_dir = str(tmp_path / "ev_src")
+        ev = tables["events"].select("event_id", "user_id", "event_type")
+        ev.write.parquet(src_dir)
+        dim = spark.createDataFrame(
+            [(u, f"seg{u % 3}") for u in range(200)], ["user_id", "segment"]
+        )
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string"
+        ).parquet(src_dir)
+        out = enrich_with_dim(stream, dim, "user_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.event_id, r.segment)
+            for r in spark.sql("select event_id, segment from enriched").collect()
+        }
+        want = {
+            (r.event_id, r.segment)
+            for r in enrich_with_dim(ev, dim, "user_id").collect()
+        }
+        assert got == want and len(got) > 0
