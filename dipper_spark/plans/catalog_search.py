@@ -684,19 +684,36 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale lever here is the blocking key granularity, not the
     verifier."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    # verify on the DISTINCT-VALUE DOMAIN, expand by equi-join: part names
+    # are catalog-style (64 distinct values across 20k rows at sf0.1), so
+    # the expensive verifier runs 64x64 times instead of 8M, and the
+    # expansion back to row pairs is a pure hash equi-join on
+    # (name, brand).  13.5s -> ~3s; on a corpus whose value domain is
+    # row-cardinality this degrades gracefully to the blocked verify.
+    nd = part.select("p_name").distinct()
+    x, y = nd.alias("x"), nd.alias("y")
+    nd_dist = F.levenshtein(F.col("x.p_name"), F.col("y.p_name"))
+    ok = (
+        x.join(F.broadcast(y), nd_dist <= 5)
+        .select(
+            F.col("x.p_name").alias("_na"),
+            F.col("y.p_name").alias("_nb"),
+            nd_dist.cast("int").alias("edit_dist"),
+        )
+    )
     a, b = part.alias("a"), part.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
-        a.join(
+        a.join(F.broadcast(ok), F.col("a.p_name") == F.col("_na"))
+        .join(
             b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
+            (F.col("b.p_name") == F.col("_nb"))
+            & (F.col("b.p_brand") == F.col("a.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
-        .filter(dist <= 5)
         .select(
             F.col("a.p_partkey").alias("key_1"),
             F.col("b.p_partkey").alias("key_2"),
-            dist.cast("int").alias("edit_dist"),
+            "edit_dist",
         )
     )
 

@@ -139,12 +139,20 @@ class TestRound5Plans:
 
 
 class TestRound5LateBatch:
-    def test_fuzzy_join_is_blocked_equi_join(self, spark, sf):
-        # record linkage: the join key must be the blocking key, edit
-        # distance verified on candidates only — never an all-pairs loop
+    def test_fuzzy_join_verifies_on_domain_expands_by_equi_join(self, spark, sf):
+        # record linkage: the expensive verifier runs on the distinct-name
+        # DOMAIN (the only non-equi join allowed is the broadcast loop over
+        # that tiny frame); the expansion back to row pairs must be hash
+        # equi-joins — never a cartesian/NL join over the row table
         plan = plan_of(QUERIES["q_fuzzy_join"](spark, sf))
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan  # the (name, brand) expansion
+        # the domain cross is NL by necessity, but there must be exactly
+        # one such join and levenshtein must not appear in any hash-join
+        # condition (it would mean row-level verify came back)
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        hash_joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+        assert all("levenshtein" not in ln for ln in hash_joins)
 
     def test_robust_outliers_broadcasts_tiny_aggregates(self, spark, sf):
         # the per-type median/MAD frames are broadcast back over the scan
