@@ -59,6 +59,8 @@ HEADLINE = [
     "q_unigram_logprob",
     "q_bigram_logprob",
     "q_ngram_diversity",
+    "q_token_entropy",
+    "q_source_overlap",
     "q_incremental_dedup",
     "q_embedding_outliers",
     "q_length_percentiles",

@@ -1815,3 +1815,107 @@ def q_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "id", "cluster", (rn == 1).cast("int").alias("keep")
     )
+
+
+# ---- per-document token entropy ----------------------------------------------
+
+
+@register(
+    "q_token_entropy",
+    f"""
+    WITH tf AS (SELECT doc_id AS id, t, count(*) AS c
+                FROM (SELECT doc_id, unnest({TOK}) AS t FROM documents)
+                GROUP BY doc_id, t),
+    tot AS (SELECT id, sum(c) AS n FROM tf GROUP BY id)
+    SELECT tf.id AS id, CAST(max(tot.n) AS BIGINT) AS n_tokens,
+           round(-sum((c / CAST(tot.n AS DOUBLE)) * ln(c / CAST(tot.n AS DOUBLE))), 6)
+             AS entropy
+    FROM tf JOIN tot ON tot.id = tf.id GROUP BY tf.id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) — the
+    gibberish/degenerate-text signal quality pipelines threshold on (a
+    one-token-repeated doc scores 0; diverse text scores ~ln(n_distinct)).
+    One (id, token) hash-agg plus a per-id window for the normalizer —
+    both shuffles keyed on the doc id."""
+    from pyspark.sql import Window
+
+    from dipper_spark.functions.text import tokens
+    from dipper_spark.operators.util import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        ensure_parallelism(docs)
+        .select(F.col("doc_id").alias("id"), F.explode(tokens("text")).alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = F.sum("c").over(Window.partitionBy("id"))
+    p = F.col("c") / tot.cast("double")
+    return (
+        tf.withColumn("_term", p * F.log(p))
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(-F.sum("_term"), 6).alias("entropy"),
+        )
+    )
+
+
+# ---- cross-source duplication overlap ----------------------------------------
+
+
+@register(
+    "q_source_overlap",
+    f"""
+    WITH sh AS (SELECT DISTINCT source, unnest(list_distinct({_shingles_sql(TOK, 3)})) AS s
+                FROM documents),
+    tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source)
+    SELECT a.source AS src_1, b.source AS src_2,
+           CAST(count(*) AS BIGINT) AS shared_ngrams,
+           round(count(*) / CAST(t1.n + t2.n - count(*) AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    JOIN tot t1 ON t1.source = a.source JOIN tot t2 ON t2.source = b.source
+    GROUP BY a.source, b.source, t1.n, t2.n
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: distinct 3-gram Jaccard
+    between every source pair — the mixture-design diagnostic ('how much
+    of source A is already in source B') that decides which sources need
+    cross-dedup before weighting.  Inverted-index self-join on the
+    shingle, grouped per source pair; source count is small so the output
+    is a tiny matrix."""
+    from dipper_spark.functions.text import tokens, word_shingles
+    from dipper_spark.operators.util import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            "source",
+            F.explode(F.array_distinct(word_shingles(tokens("text"), 3))).alias("s"),
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_1"), F.col("b.source").alias("src_2"))
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return (
+        pairs.join(F.broadcast(tot.withColumnRenamed("source", "src_1").withColumnRenamed("n", "n1")), "src_1")
+        .join(F.broadcast(tot.withColumnRenamed("source", "src_2").withColumnRenamed("n", "n2")), "src_2")
+        .select(
+            "src_1", "src_2",
+            F.col("shared_ngrams").cast("long").alias("shared_ngrams"),
+            F.round(
+                F.col("shared_ngrams")
+                / (F.col("n1") + F.col("n2") - F.col("shared_ngrams")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
