@@ -81,6 +81,7 @@ HEADLINE = [
     "q_dedup_decision",
     "q_decontaminate",
     "q_jaccard_pruned",
+    "q_containment",
     "q_minhash_lsh",
     "q_simhash",
     "q_simhash_pairs",

@@ -1919,3 +1919,51 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---- asymmetric containment (quote/subset detection) --------------------------
+
+
+@register(
+    "q_containment",
+    f"""
+    WITH sh AS (SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(TOK, 3)})) AS s
+                FROM documents),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+              GROUP BY a.id, b.id)
+    SELECT id_1, id_2,
+           round(n_common / CAST(z1.n AS DOUBLE), 6) AS containment
+    FROM inter JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
+    WHERE n_common / CAST(z1.n AS DOUBLE) >= 0.8
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment: |A∩B| / |A| >= 0.8 — the
+    quote/subset detector (a short doc embedded in a long one scores high
+    containment but low Jaccard, so symmetric dedup misses it).  Ordered
+    pairs by design: (A in B) and (B in A) are different findings.  Same
+    inverted-index candidate shape as Jaccard; the denominator is the
+    CONTAINED side's set size."""
+    from dipper_spark.functions.text import tokens, word_shingles
+    from dipper_spark.operators.util import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = ensure_parallelism(docs).select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(word_shingles(tokens("text"), 3))).alias("s"),
+    )
+    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.col("n").cast("double")
+    return (
+        inter.join(F.broadcast(sz.withColumnRenamed("id", "id_1")), "id_1")
+        .filter(cont >= 0.8)
+        .select("id_1", "id_2", F.round(cont, 6).alias("containment"))
+    )
