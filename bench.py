@@ -61,6 +61,7 @@ HEADLINE = [
     "q_ngram_diversity",
     "q_token_entropy",
     "q_source_overlap",
+    "q_source_divergence",
     "q_incremental_dedup",
     "q_embedding_outliers",
     "q_length_percentiles",

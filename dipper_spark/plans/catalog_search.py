@@ -1967,3 +1967,55 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.8)
         .select("id_1", "id_2", F.round(cont, 6).alias("containment"))
     )
+
+
+# ---- per-source distribution divergence ---------------------------------------
+
+
+@register(
+    "q_source_divergence",
+    f"""
+    WITH tok AS (SELECT source, unnest({TOK}) AS t FROM documents),
+    sf_ AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+    stot AS (SELECT source, sum(c) AS n FROM sf_ GROUP BY source),
+    cf AS (SELECT t, count(*) AS cc FROM tok GROUP BY t),
+    ctot AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM tok)
+    SELECT sf_.source AS source, CAST(max(stot.n) AS BIGINT) AS n_tokens,
+           round(sum((c / CAST(stot.n AS DOUBLE))
+                     * ln((c / CAST(stot.n AS DOUBLE))
+                          / (cc / (SELECT nn FROM ctot)))), 6) AS kl_to_corpus
+    FROM sf_ JOIN stot ON stot.source = sf_.source
+             JOIN cf ON cf.t = sf_.t
+    GROUP BY sf_.source
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the whole
+    corpus's — the mixture-shift diagnostic ('which sources drag the token
+    distribution', the flip side of temperature re-weighting).  Defined
+    termwise because the corpus marginal is positive wherever a source
+    probability is; two hash-aggs + a broadcast-sized totals join."""
+    from dipper_spark.functions.text import tokens
+    from dipper_spark.operators.util import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = ensure_parallelism(docs).select(
+        "source", F.explode(tokens("text")).alias("t")
+    )
+    sf_ = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    stot = sf_.groupBy("source").agg(F.sum("c").alias("n"))
+    cf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cc"))
+    ctot = tok.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    p = F.col("c") / F.col("n").cast("double")
+    q = F.col("cc") / F.col("nn")
+    return (
+        sf_.join(F.broadcast(stot), "source")
+        .join(cf, "t")
+        .crossJoin(F.broadcast(ctot))
+        .withColumn("_term", p * F.log(p / q))
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.round(F.sum("_term"), 6).alias("kl_to_corpus"),
+        )
+    )
