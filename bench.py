@@ -42,6 +42,11 @@ HEADLINE = [
     "q_asof_join",
     "q_vec_quantize",
     # LLM-pipeline operators
+    "q_dedup_agreement",
+    "q_session_ids",
+    "q_sequence_pack",
+    "q_bpe_vocab",
+    "q_ngram_jaccard",
     "q_doc_fingerprint",
     "q_count_min",
     "q_distinct_sketch",
@@ -121,14 +126,30 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full per-query map goes to a sidecar artifact — the single stdout JSON
+    # line must stay SMALL (the round-5 73-query line outgrew the driver's
+    # tail buffer and parsed as null), so it carries totals + the slowest 10
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"metric": "headline_queries_total", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf_val},
+            fh, indent=1,
+        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )

@@ -141,6 +141,98 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| >= threshold — the
+    quote/subset detector (a short doc embedded in a long one scores high
+    containment but low Jaccard, so symmetric dedup misses it).
+
+    Ordered pairs by design: (A in B) and (B in A) are different findings.
+    Same two-stage discipline as :func:`jaccard_pairs`:
+
+    1. **candidates** — inverted-index self-equi-join on the shingle.  With
+       ``max_doc_freq`` set, shingles in more than that many docs are dropped
+       from the index FIRST (broadcast anti-join against the small hot table)
+       — the 100 TB guard: one boilerplate shingle in 1M docs would mint
+       10¹² candidate rows.
+    2. **verify** — exact containment via ``array_intersect`` over the FULL
+       per-doc shingle sets; the denominator is the contained side's full
+       set size, so pruning never distorts the value of a surfaced pair.
+
+    Approximation contract mirrors ``jaccard_pairs``: with pruning on, a
+    pair whose ONLY shared shingles are hot ones is missed;
+    ``max_doc_freq=None`` is exact.
+    """
+    sets = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("sh_set"),
+    )
+    if max_doc_freq is None:
+        # exact path: intersection count falls out of the inverted-index
+        # self-join's groupBy; only the contained side's size is joined back
+        sh = sets.select("id", F.explode("sh_set").alias("shingle"))
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        cont = F.col("n_common") / F.col("n_sh").cast("double")
+        return (
+            inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_1")), "id_1")
+            .filter(cont >= threshold)
+            .select("id_1", "id_2", cont.alias("containment"))
+        )
+    # ---- pruned (100 TB) path: candidates on the cooled index, verify on
+    # full sets.  Same shared-tokenize localCheckpoint rationale as
+    # jaccard_pairs (four consumers of the shingle-set scan).
+    sets = sets.localCheckpoint(eager=True)
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    cands = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .distinct()
+    )
+    # candidate-id dim derived without re-running the pair join (see
+    # jaccard_pairs): a doc is in some candidate pair iff one of its kept
+    # shingles occurs in >= 2 docs
+    shared = (
+        kept.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("kdf"))
+        .filter(F.col("kdf") >= 2)
+        .select("shingle")
+    )
+    cand_ids = (
+        kept.join(F.broadcast(shared), "shingle", "left_semi").select("id").distinct()
+    )
+    cand_sets = sets.join(F.broadcast(cand_ids), "id")
+    withsets = (
+        cands.join(cand_sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
+        .join(cand_sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")
+    )
+    cont = F.size(F.array_intersect("set_1", "set_2")) / F.size("set_1").cast("double")
+    return (
+        withsets.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_1", "id_2", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 8
 ) -> DataFrame:

@@ -1927,46 +1927,42 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_containment",
     f"""
-    WITH sh AS (SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(TOK, 3)})) AS s
-                FROM documents),
-    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-    inter AS (SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
-              FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
-              GROUP BY a.id, b.id)
+    WITH sets AS (SELECT doc_id AS id, list_distinct({_shingles_sql(TOK, 3)}) AS sh_set
+                  FROM documents),
+    sh AS (SELECT id, unnest(sh_set) AS s FROM sets),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 50),
+    kept AS (SELECT id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+    cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2
+             FROM kept a JOIN kept b ON a.s = b.s AND a.id <> b.id),
+    ver AS (
+      SELECT c.id_1, c.id_2,
+             len(list_intersect(s1.sh_set, s2.sh_set)) AS n_common,
+             len(s1.sh_set) AS n_1
+      FROM cand c JOIN sets s1 ON s1.id = c.id_1 JOIN sets s2 ON s2.id = c.id_2)
     SELECT id_1, id_2,
-           round(n_common / CAST(z1.n AS DOUBLE), 6) AS containment
-    FROM inter JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
-    WHERE n_common / CAST(z1.n AS DOUBLE) >= 0.8
+           round(n_common / CAST(n_1 AS DOUBLE), 6) AS containment
+    FROM ver
+    WHERE n_common / CAST(n_1 AS DOUBLE) >= 0.8
     """,
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment: |A∩B| / |A| >= 0.8 — the
     quote/subset detector (a short doc embedded in a long one scores high
     containment but low Jaccard, so symmetric dedup misses it).  Ordered
-    pairs by design: (A in B) and (B in A) are different findings.  Same
-    inverted-index candidate shape as Jaccard; the denominator is the
-    CONTAINED side's set size."""
-    from dipper_spark.functions.text import tokens, word_shingles
-    from dipper_spark.operators.util import ensure_parallelism
+    pairs by design: (A in B) and (B in A) are different findings.
+
+    100 TB posture (this was round 5's one scale-weak plan): rides
+    ``containment_pairs``'s hot-shingle-pruned path — shingles in > 50 docs
+    are dropped from the candidate index via a broadcast anti-join BEFORE
+    the inverted-index self-join, then exact containment is verified on the
+    FULL per-doc sets (denominator = the contained side's full set size, so
+    pruning never distorts a surfaced value).  The oracle mirrors the
+    identical prune+verify pipeline."""
+    from dipper_spark.operators.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = ensure_parallelism(docs).select(
-        F.col("doc_id").alias("id"),
-        F.explode(F.array_distinct(word_shingles(tokens("text"), 3))).alias("s"),
-    )
-    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    cont = F.col("n_common") / F.col("n").cast("double")
-    return (
-        inter.join(F.broadcast(sz.withColumnRenamed("id", "id_1")), "id_1")
-        .filter(cont >= 0.8)
-        .select("id_1", "id_2", F.round(cont, 6).alias("containment"))
-    )
+    out = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=50)
+    return out.select("id_1", "id_2", F.round("containment", 6).alias("containment"))
 
 
 # ---- per-source distribution divergence ---------------------------------------

@@ -85,6 +85,14 @@ class TestJoinStrategies:
         assert "LeftAnti" in plan and "Broadcast" in plan
         assert "CartesianProduct" not in plan
 
+    def test_containment_uses_broadcast_anti_join(self, spark, sf):
+        # round 5's one scale-weak plan: the containment index must now be
+        # hot-shingle-pruned (broadcast LEFT ANTI) before the self-equi-join,
+        # mirroring test_jaccard_pruned_uses_broadcast_anti_join
+        plan = plan_of(QUERIES["q_containment"](spark, sf))
+        assert "LeftAnti" in plan and "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+
     def test_ivf_probe_join_is_bucketed(self, spark, sf):
         # the IVF probe shuffles on the bucket id — never all-pairs
         plan = plan_of(QUERIES["q_ann_ivf"](spark, sf))

@@ -119,6 +119,38 @@ def test_jaccard_hot_shingle_pruning(spark):
     assert n_cand == 1  # only the true near-dup pair survives candidate gen
 
 
+def test_containment_detects_quotes_and_prunes_hot_shingles(spark):
+    from dipper_spark.operators.dedup import containment_pairs
+
+    # doc 2 is a verbatim quote of doc 1's middle; doc 3 shares nothing but
+    # a hot boilerplate footer that every doc carries
+    footer = "all rights reserved contact us for details"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta " + footer),
+        (2, "beta gamma delta epsilon " + footer),
+        (3, "one two three four five six seven eight " + footer),
+        (4, "nine ten eleven twelve thirteen fourteen " + footer),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r.id_1, r.id_2): r.containment
+        for r in containment_pairs(docs, "doc_id", "text", 3, threshold=0.5).collect()
+    }
+    # asymmetric: the short quote (2) is highly contained in (1), not vice versa
+    assert exact[(2, 1)] > exact.get((1, 2), 0.0)
+    # pruning the hot footer shingles keeps the quote pair with the EXACT
+    # full-set containment value (denominator is the full set, not the
+    # pruned index), and boilerplate-only pairs like (3,4) stay absent
+    pruned = {
+        (r.id_1, r.id_2): r.containment
+        for r in containment_pairs(
+            docs, "doc_id", "text", 3, threshold=0.5, max_doc_freq=3
+        ).collect()
+    }
+    assert pruned[(2, 1)] == exact[(2, 1)]
+    assert (3, 4) not in pruned and (4, 3) not in pruned
+
+
 def test_minhash_signature_shape(spark, docs):
     sig = minhash_signatures(docs.filter("doc_id < 4"), "doc_id", "text", 3, num_perm=8)
     assert sig.columns == ["id"] + [f"mh{k}" for k in range(8)]
