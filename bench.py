@@ -119,11 +119,17 @@ def main() -> int:
     QUERIES[names[0]](spark, sf_dir).count()
     spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").count()
     for name in names:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        # min of 2 consecutive executions = steady-state (the number that
+        # predicts cluster throughput; single-shot sub-second timings are
+        # dominated by one-time codegen/compile — see docs/BENCH_DRIFT_r5.md)
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            samples.append(round(time.time() - t0, 3))
+        timings[name] = min(samples)
+        print(f"# {name}: {timings[name]}s (runs={samples}) rows={n}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
