@@ -91,7 +91,11 @@ class HpoaPipeline(SourcePipeline):
         if limit:
             df = df.limit(limit)
 
-        rows = (
+        # rows0 = post-qualifier-filter rows of ANY aspect: the reference adds
+        # the disease/evidence/onset class declarations BEFORE the aspect
+        # dispatch (HPOAnnotations.py:241-245), so even an unknown-aspect row
+        # contributes them
+        rows0 = (
             df.filter(F.col("Qualifier") != "NOT")  # P2, HPOAnnotations.py:225-226
             .select(
                 F.col("DatabaseID").alias("disease_id"),
@@ -103,8 +107,15 @@ class HpoaPipeline(SourcePipeline):
                 F.lower("Sex").alias("sex"),
                 F.col("Aspect").alias("aspect"),
             )
-            # unknown aspects are logged+skipped (HPOAnnotations.py:261-263)
-            .filter(F.col("aspect").isin("P", "M", "I", "C"))
+        )
+        rows = (
+            # unknown aspects build no association (HPOAnnotations.py:261-263
+            # falls into the else: LOG.error branch; the reference then
+            # decorates the PREVIOUS row's stale assoc object — a
+            # row-order-dependent bug we deliberately do NOT reproduce:
+            # unknown-aspect rows here contribute their class declarations
+            # and nothing else)
+            rows0.filter(F.col("aspect").isin("P", "M", "I", "C"))
             .withColumn(
                 # aspect dispatch (P10): P/M → has phenotype w/ onset+freq,
                 # I/C → has disposition, no qualifiers (HPOAnnotations.py:246-261)
@@ -112,22 +123,60 @@ class HpoaPipeline(SourcePipeline):
                 F.when(F.col("aspect").isin("P", "M"), F.lit(HAS_PHENOTYPE))
                 .otherwise(F.lit(HAS_DISPOSITION)),
             )
-            .withColumn("onset", F.when(F.col("aspect").isin("P", "M"), F.col("onset")).otherwise(F.lit("")))
-            .withColumn("frequency", F.when(F.col("aspect").isin("P", "M"), F.col("frequency")).otherwise(F.lit("")))
+            # I/C rows carry NO onset/frequency attributes: the reference
+            # builds D2PAssoc(..., rel=...) with onset=None/frequency=None,
+            # and make_association_id FILTERS None (but keeps '') before the
+            # '+'-join — concat_ws mirrors exactly that (skips NULL, keeps
+            # empty string), so NULL here is what keeps the id digests
+            # bit-compatible (Association.py:282-288, D2PAssoc.py:91-105)
+            .withColumn(
+                "onset",
+                F.when(F.col("aspect").isin("P", "M"), F.col("onset")).otherwise(F.lit(None)),
+            )
+            .withColumn(
+                "frequency",
+                F.when(F.col("aspect").isin("P", "M"), F.col("frequency")).otherwise(F.lit(None)),
+            )
             # evidence[] is an array on the assoc (Association.py:37-40)
             .withColumn("evidence", F.array("eco_id"))
         )
 
         # reified D2P associations (+ onset/frequency on the assoc node)
+        # the reference calls assoc.add_association_to_graph() ONLY inside
+        # the per-publication loop, after the malformed-ref and pubtype-ladder
+        # `continue`s (HPOAnnotations.py:280-327) — so a row with ZERO valid
+        # publications emits NO association star / direct edge / onset /
+        # frequency / evidence triples (its classes and sex triple still
+        # appear, being emitted before the loop).  Mirrored with a map-side
+        # EXISTS over the split publist — no join, no shuffle.
+        _p = lambda c: F.trim(c)
+        valid_pub = lambda c: _p(c).startswith("http") | (
+            _p(c).rlike(CURIE_REGEXP)
+            & (
+                _p(c).startswith("PMID:")
+                | _p(c).startswith("ISBN")
+                | _p(c).startswith("OMIM:")
+                | _p(c).startswith("DECIPHER:")
+                | _p(c).startswith("ORPHA:")
+            )
+        )
+        rows = rows.withColumn(
+            "has_valid_pub", F.exists(F.split("publist", ";"), valid_pub)
+        )
+
+        # definedby is the SOURCE name in the id digest — the reference
+        # constructs D2PAssoc(graph, self.name, ...) (HPOAnnotations.py:248,
+        # Association.make_association_id)
         assoc = d2p_association_triples(
-            rows, "disease_id", "phenotype_id", "predicate",
+            rows.filter("has_valid_pub"), "disease_id", "phenotype_id", "predicate",
             onset_col="onset", frequency_col="frequency",
-            evidence_col="evidence", graph_id=g,
+            evidence_col="evidence", definedby=g, graph_id=g,
         )
 
         keyed = with_assoc_id(
             rows.withColumn("_pred", F.col("predicate")),
-            "disease_id", "_pred", "phenotype_id", extra_cols=["onset", "frequency"],
+            "disease_id", "_pred", "phenotype_id", definedby=g,
+            extra_cols=["onset", "frequency"],
         )
 
         # sex-specificity decoration on the assoc node (HPOAnnotations.py:264-270)
@@ -158,26 +207,30 @@ class HpoaPipeline(SourcePipeline):
                 ),
             )
             .filter(F.col("pubtype").isNotNull())
-            .withColumn(
-                "pub",
-                F.when(
-                    F.col("pub").startswith("OMIM:"),
-                    F.concat(F.lit("http://omim.org/entry/"), F.substring("pub", 6, 1000)),
-                ).otherwise(F.col("pub")),
-            )
+            # the reference rewrites OMIM:n → 'http://omim.org/entry/n'
+            # (HPOAnnotations.py:296-298), which is exactly the curie-map
+            # expansion of OMIM:n (curie_map.yaml:78) — an RDF-level no-op.
+            # In this engine's curie-space triple store the CURIE is the
+            # canonical spelling of that IRI, so we keep it (otherwise the
+            # same node exists under two spellings and the final
+            # triple-dedup can't merge them); the nt serializer expands it
+            # to the identical URL bytes the reference emits.
         )
         pub_source = make_triples(pubs, "assoc_id", F.lit(T.SOURCE), "pub", is_literal=False, graph_id=g)
         pub_type = make_triples(pubs, "pub", F.lit(T.TYPE), "pubtype", graph_id=g)
 
-        # class declarations (HPOAnnotations.py:241-245)
+        # class declarations: disease/evidence/onset from rows of ANY aspect
+        # (emitted pre-dispatch, HPOAnnotations.py:241-245); the phenotype
+        # class only inside the known-aspect branches (py:246-260)
         classes = union_graphs(
-            class_triples(rows.select(F.col("disease_id").alias("id")), "id", graph_id=g),
+            class_triples(rows0.select(F.col("disease_id").alias("id")), "id", graph_id=g),
             class_triples(rows.select(F.col("phenotype_id").alias("id")), "id", graph_id=g),
             class_triples(
-                rows.filter(F.col("eco_id") != "").select(F.col("eco_id").alias("id")), "id", graph_id=g
+                rows0.filter(F.col("eco_id") != "").select(F.col("eco_id").alias("id")), "id", graph_id=g
             ),
             class_triples(
-                rows.filter(F.col("onset") != "").select(F.col("onset").alias("id")), "id", graph_id=g
+                rows0.filter(F.col("onset") != "").select(F.col("onset").alias("id")),
+                "id", graph_id=g,
             ),
         )
 

@@ -94,8 +94,15 @@ class TestHpoa:
         assert any(p == "OBAN:association_has_predicate" and o == "RO:0000091" for _, p, o in preds)
 
     def test_evidence_resolved(self, hpoa_graph):
-        objs = {o for _, p, o in _spo(hpoa_graph) if p == "RO:0002558"}
-        assert {"ECO:0000269", "ECO:0000304", "ECO:0000501"} <= objs
+        spo = _spo(hpoa_graph)
+        objs = {o for _, p, o in spo if p == "RO:0002558"}
+        assert {"ECO:0000269", "ECO:0000304"} <= objs
+        # the IEA row's only Reference is malformed: the reference emits the
+        # association star ONLY inside the valid-pub loop
+        # (HPOAnnotations.py:280-327), so its evidence edge never appears —
+        # but the eco class declaration does (emitted before the loop)
+        assert "ECO:0000501" not in objs
+        assert ("ECO:0000501", "rdf:type", "owl:Class") in spo
 
     def test_onset_frequency_on_assoc(self, hpoa_graph):
         spo = _spo(hpoa_graph)
@@ -109,8 +116,11 @@ class TestHpoa:
 
     def test_pub_rewrite_and_typing(self, hpoa_graph):
         spo = _spo(hpoa_graph)
-        # OMIM pub rewritten to url, typed web page (SIO:000302)
-        assert ("http://omim.org/entry/119600", "rdf:type", "SIO:000302") in spo
+        # the reference rewrites the OMIM pub to 'http://omim.org/entry/n' —
+        # exactly the curie expansion of OMIM:n, so the canonical curie-space
+        # node is OMIM:119600 typed web page (SIO:000302); nt serialization
+        # expands it to the identical URL bytes
+        assert ("OMIM:119600", "rdf:type", "SIO:000302") in spo
         assert ("PMID:12345", "rdf:type", "IAO:0000013") in spo
         # malformed 'not a curie' reference rejected
         assert not any("not a curie" in o for _, _, o in spo)
