@@ -10,6 +10,7 @@ select/union/explode only — no Python row UDFs, fully codegen-friendly.
 
 from dipper_spark.models.model import (
     class_triples,
+    comment_triples,
     deprecation_triples,
     entity_triples,
     individual_triples,
@@ -58,6 +59,7 @@ __all__ = [
     "feature_triples",
     "g2p_association_triples",
     "genotype_part_triples",
+    "comment_triples",
     "individual_triples",
     "interaction_triples",
     "membership_triples",

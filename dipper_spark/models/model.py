@@ -97,6 +97,17 @@ def _annotation(df: DataFrame, id_col: str, predicate: str, value_col: str,
     )
 
 
+def comment_triples(df: DataFrame, id_col: str, comment_col: str,
+                    graph_id: str | None = None) -> DataFrame:
+    """Model.addComment (Model.py:384-391): ``id rdfs:comment "text"`` with
+    the comment stripped of surrounding whitespace."""
+    return make_triples(
+        df.filter(_col(comment_col).isNotNull()),
+        id_col, F.lit(T.COMMENT), F.trim(_col(comment_col)),
+        is_literal=True, graph_id=graph_id,
+    )
+
+
 def synonym_triples(df: DataFrame, id_col: str, synonyms_col: str,
                     synonym_type: str = T.HAS_EXACT_SYNONYM,
                     graph_id: str | None = None) -> DataFrame:
