@@ -79,3 +79,73 @@ def test_global_table_is_bimap():
 
     dupes = [v for v, n in Counter(GLOBAL_TERMS.values()).items() if n > 1]
     assert not dupes, f"duplicate values in the global table: {dupes[:10]}"
+
+
+# ---- translation-table integrity (reference tests/test_trtable.py +
+# Makefile:92-100 test_translationtable target) ------------------------------
+
+
+def test_global_table_is_bimap():
+    """testIfTableIsBiMap (test_trtable.py:48-68): no duplicate VALUES —
+    the curie→label inverse (RDFGraph.globaltcid, used for label-from-id
+    lookups) is only well-defined if the map is injective."""
+    from collections import Counter
+
+    dup_values = {v: c for v, c in Counter(GLOBAL_TERMS.values()).items() if c > 1}
+    assert not dup_values, f"Duplicate values in GLOBAL_TERMS: {dup_values}"
+
+
+def test_global_table_round_trips_through_inverse():
+    """label → term → inverse(term) must be the identity for every entry
+    (the round-trip the reference's generated local_inverse.tab relies on,
+    Makefile:144-148)."""
+    inverse = {v: k for k, v in GLOBAL_TERMS.items()}
+    assert len(inverse) == len(GLOBAL_TERMS)
+    for label, term in GLOBAL_TERMS.items():
+        assert inverse[term] == label
+
+
+def test_table_content_fingerprints_pinned():
+    """The tables are a load-bearing DATA PORT of the reference's public
+    translation tables (738 global + 999 local + 14 alternate-prefix
+    entries, verified key-for-key against the reference yamls when pinned).
+    An edit to any entry is a parity-affecting act — regenerate these
+    constants deliberately."""
+    import hashlib
+
+    from dipper_spark.core.vocab_data import ALTERNATE_CURIE_PREFIX
+
+    def fp(d):
+        return hashlib.md5(
+            ";".join(f"{k}={v}" for k, v in sorted(d.items())).encode()
+        ).hexdigest()
+
+    assert fp(GLOBAL_TERMS) == "001d3055a35dc05bcf5b4663578aac5e"
+    flat_local = {f"{t}.{k}": v for t, tab in LOCAL_TT.items() for k, v in tab.items()}
+    assert len(flat_local) == 999
+    assert fp(flat_local) == "be4933bfac859101c273dd292fd2cdff"
+    assert fp(ALTERNATE_CURIE_PREFIX) == "d1024eed49cd0f2747d9a4ad5da22f82"
+
+
+def test_no_empty_keys_or_none_values():
+    """Every key/value is a non-None string; only the deliberate ''→''
+    placeholder rows (sources with no reference localtt content) may have
+    an empty key."""
+    for label, term in GLOBAL_TERMS.items():
+        assert isinstance(label, str) and label != ""
+        assert isinstance(term, str) and term != ""
+    for name, table in LOCAL_TT.items():
+        for label, term in table.items():
+            assert isinstance(label, str) and isinstance(term, str)
+            if label == "":
+                assert term == "" and len(table) == 1, name
+
+
+def test_alternate_prefixes_map_to_known_curie_prefixes():
+    """alternate_curie_prefix.yaml values must all be canonical prefixes in
+    the curie map — otherwise the rewrite mints unresolvable curies."""
+    from dipper_spark.core.curie_data import FULL_CURIE_MAP as CURIE_MAP
+    from dipper_spark.core.vocab_data import ALTERNATE_CURIE_PREFIX
+
+    unknown = {v for v in ALTERNATE_CURIE_PREFIX.values() if v not in CURIE_MAP}
+    assert not unknown, unknown
