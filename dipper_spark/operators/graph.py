@@ -83,7 +83,25 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank"))
 
 
-def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def oriented_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Reorient canonical undirected edges low-degree → high-degree endpoint
+    (ties broken by node id) — the arboricity-bounded canonicalization for
+    triangle enumeration: wedge fan-out at a node is then out-degree², and
+    every node's out-degree is O(√m) regardless of its true degree, so a
+    hub vertex can no longer mint quadratic wedge candidates.  (deg, id) is
+    a TOTAL order, so each triangle still has exactly one (x→y→z) form and
+    the x→z closing edge is guaranteed to be stored in that orientation."""
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    ed = e.join(da, "a").join(db, "b")
+    lo_first = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
+    return ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+    )
+
+
+def triangles(edges: DataFrame, a: str = "a", b: str = "b", order: str = "id") -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     UNDIRECTED edge list (rows canonicalized to a < b, deduped here).
 
@@ -91,10 +109,15 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     {x < y < z} is produced exactly once as e(x,y) ⋈ e(y,z) ⋈ e(x,z), so
     no post-hoc division by 6.  All three joins are equi-joins on node
     keys: the shape shuffles on vertex ids and AQE's skew splitting covers
-    hub vertices.  At 100 TB-scale graphs the standard refinement is
-    degree-ordered canonicalization (orient each edge low-degree →
-    high-degree) which bounds the join fan-out by arboricity; the
-    id-ordered form here keeps the SQL oracle trivially mirrorable.
+    moderate hubs.
+
+    ``order='degree'`` is the 100 TB form: edges are reoriented low-degree →
+    high-degree (ties by id) before enumeration, bounding the wedge join's
+    fan-out by arboricity (out-degree ≤ O(√m) for every node, so one hub
+    vertex can't mint quadratic candidate rows).  The RESULT is identical —
+    only the enumeration order changes — verified by the equivalence pytest;
+    ``order='id'`` stays the default because it is what the SQL oracle
+    mirrors term-for-term.
 
     clustering(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), NULL-guarded under
     F.when for deg < 2 (ANSI mode would otherwise kill the job on the
@@ -110,20 +133,22 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    deg0 = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    en = oriented_edges(e, deg0) if order == "degree" else e
+    e1 = en.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = en.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = en.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
     per_node = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
-    deg = (
-        e.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
+    deg = deg0
     cc = F.when(
         F.col("degree") >= 2,
         F.lit(2.0) * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)),

@@ -1529,7 +1529,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient over the supplier
     co-occurrence graph (suppliers sharing an order are adjacent) — the
     canonical-order two-join enumeration, each triangle materialized
-    exactly once."""
+    exactly once.  Runs the DEGREE-ORDERED orientation (arboricity-bounded
+    wedge fan-out, the 100 TB form); the result is identical to the
+    id-ordered enumeration the oracle mirrors — equivalence pinned in
+    tests/test_search_quality.py::TestTriangles."""
     from dipper_spark.operators.graph import triangles
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1541,7 +1544,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p1.s") < F.col("p2.s"))
         .select(F.col("p1.s").alias("a"), F.col("p2.s").alias("b"))
     )
-    return triangles(edges, "a", "b")
+    return triangles(edges, "a", "b", order="degree")
 
 
 # ---- grouped-applyInPandas PCA spectrum (no SQL oracle: eigensolve) ----------

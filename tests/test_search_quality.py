@@ -694,6 +694,50 @@ class TestTriangles:
         got = {r.node: r for r in triangles(edges).collect()}
         assert 1 in got and got[1].degree == 1  # self-loop removed
 
+    def test_degree_order_equivalent_to_id_order(self, spark):
+        # the arboricity-bounded orientation changes ONLY the enumeration
+        # order: results must be row-identical on a graph mixing triangles,
+        # a hub, pendants, and overlapping cliques
+        from dipper_spark.operators.graph import triangles
+
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6),
+                 (6, 7), (5, 7), (7, 1), (2, 7), (1, 6)]
+        hub = [(50, i) for i in range(20, 40)]  # hub sees 20 leaves, 0 triangles
+        df = spark.createDataFrame(edges + hub, ["a", "b"])
+        by_id = sorted(map(tuple, triangles(df, order="id").collect()))
+        by_deg = sorted(map(tuple, triangles(df, order="degree").collect()))
+        assert by_id == by_deg
+
+    def test_degree_order_bounds_hub_wedge_fanout(self, spark):
+        # star with the hub at a MIDDLE id: id-ordered canonicalization puts
+        # the hub in the wedge-center position for every (smaller, hub,
+        # larger) pair → quadratic candidates; degree-ordering orients every
+        # edge leaf→hub, so the hub has out-degree 0 and the wedge join
+        # produces ZERO candidates
+        from pyspark.sql import functions as F
+
+        from dipper_spark.operators.graph import oriented_edges
+
+        n = 60
+        hub = n // 2
+        df = spark.createDataFrame(
+            [(min(i, hub), max(i, hub)) for i in range(n + 1) if i != hub],
+            ["a", "b"],
+        )
+        deg = (
+            df.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+
+        def wedges(e):
+            e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+            return e1.join(e2, "y").count()
+
+        assert wedges(df) == hub * (n - hub)  # quadratic in the hub degree
+        assert wedges(oriented_edges(df, deg)) == 0
+
 
 class TestConversionFunnel:
     def test_order_matters(self, spark):

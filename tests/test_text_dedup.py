@@ -406,6 +406,32 @@ class TestDecontaminate:
         assert n_exchanges <= 1, f"expected a single corpus shuffle, plan:\n{plan}"
 
 
+class TestLabelPcaGolden:
+    """q_label_pca is the one catalog query with no DuckDB oracle (the
+    eigensolve is non-relational); its output is nonetheless fully
+    deterministic — member rows are sorted by id before the covariance
+    fold and numpy's symmetric eigensolver is stable — so the sf0.01
+    spectrum is pinned by value hash here.  Regenerating the constant is a
+    DELIBERATE act on a semantic change."""
+
+    HASH = "32716a863827abad757c3294d9ed4c25"
+
+    def test_sf001_spectrum_pinned(self, spark):
+        import hashlib
+
+        from dipper_spark.plans import QUERIES
+
+        df = QUERIES["q_label_pca"](spark, "/root/testdata/sf0.01")
+        assert df.columns == ["label", "component", "eigval", "var_frac"]
+        rows = sorted(tuple(r) for r in df.collect())
+        assert len(rows) == 20  # 10 labels x top-2 components
+        canon = ";".join(
+            ",".join(f"{v:.6f}" if isinstance(v, float) else str(v) for v in r)
+            for r in rows
+        )
+        assert hashlib.md5(canon.encode()).hexdigest() == self.HASH
+
+
 class TestSeededAnnGolden:
     """Frozen goldens for the production ANN configuration
     (init='seeded', refine_iters=2, nprobe=2) at sf0.01 —
