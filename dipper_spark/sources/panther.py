@@ -35,8 +35,8 @@ ORTHOLOGY_REL = {
 }
 PHYLO_EVIDENCE = "ECO:0000080"
 GENE = "SO:0000704"
-MEMBER_OF = "RO:0002350"
-GENE_FAMILY = "DATA:3148"
+HAS_MEMBER = "RO:0002351"        # globaltt['has member'] — Family.addMember
+GENE_FAMILY = "EDAM-DATA:3148"   # globaltt['gene_family']
 
 PANTHER_COLUMNS = [
     "Gene", "Ortholog", "Type_of_ortholog", "Common_ancestor", "Panther_id",
@@ -140,14 +140,21 @@ class PantherPipeline(SourcePipeline):
             .withColumn("family_id", F.concat(F.lit("PANTHER:"), F.col("panther_id")))
         )
 
+        # definedby is the SOURCE name in the id digest: OrthologyAssoc is
+        # constructed with definedby=self.name (Panther.py:254)
         assoc = association_triples(
-            pair, "gene_a", "predicate", "gene_b", evidence_col="evidence", graph_id=g
+            pair, "gene_a", "predicate", "gene_b", evidence_col="evidence",
+            definedby=g, graph_id=g,
         )
-        keyed = with_assoc_id(pair, "gene_a", "predicate", "gene_b")
+        keyed = with_assoc_id(pair, "gene_a", "predicate", "gene_b", definedby=g)
+        # family membership points FAMILY → gene via 'has member'
+        # (OrthologyAssoc.add_gene_family_to_graph → Family.addMember,
+        # Family.py:22-31); the family node is typed gene_family directly
+        # (addIndividualToGraph with an explicit type, no NamedIndividual)
         family = union_graphs(
             make_triples(keyed, "family_id", F.lit(T.TYPE), F.lit(GENE_FAMILY), graph_id=g),
-            make_triples(keyed, "gene_a", F.lit(MEMBER_OF), "family_id", graph_id=g),
-            make_triples(keyed, "gene_b", F.lit(MEMBER_OF), "family_id", graph_id=g),
+            make_triples(keyed, "family_id", F.lit(HAS_MEMBER), "gene_a", graph_id=g),
+            make_triples(keyed, "family_id", F.lit(HAS_MEMBER), "gene_b", graph_id=g),
         )
         facts = union_graphs(
             make_triples(pair, "gene_a", F.lit(T.TYPE), F.lit(GENE), graph_id=g),

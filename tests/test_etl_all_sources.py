@@ -250,9 +250,7 @@ FIXTURE_WRITERS = {
     "mmrrc": _w_mmrrc,
     "monarch": _w_monarch,
     "monochrom": _w_monochrom,
-    "mpd": lambda d: (d / "strainmeans.csv.gz").write_bytes(
-        gzip.compress(misc.MPD.encode())
-    ),
+    "mpd": lambda d: misc.write_mpd_fixture(d),
     "mychem": lambda d: (
         (d / "drugbank_targets.jsonl").write_text(mychem.DRUGBANK),
         (d / "drugcentral_interactors.jsonl").write_text(mychem.DRUGCENTRAL),

@@ -60,9 +60,52 @@ MPD = "\n".join(
         "101,bw,C57BL/6J,7,m,25.1,10,1.0,0.3,0.04,22,28,2.5",
         "101,bw,DBA/2J,8,m,20.0,10,1.1,0.3,0.05,18,23,-0.5",   # below threshold
         "101,bw,CAST/EiJ,9,m,15.0,10,0.9,0.3,0.06,13,17,-2.2",
+        # assay with no ontology mapping → no association
+        "102,tail,C57BL/6J,7,f,8.3,10,0.4,0.1,0.05,7,9,3.1",
         "",
     ]
 )
+
+MPD_STRAININFO = "\n".join(
+    [
+        ",".join(["strainname", "vendor", "stocknum", "panel", "mpd_strainid",
+                  "straintype", "n_proj", "n_snp_datasets", "mpd_shortname", "url"]),
+        "C57BL/6J,J,000664,IN,7,inbred,225,17,B6,http://jaxmice.jax.org/strain/000664.html",
+        "DBA/2J,J,000671,,8,inbred,200,15,D2,",
+        "CAST/EiJ,Rbrc,RBRC00209,,9,inbred,100,5,CAST,",
+        "NOD/ShiLtJ,Tac,NODTAC,IN,10,inbred,50,2,NOD,http://taconic.example/nod",
+        "",
+    ]
+)
+
+MPD_MEASUREMENTS = "\n".join(
+    [
+        ",".join(["measnum", "mpdsector", "projsym", "varname", "descrip", "units",
+                  "method", "intervention", "paneldesc", "datatype", "sextested",
+                  "nstrainstested", "ageweeks"]),
+        "101,physiology,Jax1,bw,body weight,g,scale,,panel1,mean,m,30,8wks",
+        "102,physiology,Jax1,tail,tail length,mm,ruler,,panel1,mean,f,30,8wks",
+        "",
+    ]
+)
+
+MPD_ONT = "\n".join(
+    [
+        ",".join(["measnum", "ont_term", "descrip"]),
+        "101,MP:0001259,abnormal body weight",
+        "101,VT:0001259,body weight trait",
+        "101,XP:999,ignored non-MP/VT term",
+        "",
+    ]
+)
+
+
+def write_mpd_fixture(raw):
+    raw = __import__("pathlib").Path(raw)
+    (raw / "strainmeans.csv.gz").write_bytes(gzip.compress(MPD.encode()))
+    (raw / "straininfo.csv").write_text(MPD_STRAININFO)
+    (raw / "measurements.csv").write_text(MPD_MEASUREMENTS)
+    (raw / "ontology_mappings.csv").write_text(MPD_ONT)
 
 
 def _spo(df):
@@ -87,7 +130,8 @@ class TestPanther:
     def test_paralogy_and_family(self, graph):
         spo = _spo(graph)
         assert any(p == "OBAN:association_has_predicate" and o == "RO:HOM0000011" for _, p, o in spo)
-        assert ("NCBIGene:1234", "RO:0002350", "PANTHER:PTHR99999") in spo
+        # Family.addMember direction: family --has member--> gene
+        assert ("PANTHER:PTHR99999", "RO:0002351", "NCBIGene:1234") in spo
 
     def test_taxon_and_type_filters(self, graph):
         spo = _spo(graph)
@@ -134,15 +178,93 @@ class TestGwas:
 
 
 class TestMpd:
-    def test_threshold_and_scores(self, spark, tmp_path_factory):
+    @pytest.fixture(scope="class")
+    def graph(self, spark, tmp_path_factory):
         raw = tmp_path_factory.mktemp("mpd_raw")
-        (raw / "strainmeans.csv.gz").write_bytes(gzip.compress(MPD.encode()))
-        p = get_pipeline("mpd")
-        g = p.transform(spark, str(raw)).cache()
-        spo = _spo(g)
+        write_mpd_fixture(raw)
+        return get_pipeline("mpd").transform(spark, str(raw)).cache()
+
+    def test_threshold_gates_associations(self, spark, graph, tmp_path_factory):
+        import hashlib
+
+        spo = _spo(graph)
+
+        def bnode(s):
+            return "_:b" + hashlib.sha1(s.encode()).hexdigest()[1:20]
+
+        # association subjects are the SEX-SPECIFIC genotype bnodes of the
+        # |z| >= 2 strains only (7 and 9, both sex m); strain 8 is below
+        # threshold and assay 102 (strain 7, f) has no MP/VT mapping
         subs = {o for _, pred, o in spo if pred == "OBAN:association_has_subject"}
-        assert subs == {"MPD-strain:7", "MPD-strain:9"}  # |z| >= 2 only
-        assert any(pred == "SIO:000300" and o == "2.5" for _, pred, o in spo)
-        # window recompute audit matches sign of published z
-        z = {r.strainid: r for r in p.recomputed_zscores(spark, str(raw)).collect()}
+        assert subs == {
+            bnode("MPD-strain7-m-genotype"), bnode("MPD-strain9-m-genotype")
+        }
+        raw2 = tmp_path_factory.mktemp("mpd_raw2")
+        write_mpd_fixture(raw2)
+        p = get_pipeline("mpd")
+        z = {
+            r.strainid: r
+            for r in p.recomputed_zscores(spark, str(raw2)).collect()
+            if r.measnum == "101"
+        }
         assert z["7"].z_recomputed > 0 and z["9"].z_recomputed < 0
+
+    def test_strain_individuals(self, graph):
+        spo = _spo(graph)
+        assert ("MPD-strain:7", "rdf:type", "NCBITaxon:10090") in spo
+        assert ("MPD-strain:7", "rdfs:label", "C57BL/6J") in spo
+        assert ("MPD-strain:7", "OIO:hasExactSynonym", "B6") in spo
+        # vendor J / Rbrc → sameAs stock curies; other vendors → literal xrefs
+        assert ("MPD-strain:7", "owl:sameAs", "JAX:000664") in spo
+        assert ("MPD-strain:9", "owl:sameAs", "RBRC:RBRC00209") in spo
+        assert ("MPD-strain:10", "OIO:hasDbXref", "Tac:NODTAC") in spo
+        assert ("MPD-strain:10", "OIO:hasDbXref", "http://taconic.example/nod") in spo
+        assert ("MPD-strain:7", "dc:description", "IN [panel]") in spo
+        assert ("NCBITaxon:10090", "rdf:type", "owl:Class") in spo
+
+    def test_genotype_scaffold_and_assay_node(self, graph):
+        import hashlib
+
+        spo = _spo(graph)
+        geno = "_:b" + hashlib.sha1(b"MPD-strain7-genotype").hexdigest()[1:20]
+        sexg = "_:b" + hashlib.sha1(b"MPD-strain7-m-genotype").hexdigest()[1:20]
+        assert (geno, "rdf:type", "GENO:0000611") in spo
+        assert (geno, "rdfs:label", "[C57BL/6J]") in spo
+        assert ("MPD-strain:7", "GENO:0000222", geno) in spo
+        assert (sexg, "rdf:type", "GENO:0000646") in spo  # male intrinsic
+        assert (sexg, "rdfs:label", "C57BL/6J (m)") in spo
+        assert (sexg, "GENO:0000650", geno) in spo
+        assert ("MPD-assay:101", "rdf:type", "OBI:0000070") in spo
+        assert ("MPD-assay:101", "rdfs:label", "body weight (101)") in spo
+        desc = [
+            o for s, p, o in spo
+            if s == "MPD-assay:101" and p == "dc:description"
+        ]
+        assert desc == [
+            "This is an assay of [body weight] shown as a [mean] measured in"
+            " [g].  The overall experiment is entitled [Jax1].  It was"
+            " conducted in [male] mice at [8wks] of age in [30] different"
+            " mouse strains. "
+        ]
+
+    def test_g2p_association_trace(self, graph):
+        import hashlib
+
+        spo = _spo(graph)
+        sexg = "_:b" + hashlib.sha1(b"MPD-strain7-m-genotype").hexdigest()[1:20]
+        # reference G2PAssoc digest: 'mpd+<sexgeno>+RO:0002200+<MP term>'
+        aid = "MONARCH:b" + hashlib.sha1(
+            f"mpd+{sexg}+RO:0002200+MP:0001259".encode()
+        ).hexdigest()[1:20]
+        assert (sexg, "RO:0002200", "MP:0001259") in spo
+        assert (aid, "rdf:type", "OBAN:association") in spo
+        assert (aid, "OBAN:association_has_object", "MP:0001259") in spo
+        # evidence: the assay individual AND experimental phenotypic ECO
+        ev = {o for s, p, o in spo if s == aid and p == "RO:0002558"}
+        assert ev == {"MPD-assay:101", "ECO:0000059"}
+        assert (aid, "rdfs:comment", "body weight (zscore=2.5)") in spo
+        assert (aid, ":has_sex_specificity", "PATO:0000384") in spo
+        # VT mapping mints its own association
+        assert (sexg, "RO:0002200", "VT:0001259") in spo
+        # the XP term was filtered by the MP|VT regex
+        assert not any("XP:999" in o for _, _, o in spo)
