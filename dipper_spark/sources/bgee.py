@@ -70,8 +70,12 @@ class BgeePipeline(SourcePipeline):
             .withColumn("predicate", F.lit(EXPRESSED_IN))
         )
 
-        assoc = association_triples(ranked, "gene_id", "predicate", "anatomy_id", graph_id=g)
-        keyed = with_assoc_id(ranked, "gene_id", "predicate", "anatomy_id")
+        # definedby is the SOURCE name in the id digest (Assoc(self.graph,
+        # self.name), Bgee.py:220)
+        assoc = association_triples(
+            ranked, "gene_id", "predicate", "anatomy_id", definedby=g, graph_id=g
+        )
+        keyed = with_assoc_id(ranked, "gene_id", "predicate", "anatomy_id", definedby=g)
         quantifier = make_triples(
             keyed, "assoc_id", F.lit(HAS_QUANTIFIER), F.col("rank").cast("string"),
             is_literal=True, datatype="xsd:float", graph_id=g,

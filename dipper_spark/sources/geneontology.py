@@ -147,12 +147,14 @@ class GeneOntologyPipeline(SourcePipeline):
             )
         )
 
+        # definedby is the SOURCE name in the id digest (Assoc(graph,
+        # self.name), GeneOntology.py:387)
         assoc = association_triples(
             rows, "gene_id", "predicate", "GO_ID",
-            evidence_col="evidence", source_col="refs", graph_id=g,
+            evidence_col="evidence", source_col="refs", definedby=g, graph_id=g,
         )
 
-        keyed = with_assoc_id(rows, "gene_id", "predicate", "GO_ID")
+        keyed = with_assoc_id(rows, "gene_id", "predicate", "GO_ID", definedby=g)
         mapped_desc = make_triples(
             keyed.filter(F.col("mapped_from").isNotNull()),
             "assoc_id", F.lit(T.DESCRIPTION),
@@ -240,7 +242,7 @@ class GeneOntologyPipeline(SourcePipeline):
         )
         imp_assoc = g2p_association_triples(
             imp, "subject_id", "phenotype_id", F.lit("RO:0002200"),
-            evidence_col="evidence", source_col="refs", graph_id=g,
+            evidence_col="evidence", source_col="refs", definedby=g, graph_id=g,
         )
         # reagent-targeted gene wiring (Genotype.addReagentTargetedGene):
         # targeted_gene GENO:0000418-affects gene; reagent targets gene

@@ -344,19 +344,21 @@ class MgiPipeline(SourcePipeline):
                 .otherwise(F.lit(SEX_SPECIFICITY["F"])),
             )
         )
+        # definedby is the SOURCE name in the id digest (G2PAssoc(graph,
+        # self.name, ...), MGI.py:1229,1242,1273)
         mp_sex = with_assoc_id(
             mp.join(broadcast(sex_per_annot), "_annot_key", "inner"),
-            "genotype_id", "predicate", "accid",
+            "genotype_id", "predicate", "accid", definedby=g,
         )
         annot_triples = union_graphs(
             g2p_association_triples(
                 mp, "genotype_id", "accid", "predicate",
-                evidence_col="evidence", source_col="sources", graph_id=g,
+                evidence_col="evidence", source_col="sources", definedby=g, graph_id=g,
             ),
             class_triples(mp.select(F.col("accid").alias("id")), "id", graph_id=g),
             association_triples(
                 do, "genotype_id", "predicate", "accid",
-                evidence_col="evidence", source_col="sources", graph_id=g,
+                evidence_col="evidence", source_col="sources", definedby=g, graph_id=g,
             ),
             make_triples(
                 mp_sex, "assoc_id", F.lit(HAS_SEX_SPECIFICITY), "sex", graph_id=g
