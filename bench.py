@@ -82,6 +82,9 @@ HEADLINE = [
     "q_passage_chunks",
     "q_bm25_topk",
     "q_tfidf_keywords",
+    "q_pii_scan",
+    "q_pii_redact",
+    "q_strip_boilerplate",
     "q_dedup_exact",
     "q_chunk_dedup",
     "q_dedup_decision",

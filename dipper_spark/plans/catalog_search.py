@@ -2018,3 +2018,148 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_term"), 6).alias("kl_to_corpus"),
         )
     )
+
+
+# ---- PII scan / redaction (corpus-cleaning pass) ------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{2}-\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+#: the slim TPC-H testdata carries no natural PII, so the payload embeds
+#: synthetic-but-DETERMINISTIC PII derived from the row key — identical
+#: expressions on both engines, so the oracle still adjudicates the regex
+#: scan/redaction semantics end-to-end
+_PII_PAYLOAD_SQL = """
+    c_name || ' user' || CAST(c_custkey AS VARCHAR) || '@example.com '
+    || CAST(10 + c_custkey % 90 AS VARCHAR) || '-'
+    || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+    || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+    || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') || ' '
+    || CAST(c_custkey % 256 AS VARCHAR) || '.'
+    || CAST((c_custkey * 3) % 256 AS VARCHAR) || '.'
+    || CAST((c_custkey * 5) % 256 AS VARCHAR) || '.'
+    || CAST((c_custkey * 7) % 256 AS VARCHAR) || ' ' || c_mktsegment
+"""
+
+
+def _pii_payload() -> "F.Column":
+    key = F.col("c_custkey")
+    s = lambda c: c.cast("string")
+    phone = F.concat_ws(
+        "-",
+        s(F.lit(10) + key % 90),
+        F.lpad(s(key % 1000), 3, "0"),
+        F.lpad(s((key * 7) % 1000), 3, "0"),
+        F.lpad(s((key * 13) % 10000), 4, "0"),
+    )
+    email = F.concat(F.lit("user"), s(key), F.lit("@example.com"))
+    ip = F.concat_ws(
+        ".", s(key % 256), s((key * 3) % 256), s((key * 5) % 256), s((key * 7) % 256)
+    )
+    return F.concat_ws(" ", F.col("c_name"), email, phone, ip, F.col("c_mktsegment"))
+
+
+@register(
+    "q_pii_scan",
+    f"""
+    WITH t AS (SELECT c_mktsegment, ({_PII_PAYLOAD_SQL}) AS payload FROM customer)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(len(regexp_extract_all(payload, '{_PII_PHONE}'))) AS BIGINT) AS n_phones,
+           CAST(sum(len(regexp_extract_all(payload, '{_PII_EMAIL}'))) AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(payload, '{_PII_IP}'))) AS BIGINT) AS n_ips
+    FROM t GROUP BY c_mktsegment
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection profile: per market segment, counts of phone / email /
+    IP regex matches over the contact payload — the scan pass a cleaning
+    pipeline runs before redaction.  Pure JVM regexp_extract_all inside one
+    hash-agg; patterns restricted to the Java∩RE2 subset so the oracle
+    compiles them byte-identically."""
+    from dipper_spark.operators.cleaning import pii_counts
+
+    cust = load_table(spark, sf_dir, "customer")
+    counts = pii_counts(_pii_payload())
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(counts["phone"]).cast("long").alias("n_phones"),
+            F.sum(counts["email"]).cast("long").alias("n_emails"),
+            F.sum(counts["ip"]).cast("long").alias("n_ips"),
+        )
+    )
+
+
+@register(
+    "q_pii_redact",
+    f"""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(({_PII_PAYLOAD_SQL}),
+                              '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_IP}', '[IP]', 'g') AS redacted
+    FROM customer WHERE c_custkey <= 50
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: every match replaced with a typed placeholder via a
+    chained global regexp_replace (email → phone → ip, so a placeholder
+    can't be re-matched downstream) — map-only, no shuffle, filter pushed
+    to the scan."""
+    from dipper_spark.operators.cleaning import redact_pii
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey") <= 50).select(
+        "c_custkey", redact_pii(_pii_payload()).alias("redacted")
+    )
+
+
+# ---- boilerplate-chunk stripping (CCNet/RefinedWeb line removal) --------------
+
+_BP_CHUNK = 10
+_BP_MAXDF = 2
+
+_BP_CHUNKS_ORDERED = (
+    f"list_transform(range(0, len({TOK}) // {_BP_CHUNK}), "
+    f"i -> array_to_string(({TOK})[i*{_BP_CHUNK}+1 : i*{_BP_CHUNK}+{_BP_CHUNK}], ' '))"
+)
+
+
+@register(
+    "q_strip_boilerplate",
+    f"""
+    WITH ch AS (
+      SELECT doc_id AS id, {_BP_CHUNKS_ORDERED} AS chunks
+      FROM documents WHERE len({TOK}) >= {_BP_CHUNK}),
+    ex AS (SELECT id, unnest(chunks) AS chunk FROM ch),
+    dfq AS (SELECT chunk FROM (
+              SELECT chunk, count(DISTINCT id) AS d FROM ex GROUP BY chunk)
+            WHERE d > {_BP_MAXDF}),
+    hotl AS (SELECT coalesce(list(chunk), []) AS hot FROM dfq)
+    SELECT id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+           CAST(len(chunks) - len(kept) AS BIGINT) AS n_dropped,
+           coalesce(array_to_string(kept, ' '), '') AS clean_text
+    FROM (SELECT id, chunks,
+                 list_filter(chunks, c -> NOT list_contains(hot, c)) AS kept
+          FROM ch, hotl)
+    """,
+)
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: 10-token chunks occurring in > 2 distinct
+    documents are dropped from EVERY document, which is then rebuilt from
+    its surviving chunks in original order (posexplode position → re-agg
+    sort).  The hot-chunk table is vocabulary-bounded and broadcast — the
+    anti-join is the same 100 TB discipline as the hot-shingle prune
+    (asserted in test_plan_quality)."""
+    from dipper_spark.operators.cleaning import strip_boilerplate_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate_chunks(
+        docs, "doc_id", "text", chunk_tokens=_BP_CHUNK, max_doc_freq=_BP_MAXDF
+    )

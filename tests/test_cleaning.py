@@ -1,0 +1,78 @@
+"""Unit tests for corpus-cleaning operators (PII + boilerplate strip)."""
+
+import pyspark.sql.functions as F
+
+from dipper_spark.operators.cleaning import (
+    pii_counts,
+    redact_pii,
+    strip_boilerplate_chunks,
+)
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+x@mail-srv.example.org or 12-345-678-9012"),
+            (2, "server 10.0.255.3 logged 2 hits"),
+            (3, "nothing sensitive here"),
+        ],
+        ["id", "t"],
+    )
+    out = df.select(
+        "id",
+        redact_pii("t").alias("r"),
+        *[v.alias(k) for k, v in pii_counts("t").items()],
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].r == "reach me at [EMAIL] or [PHONE]"
+    assert rows[1].email == 1 and rows[1].phone == 1 and rows[1].ip == 0
+    assert rows[2].r == "server [IP] logged 2 hits"
+    assert rows[2].ip == 1
+    assert rows[3].r == "nothing sensitive here"
+    assert rows[3].email == rows[3].phone == rows[3].ip == 0
+
+
+def test_redaction_placeholders_not_rematched(spark):
+    # the chain order (email -> phone -> ip) must not let a placeholder be
+    # consumed by a later pattern
+    df = spark.createDataFrame([(1, "a@b.co 11-222-333-4444 1.2.3.4")], ["id", "t"])
+    assert df.select(redact_pii("t").alias("r")).collect()[0].r == \
+        "[EMAIL] [PHONE] [IP]"
+
+
+def test_strip_boilerplate_preserves_order(spark):
+    boiler = " ".join(["footer"] * 10)          # one 10-token hot chunk
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    rows = [
+        (1, uniq("a") + " " + boiler + " " + uniq("b")),
+        (2, uniq("c") + " " + boiler),
+        (3, uniq("d") + " " + boiler),
+        (4, boiler),                             # all-boilerplate doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.id: r
+        for r in strip_boilerplate_chunks(df, "doc_id", "text", 10, max_doc_freq=2).collect()
+    }
+    # the footer chunk occurs in 4 > 2 docs -> stripped everywhere; the
+    # surviving chunks keep their original order (a... before b...)
+    assert out[1].clean_text == uniq("a") + " " + uniq("b")
+    assert out[1].n_chunks == 3 and out[1].n_dropped == 1
+    assert out[2].clean_text == uniq("c")
+    # the all-boilerplate doc SURFACES with empty text, not as a lost row
+    assert out[4].clean_text == "" and out[4].n_dropped == 1
+
+
+def test_strip_keeps_intra_doc_repetition(spark):
+    # a chunk repeated WITHIN one doc is repetition, not boilerplate:
+    # doc frequency is distinct-doc-based, so it survives
+    chunk = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, chunk + " " + chunk), (2, " ".join(f"x{i}" for i in range(10)))],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r
+        for r in strip_boilerplate_chunks(df, "doc_id", "text", 10, max_doc_freq=1).collect()
+    }
+    assert out[1].n_dropped == 0 and out[1].clean_text == chunk + " " + chunk

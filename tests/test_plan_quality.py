@@ -85,6 +85,21 @@ class TestJoinStrategies:
         assert "LeftAnti" in plan and "Broadcast" in plan
         assert "CartesianProduct" not in plan
 
+    def test_strip_boilerplate_uses_broadcast_anti_join(self, spark, sf):
+        # the hot-chunk table is vocabulary-bounded: the strip must be a
+        # broadcast LEFT ANTI, never a shuffled join on the raw chunk table
+        plan = plan_of(QUERIES["q_strip_boilerplate"](spark, sf))
+        assert "LeftAnti" in plan and "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pii_redact_filter_pushed_to_scan(self, spark, sf):
+        # the custkey predicate must reach the parquet scan; redaction is
+        # map-only (no shuffle operators at all in the plan)
+        plan = plan_of(QUERIES["q_pii_redact"](spark, sf))
+        assert "PushedFilters: [IsNotNull(c_custkey), LessThanOrEqual(c_custkey,50)]" in plan or \
+            "LessThanOrEqual(c_custkey,50)" in plan
+        assert "Exchange" not in plan
+
     def test_containment_uses_broadcast_anti_join(self, spark, sf):
         # round 5's one scale-weak plan: the containment index must now be
         # hot-shingle-pruned (broadcast LEFT ANTI) before the self-equi-join,
