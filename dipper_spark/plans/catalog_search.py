@@ -22,7 +22,7 @@ from dipper_spark.operators.sampling import weighted_sample
 from dipper_spark.operators.search import bm25_topk, tfidf_keywords
 from dipper_spark.plans.catalog import register
 from dipper_spark.plans.catalog_text import (
-    _JACCARD_SQL,
+    _JACCARD_PRUNED_SQL,
     _minhash_sql,
     _SIMHASH_CTE,
     LANG_MARKERS,
@@ -295,7 +295,7 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_agreement",
     f"""
-    WITH jac AS ({_JACCARD_SQL}),
+    WITH jac AS ({_JACCARD_PRUNED_SQL}),
     simp AS (
       {_SIMHASH_CTE}
       SELECT a.id AS id_1, b.id AS id_2
@@ -310,15 +310,18 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-signal dedup audit: near-dup pairs by exact 3-gram Jaccard
-    (>= 0.5) vs SimHash (Hamming <= 1), full-outer joined into
-    both / jaccard-only / simhash-only counts — the precision/recall
-    triage report a production dedup stack runs before choosing
+    """Cross-signal dedup audit: near-dup pairs by 3-gram Jaccard (>= 0.5,
+    the hot-shingle-pruned 100 TB path — the audit compares the signals a
+    production stack actually runs) vs SimHash (Hamming <= 1), full-outer
+    joined into both / jaccard-only / simhash-only counts — the
+    precision/recall triage report a dedup stack runs before choosing
     thresholds.  Pure composition of two existing operator pipelines."""
     from dipper_spark.operators.dedup import jaccard_pairs, simhash, simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    jac = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select("id_1", "id_2")
+    jac = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+    ).select("id_1", "id_2")
     sim = simhash_pairs(simhash(docs, "doc_id", "text", 16), max_hamming=1, bits=16).select(
         "id_1", "id_2"
     )
