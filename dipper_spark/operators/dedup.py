@@ -69,6 +69,18 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens(text_col), n)).alias("sh_set"),
     )
+    return jaccard_pairs_from_sets(sets, threshold=threshold, max_doc_freq=max_doc_freq)
+
+
+def jaccard_pairs_from_sets(
+    sets: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """:func:`jaccard_pairs` body over a pre-built ``(id, sh_set)`` frame —
+    the composition surface: an audit that derives several dedup signals
+    from ONE tokenize pass (see ``q_dedup_agreement``) hands each operator
+    its frame instead of re-scanning the corpus per signal."""
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     if max_doc_freq is None:
         # exact path: the intersection count falls straight out of the
@@ -365,6 +377,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Column
     tok = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
+    return simhash_from_tokens(tok, bits)
+
+
+def simhash_from_tokens(tok: DataFrame, bits: int = 16) -> DataFrame:
+    """:func:`simhash` body over a pre-exploded ``(id, tok)`` frame of
+    DISTINCT tokens per doc — composition surface, see
+    ``jaccard_pairs_from_sets``."""
+    assert bits % 4 == 0 and bits <= 32
     h = F.md5(F.col("tok"))
     hexdigits = "0123456789abcdef"
     votes = []

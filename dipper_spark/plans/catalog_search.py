@@ -315,14 +315,28 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     production stack actually runs) vs SimHash (Hamming <= 1), full-outer
     joined into both / jaccard-only / simhash-only counts — the
     precision/recall triage report a dedup stack runs before choosing
-    thresholds.  Pure composition of two existing operator pipelines."""
-    from dipper_spark.operators.dedup import jaccard_pairs, simhash, simhash_pairs
+    thresholds.  Both signals derive from ONE tokenize pass (an eager
+    localCheckpoint of the token arrays — the 100 TB analog is a staged
+    parquet write) instead of re-scanning and re-tokenizing the corpus per
+    signal."""
+    from dipper_spark.functions.text import tokens, word_shingles
+    from dipper_spark.operators.dedup import (
+        jaccard_pairs_from_sets,
+        simhash_from_tokens,
+        simhash_pairs,
+    )
+    from dipper_spark.operators.util import ensure_parallelism
 
     docs = load_table(spark, sf_dir, "documents")
-    jac = jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
-    ).select("id_1", "id_2")
-    sim = simhash_pairs(simhash(docs, "doc_id", "text", 16), max_hamming=1, bits=16).select(
+    toks = (
+        ensure_parallelism(docs)
+        .select(F.col("doc_id").alias("id"), tokens("text").alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    sets = toks.select("id", F.array_distinct(word_shingles(F.col("toks"), 3)).alias("sh_set"))
+    jac = jaccard_pairs_from_sets(sets, threshold=0.5, max_doc_freq=50).select("id_1", "id_2")
+    tok = toks.select("id", F.explode(F.array_distinct("toks")).alias("tok"))
+    sim = simhash_pairs(simhash_from_tokens(tok, 16), max_hamming=1, bits=16).select(
         "id_1", "id_2"
     )
     j, s = jac.alias("j"), sim.alias("s")
