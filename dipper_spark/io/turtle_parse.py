@@ -69,10 +69,34 @@ def parse_turtle(text: str, curie_map: dict[str, str] | None = None) -> list[dic
     cmap = dict(curie_map or DEFAULT_CURIE_MAP)
     prefixes: dict[str, str] = {}
     triples: list[dict] = []
-    # strip comments (naive: goldens don't put '#' inside literals mid-line
-    # except in IRIs, which are bracketed — handle by only stripping
-    # whole-line comments)
-    lines = [ln for ln in text.splitlines() if not ln.strip().startswith("#")]
+    # strip comments, including TRAILING same-line ones — a '#' only starts
+    # a comment OUTSIDE a <bracketed IRI> and outside a "quoted literal"
+    # (IRIs routinely contain fragment '#'s; literals may contain anything)
+    def _strip_comment(ln: str) -> str:
+        in_iri = in_lit = False
+        i, n = 0, len(ln)
+        while i < n:
+            c = ln[i]
+            if in_lit:
+                if c == "\\":
+                    i += 2
+                    continue
+                if c == '"':
+                    in_lit = False
+            elif in_iri:
+                if c == ">":
+                    in_iri = False
+            elif c == '"':
+                in_lit = True
+            elif c == "<":
+                in_iri = True
+            elif c == "#":
+                return ln[:i]
+            i += 1
+        return ln
+
+    lines = [_strip_comment(ln) for ln in text.splitlines()]
+    lines = [ln for ln in lines if ln.strip()]
     body: list[str] = []
     for ln in lines:
         m = re.match(r"\s*@prefix\s+([\w-]*):\s*<([^>]*)>\s*\.", ln)
