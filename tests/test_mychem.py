@@ -118,3 +118,42 @@ def test_golden_reference_record(spark, tmp_path):
     assert expected <= spo, expected - spo
     # the contraindication must not appear
     assert not any(o == "SNOMED:30911005" for _, _, o in spo)
+
+
+# ---- reference golden: the reference's own mychem.json fixture --------------
+
+import os
+
+REF_FIXTURE = "/root/reference/tests/resources/mychem/mychem.json"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FIXTURE), reason="reference fixture absent")
+def test_reference_fixture_golden(spark, tmp_path):
+    """Port of /root/reference/tests/test_mychem.py::test_parse — the one
+    reference source test that ships BOTH a fixture and an expected graph.
+    The record is fed to both roles (drugbank_targets + drugcentral
+    interactors) exactly as the reference setUp does; the drugbank branch
+    has no targets and contributes nothing.  Expected triples quoted from
+    the reference test (test_mychem.py:38-48) minus its biolink:category
+    decorations (documented engine-wide divergence)."""
+    from dipper_spark.core.triples import graph_diff
+    from dipper_spark.io.turtle_parse import triples_from_turtle
+
+    records = json.load(open(REF_FIXTURE))
+    src = get_pipeline("mychem")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    body = "\n".join(json.dumps(r) for r in records) + "\n"
+    (raw / src.files["drugbank"].file).write_text(body)
+    (raw / src.files["drugcentral"].file).write_text(body)
+    got = src.transform(spark, str(raw))
+    golden = """
+    UNII:46U771ERWK RO:0002606 SNOMED:386761002 ;
+        rdfs:subClassOf CHEBI:23367 .
+    SNOMED:386761002 rdfs:label "Local anesthesia" ;
+        rdfs:subClassOf MONDO:0000001 .
+    """
+    expected = triples_from_turtle(spark, golden)
+    only_engine, only_golden = graph_diff(got, expected)
+    assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
+    assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]
