@@ -82,6 +82,8 @@ HEADLINE = [
     "q_passage_chunks",
     "q_bm25_topk",
     "q_tfidf_keywords",
+    "q_bloom_probe",
+    "q_top_ngrams",
     "q_pii_scan",
     "q_pii_redact",
     "q_strip_boilerplate",

@@ -101,3 +101,44 @@ def count_min_estimate(
         joined.groupBy(*others)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
     )
+
+
+def bloom_build(df: DataFrame, item: Column | str, k: int = 3, m: int = 8192) -> DataFrame:
+    """Bloom filter as a relational bit-set: the DISTINCT occupied positions
+    of ``k`` md5-derived hashes over ``m`` slots — one row per SET bit
+    (≤ m rows total, bounded by the filter size, not the corpus).
+
+    This is the Dolma-style approximate-membership dedup primitive.  At
+    100 TB the corpus is scanned ONCE to build ≤ m rows; every later probe
+    joins against the broadcast bit-set, never the corpus.  Merging two
+    filters is a UNION + DISTINCT (bitwise OR in set form).  Unlike
+    engine-opaque bloom blobs, the bit-set is exact SQL — portable and
+    oracle-checkable.
+    """
+    it = F.col(item) if isinstance(item, str) else item
+    probes = df.select(
+        it.alias("_item"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("d"),
+    )
+    return (
+        probes.select(_bucket(F.col("d"), F.col("_item"), m).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame, items: DataFrame, item_col: str, k: int = 3, m: int = 8192
+) -> DataFrame:
+    """Membership test: an item is 'maybe present' iff ALL ``k`` of its
+    positions are set (false positives possible, false negatives not).
+    The bit-set side is ≤ m rows → broadcast; the probe is map-side."""
+    probes = items.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("d")
+    ).withColumn("pos", _bucket(F.col("d"), F.col(item_col), m))
+    joined = probes.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), ["pos"], "left"
+    )
+    others = [c for c in items.columns]
+    return joined.groupBy(*others).agg(
+        (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("maybe_present")
+    )

@@ -2180,3 +2180,111 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate_chunks(
         docs, "doc_id", "text", chunk_tokens=_BP_CHUNK, max_doc_freq=_BP_MAXDF
     )
+
+
+# ---- Bloom-filter membership (approximate dedup primitive) --------------------
+
+_BLOOM_K, _BLOOM_M = 3, 8192
+
+_FP_SQL = f"md5(array_to_string(list_sort(list_distinct({TOK})), ' '))"
+_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || key), 1, 8)) AS BIGINT)"
+    f" % {_BLOOM_M}"
+)
+
+
+@register(
+    "q_bloom_probe",
+    f"""
+    WITH fp AS (SELECT doc_id, {_FP_SQL} AS key FROM documents),
+    ks AS (SELECT unnest(range(0, {_BLOOM_K})) AS d),
+    bits AS (SELECT DISTINCT {_BLOOM_POS} AS pos FROM fp, ks),
+    probes AS (
+      SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS probe_id, key
+      FROM fp WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT 'novel-' || CAST(doc_id AS VARCHAR),
+             md5('novel-' || CAST(doc_id AS VARCHAR))
+      FROM documents WHERE doc_id % 10 = 5),
+    pp AS (SELECT probe_id, {_BLOOM_POS} AS pos FROM probes, ks)
+    SELECT probe_id, bool_and(pos IN (SELECT pos FROM bits)) AS maybe_present
+    FROM pp GROUP BY probe_id
+    """,
+)
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, the Dolma-style approximate-dedup
+    primitive: the corpus's bag-of-words fingerprints populate a relational
+    bit-set (k=3 hashes over m=8192 slots — ≤ m rows regardless of corpus
+    size, scanned once), then two probe groups test membership against the
+    BROADCAST bit-set: every 10th document's real fingerprint (must read
+    'maybe present' — Bloom has no false negatives) and synthetic novel
+    keys (absent modulo false positives).  Merging filters across shards
+    is UNION+DISTINCT of the bit rows."""
+    from dipper_spark.functions.text import doc_fingerprint
+    from dipper_spark.operators.sketches import bloom_build, bloom_probe
+    from dipper_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("key"))
+    bits = bloom_build(fp, "key", k=_BLOOM_K, m=_BLOOM_M)
+    present = fp.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("probe_id"),
+        "key",
+    )
+    novel = docs.filter(F.col("doc_id") % 10 == 5).select(
+        F.concat(F.lit("novel-"), F.col("doc_id").cast("string")).alias("probe_id"),
+        F.md5(F.concat(F.lit("novel-"), F.col("doc_id").cast("string"))).alias("key"),
+    )
+    return bloom_probe(
+        bits, present.unionByName(novel), "key", k=_BLOOM_K, m=_BLOOM_M
+    ).select("probe_id", "maybe_present")
+
+
+# ---- heavy-hitter n-grams per source (boilerplate discovery) ------------------
+
+_TOPNG_K = 5
+
+
+@register(
+    "q_top_ngrams",
+    f"""
+    WITH ng AS (
+      SELECT source, sh, count(*) AS n FROM (
+        SELECT source, unnest({_shingles_sql(TOK, 3)}) AS sh FROM documents)
+      GROUP BY source, sh),
+    rk AS (SELECT source, sh, n,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n DESC, sh) AS rk
+           FROM ng)
+    SELECT source, sh AS ngram, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(rk AS BIGINT) AS rank
+    FROM rk WHERE rk <= {_TOPNG_K}
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent word 3-grams per source (ties broken by the
+    n-gram) — the heavy-hitter report that DISCOVERS boilerplate before
+    ``q_strip_boilerplate`` removes it.  Explode-first n-gram assembly
+    (codegen'd slice+concat after the Generate — the measured ~5x shape),
+    one hash-agg, one per-source window."""
+    from pyspark.sql import Window
+
+    from dipper_spark.operators.util import exploded_word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    ng = (
+        exploded_word_ngrams(docs, ["source"], "text", n=3, out="sh")
+        .groupBy("source", "sh")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "sh")
+    return (
+        ng.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPNG_K)
+        .select(
+            "source",
+            F.col("sh").alias("ngram"),
+            F.col("n").cast("long").alias("n_occurrences"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

@@ -76,3 +76,30 @@ def test_strip_keeps_intra_doc_repetition(spark):
         for r in strip_boilerplate_chunks(df, "doc_id", "text", 10, max_doc_freq=1).collect()
     }
     assert out[1].n_dropped == 0 and out[1].clean_text == chunk + " " + chunk
+
+
+# ---- bloom filter (operators/sketches.py) -----------------------------------
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from dipper_spark.operators.sketches import bloom_build, bloom_probe
+
+    items = spark.createDataFrame([(f"key-{i}",) for i in range(200)], ["k"])
+    bits = bloom_build(items, "k", k=3, m=4096)
+    assert bits.count() <= 4096
+    # every inserted key MUST read maybe_present (no false negatives)
+    got = {r.k: r.maybe_present for r in bloom_probe(bits, items, "k", 3, 4096).collect()}
+    assert all(got.values()) and len(got) == 200
+    # novel keys are mostly absent (m=4096, 600 set bits -> fp rate ~0.3%)
+    novel = spark.createDataFrame([(f"novel-{i}",) for i in range(200)], ["k"])
+    nv = [r.maybe_present for r in bloom_probe(bits, novel, "k", 3, 4096).collect()]
+    assert sum(nv) <= 5
+    # merging two filters is UNION+DISTINCT of bit rows: a key inserted in
+    # either shard reads present in the merged filter
+    items2 = spark.createDataFrame([(f"other-{i}",) for i in range(50)], ["k"])
+    merged = bits.unionByName(bloom_build(items2, "k", 3, 4096)).distinct()
+    got2 = {
+        r.k: r.maybe_present
+        for r in bloom_probe(merged, items.unionByName(items2), "k", 3, 4096).collect()
+    }
+    assert all(got2.values()) and len(got2) == 250

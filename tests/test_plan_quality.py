@@ -100,6 +100,19 @@ class TestJoinStrategies:
             "LessThanOrEqual(c_custkey,50)" in plan
         assert "Exchange" not in plan
 
+    def test_bloom_probe_is_broadcast(self, spark, sf):
+        # the bit-set side is bounded by m (8192 rows) and must broadcast;
+        # probing never joins against the corpus
+        plan = plan_of(QUERIES["q_bloom_probe"](spark, sf))
+        assert "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_top_ngrams_is_windowed_agg(self, spark, sf):
+        # heavy hitters = one hash-agg + one per-source window; no joins
+        plan = plan_of(QUERIES["q_top_ngrams"](spark, sf))
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan
+
     def test_containment_uses_broadcast_anti_join(self, spark, sf):
         # round 5's one scale-weak plan: the containment index must now be
         # hot-shingle-pruned (broadcast LEFT ANTI) before the self-equi-join,
