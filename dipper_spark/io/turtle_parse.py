@@ -70,8 +70,12 @@ def parse_turtle(text: str, curie_map: dict[str, str] | None = None) -> list[dic
     prefixes: dict[str, str] = {}
     triples: list[dict] = []
     # strip comments, including TRAILING same-line ones — a '#' only starts
-    # a comment OUTSIDE a <bracketed IRI> and outside a "quoted literal"
-    # (IRIs routinely contain fragment '#'s; literals may contain anything)
+    # a comment when it is OUTSIDE a <bracketed IRI> and outside a "quoted
+    # literal" (IRIs routinely contain fragment '#'s; literals may contain
+    # anything) AND is preceded by whitespace / start-of-line: this engine's
+    # curie-space terms may carry a raw '#' inside a prefixed name (e.g. the
+    # HCLS version node MonarchArchive:YYYYMMDD/#source), which is token
+    # content, not a comment
     def _strip_comment(ln: str) -> str:
         in_iri = in_lit = False
         i, n = 0, len(ln)
@@ -90,7 +94,7 @@ def parse_turtle(text: str, curie_map: dict[str, str] | None = None) -> list[dic
                 in_lit = True
             elif c == "<":
                 in_iri = True
-            elif c == "#":
+            elif c == "#" and (i == 0 or ln[i - 1] in " \t"):
                 return ln[:i]
             i += 1
         return ln
