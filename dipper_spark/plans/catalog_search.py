@@ -2288,3 +2288,67 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rank"),
         )
     )
+
+
+# ---- cleaning capstone: strip → redact → quality gate -------------------------
+
+_CLEAN_MAX_DROP, _CLEAN_MIN_TOKENS = 0.5, 20
+
+
+@register(
+    "q_clean_corpus",
+    f"""
+    WITH ch AS (
+      SELECT doc_id AS id, {_BP_CHUNKS_ORDERED} AS chunks
+      FROM documents WHERE len({TOK}) >= {_BP_CHUNK}),
+    ex AS (SELECT id, unnest(chunks) AS chunk FROM ch),
+    dfq AS (SELECT chunk FROM (
+              SELECT chunk, count(DISTINCT id) AS d FROM ex GROUP BY chunk)
+            WHERE d > {_BP_MAXDF}),
+    hotl AS (SELECT coalesce(list(chunk), []) AS hot FROM dfq),
+    stripped AS (
+      SELECT id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+             CAST(len(chunks) - len(kept) AS BIGINT) AS n_dropped,
+             coalesce(array_to_string(kept, ' '), '') AS clean_text
+      FROM (SELECT id, chunks,
+                   list_filter(chunks, c -> NOT list_contains(hot, c)) AS kept
+            FROM ch, hotl)),
+    scored AS (
+      SELECT id, n_chunks, n_dropped,
+             CAST(len(regexp_split_to_array(lower(trim(clean_text)), '\\s+'))
+                  AS BIGINT) AS n_clean_tokens,
+             CAST(length(regexp_replace(
+               regexp_replace(
+                 regexp_replace(clean_text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g')) AS BIGINT) AS n_clean_chars
+      FROM stripped)
+    SELECT id, n_chunks, n_dropped, n_clean_tokens, n_clean_chars
+    FROM scored
+    WHERE n_dropped / CAST(n_chunks AS DOUBLE) < {_CLEAN_MAX_DROP}
+      AND n_clean_tokens >= {_CLEAN_MIN_TOKENS}
+    """,
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning capstone, production composition end-to-end:
+    boilerplate-chunk strip (broadcast anti-join) → PII redaction (chained
+    global regex, map-only) → quality gate (survivors kept < 50%
+    boilerplate AND >= 20 clean tokens).  One corpus scan feeds the strip;
+    everything after the rebuild is a map stage — the shape a
+    pre-training cleaning pass actually ships."""
+    from dipper_spark.functions.text import tokens
+    from dipper_spark.operators.cleaning import redact_pii, strip_boilerplate_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    stripped = strip_boilerplate_chunks(
+        docs, "doc_id", "text", chunk_tokens=_BP_CHUNK, max_doc_freq=_BP_MAXDF
+    )
+    scored = stripped.select(
+        "id", "n_chunks", "n_dropped",
+        F.size(tokens("clean_text")).cast("long").alias("n_clean_tokens"),
+        F.length(redact_pii("clean_text")).cast("long").alias("n_clean_chars"),
+    )
+    return scored.filter(
+        (F.col("n_dropped") / F.col("n_chunks").cast("double") < _CLEAN_MAX_DROP)
+        & (F.col("n_clean_tokens") >= _CLEAN_MIN_TOKENS)
+    )

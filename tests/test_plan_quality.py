@@ -113,6 +113,13 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "Window" in plan
 
+    def test_clean_corpus_single_anti_join_then_map(self, spark, sf):
+        # the capstone adds ONLY map stages after the strip's rebuild: same
+        # LeftAnti+broadcast discipline, no extra joins, no cartesian
+        plan = plan_of(QUERIES["q_clean_corpus"](spark, sf))
+        assert "LeftAnti" in plan and "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+
     def test_containment_uses_broadcast_anti_join(self, spark, sf):
         # round 5's one scale-weak plan: the containment index must now be
         # hot-shingle-pruned (broadcast LEFT ANTI) before the self-equi-join,

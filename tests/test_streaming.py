@@ -228,3 +228,48 @@ class TestStreamStaticJoin:
             for r in enrich_with_dim(ev, dim, "user_id").collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamingCleaning:
+    def test_pii_redaction_is_streaming_safe(self, spark, tmp_path):
+        """redact_pii / pii_counts are stateless column expressions, so
+        they compose into a readStream plan unchanged: the streaming drain
+        must produce byte-identical redactions to the batch transform."""
+        from dipper_spark.operators.cleaning import pii_counts, redact_pii
+
+        rows = [
+            (1, "mail a@b.co and call 12-345-678-9012 now"),
+            (2, "server 10.0.0.1 up"),
+            (3, "clean text only"),
+        ]
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(landing))
+
+        def clean(d):
+            counts = pii_counts("text")
+            return d.select(
+                "doc_id", redact_pii("text").alias("redacted"),
+                sum(counts.values()).alias("n_pii"),
+            )
+
+        batch = {(r.doc_id, r.redacted, r.n_pii) for r in clean(df).collect()}
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(landing))
+        out = tmp_path / "out"
+        q = (
+            clean(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = {
+            (r.doc_id, r.redacted, r.n_pii)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        assert streamed == batch
+        assert ("1", "mail [EMAIL] and call [PHONE] now", 2) not in streamed  # typed ids
+        assert (1, "mail [EMAIL] and call [PHONE] now", 2) in streamed
