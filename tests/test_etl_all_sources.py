@@ -360,7 +360,7 @@ def test_etl_sweep(spark, tmp_path, name):
 # stanza) end-to-end for a representative subset of sources.
 # --------------------------------------------------------------------------
 
-FETCH_SOURCES = ["reactome", "sgd", "ucscbands"]
+FETCH_SOURCES = ["reactome", "sgd", "ucscbands", "mpd"]
 
 
 @pytest.fixture(scope="module")
