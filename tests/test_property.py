@@ -161,3 +161,73 @@ def test_epoch_shuffle_is_permutation(spark, ids):
     for r in rows:
         h = hashlib.md5(f"px:{r.doc_id}".encode()).hexdigest()
         assert r.shard == int(h[:8], 16) % 4
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                                   whitelist_characters=".-@:/#"),
+            min_size=0, max_size=80,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_pii_redaction_idempotent_and_clean(spark, texts):
+    """redact(redact(x)) == redact(x), and a redacted string never still
+    matches any PII pattern — for arbitrary text including '@'/'.'/'-'
+    soup that skirts the pattern edges."""
+    import re
+
+    from dipper_spark.operators.cleaning import PII_PATTERNS, redact_pii
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "t"])
+    once = df.select("id", redact_pii("t").alias("r"))
+    twice = once.select("id", redact_pii("r").alias("r"))
+    a = {r.id: r.r for r in once.collect()}
+    b = {r.id: r.r for r in twice.collect()}
+    assert a == b
+    for v in a.values():
+        for pat in PII_PATTERNS.values():
+            assert re.search(pat, v) is None, (v, pat)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=35),
+        min_size=1, max_size=10,
+    ),
+    maxdf=st.integers(1, 3),
+)
+def test_strip_boilerplate_matches_pure_python(spark, docs, maxdf):
+    """The distributed strip equals the obvious single-process reference:
+    chunk each doc into full 10-token windows, drop chunks whose
+    DISTINCT-doc frequency exceeds maxdf, rejoin survivors in order."""
+    from collections import Counter
+
+    from dipper_spark.operators.cleaning import strip_boilerplate_chunks
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.id: (r.n_chunks, r.n_dropped, r.clean_text)
+        for r in strip_boilerplate_chunks(df, "doc_id", "text", 10, maxdf).collect()
+    }
+    # pure-python mirror
+    chunks = {
+        i: [" ".join(toks[j * 10:(j + 1) * 10]) for j in range(len(toks) // 10)]
+        for i, toks in enumerate(docs)
+    }
+    dfreq = Counter()
+    for i, cs in chunks.items():
+        for c in set(cs):
+            dfreq[c] += 1
+    expect = {}
+    for i, cs in chunks.items():
+        if not cs:
+            continue
+        kept = [c for c in cs if dfreq[c] <= maxdf]
+        expect[i] = (len(cs), len(cs) - len(kept), " ".join(kept))
+    assert got == expect
