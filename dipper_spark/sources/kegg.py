@@ -1,17 +1,29 @@
-"""KEGG pipeline: diseases, human genes, OMIM reconciliation (1:1 gate).
+"""KEGG pipeline: pathways, diseases, human genes, orthology classes,
+NCBI reconciliation, pathway annotations, OMIM reconciliation (1:1 gate).
 
-Reference behavior: dipper/sources/KEGG.py — ``_process_diseases`` 200-244,
-``_process_genes`` 245-340 (first symbol = label, rest synonyms, long name =
-definition), ``_process_omim2gene`` 466-560 (equivalent/reverse/original
-link-type dispatch; reverse links go through an anonymous variant locus),
+Reference behavior: dipper/sources/KEGG.py — every pass the reference's
+``parse()`` (KEGG.py:126-151) actually runs:
+``_process_pathways`` 155-198 (pathway class + GO/PW typing + depiction),
+``_process_genes_kegg2ncbi`` 636-688 (NCBIGene equivalence),
+``_process_pathway_pubmed`` 689-721 (PMID is-about pathway),
+``_process_pathway_disease`` 722-761 (causally-upstream-of-or-within),
+``_process_diseases`` 200-244, ``_process_genes`` 245-340 (first symbol =
+label, rest synonyms, long name = definition),
 ``_process_omim2disease`` 560-635 (keep only OMIM↔KEGG disease pairs that
-are 1:1 IN BOTH DIRECTIONS), ``_make_variant_locus_id`` (deterministic
-bnode + 'some variant of X that is associated with Y' label).
+are 1:1 IN BOTH DIRECTIONS), ``_process_pathway_ko`` 762-791 (ortholog →
+pathway through a gene-product bnode), ``_process_ortholog_classes``
+325-391 (gene-family classes w/ synonyms + EC xrefs).
+``_process_omim2gene`` 466-560 is DISABLED in the reference's parse()
+(commented at KEGG.py:147) but kept available here, matching its
+equivalent/reverse/original link-type dispatch and
+``_make_variant_locus_id`` 791-824 ('MONARCH:'-digest alt locus labeled
+'some variant of X', annotated is_anonymous).
 
 Spark-first: the reference's two direction-hashes + post-pass is the A9
 1:1-ness check done relationally — ``groupBy(key).count() == 1`` on each
 side, semi-joined back (J11); the label_hash probes are broadcast joins of
-the disease/gene label dims.
+the disease/gene label dims; every pass is a narrow select over one
+contract-checked scan.
 """
 
 from __future__ import annotations
@@ -30,6 +42,17 @@ GENE = "SO:0000704"
 VARIANT_LOCUS = "GENO:0000002"
 HAS_AFFECTED_LOCUS = "GENO:0000418"
 IS_MARKER_FOR = "RO:0002607"
+CELLULAR_PROCESS = "GO:0009987"       # globaltt['cellular_process']
+PATHWAY = "PW:0000001"                # globaltt['pathway']
+DEPICTION = "foaf:depiction"
+IS_ABOUT = "IAO:0000136"
+JOURNAL_ARTICLE = "IAO:0000013"
+CAUSAL_UPSTREAM = "RO:0002418"        # causally upstream of or within
+GENE_PRODUCT = "CHEBI:33695"
+HAS_GENE_PRODUCT = "RO:0002205"
+INVOLVED_IN = "RO:0002331"
+GENE_FAMILY = "EDAM-DATA:3148"
+IS_ANONYMOUS = "MONARCH:anonymous"
 
 
 @register
@@ -52,8 +75,32 @@ class KeggPipeline(SourcePipeline):
             file="omim2disease", url="http://rest.genome.jp/link/omim/ds",
             columns=["omim_disease_id", "kegg_disease_id", "link_type"],
         ),
+        "pathway": FileContract(
+            file="pathway", url="http://rest.genome.jp/list/pathway",
+            columns=["pathway_id", "pathway_name"],
+        ),
+        "ortholog_classes": FileContract(
+            file="ortholog_classes", url="http://rest.genome.jp/list/orthology",
+            columns=["orthology_class_id", "orthology_class_name"],
+        ),
+        "ncbi": FileContract(
+            file="ncbi", url="http://rest.genome.jp/conv/ncbi-geneid/hsa",
+            columns=["kegg_gene_id", "ncbi_gene_id", "link_type"],
+        ),
+        "pubmed": FileContract(
+            file="pubmed", url="http://rest.kegg.jp/link/pathway/pubmed",
+            columns=["pubmed_id", "kegg_pathway_num"],
+        ),
+        "ds": FileContract(
+            file="ds", url="http://rest.kegg.jp/link/pathway/ds",
+            columns=["disease_id", "kegg_pathway_num"],
+        ),
+        "ko": FileContract(
+            file="ko", url="http://rest.kegg.jp/link/pathway/ko",
+            columns=["ko_id", "pathway_id"],
+        ),
     }
-    test_ids = ["KEGG-ds:H00021", "KEGG-hsa:100"]
+    test_ids = ["KEGG-ds:H00021", "KEGG-hsa:100", "KEGG-path:map04130"]
 
     def _read(self, spark: SparkSession, raw_dir: str, key: str) -> DataFrame:
         cols = self.files[key].columns
@@ -121,7 +168,11 @@ class KeggPipeline(SourcePipeline):
             class_triples(equiv, "omim_id", graph_id=g),
             pairwise_triples(equiv, "kegg_gene_id", "omim_id", T.EQUIVALENT_CLASS, graph_id=g),
         ]
-        # reverse links: anonymous variant locus between gene and disease
+        # reverse links: anonymous variant locus between gene and disease.
+        # the alt locus id is a 'MONARCH:'-prefixed digest (reference
+        # _make_variant_locus_id calls make_id with the DEFAULT prefix,
+        # KEGG.py:806-808) and is annotated is_anonymous (Model.
+        # addBlankNodeAnnotation, the reference's pseudo-bnode marker)
         rev = (
             o2g.filter(F.col("link_type") == "reverse")
             .join(
@@ -137,7 +188,6 @@ class KeggPipeline(SourcePipeline):
                         F.regexp_replace("omim_id", ":", ""),
                         F.lit("VL"),
                     ),
-                    prefix="_",
                 ),
             )
             .withColumn(
@@ -152,11 +202,120 @@ class KeggPipeline(SourcePipeline):
         parts += [
             individual_triples(rev, "alt_locus_id", F.lit(VARIANT_LOCUS), label_col="alt_label", graph_id=g),
             make_triples(rev, "alt_locus_id", F.lit(HAS_AFFECTED_LOCUS), "kegg_gene_id", graph_id=g),
+            make_triples(
+                rev, "alt_locus_id", F.lit(IS_ANONYMOUS), F.lit("true"),
+                is_literal=True, datatype="xsd:boolean", graph_id=g,
+            ),
             g2p_association_triples(
                 rev, "alt_locus_id", "omim_id", "predicate", definedby=self.name, graph_id=g
             ),
         ]
         # 'original' links skipped (KEGG.py:548-552)
+
+        # ---- pathways (KEGG.py:155-198 + models/Pathway.addPathway) --------
+        pw = self._read(spark, raw_dir, "pathway").select(
+            F.concat(F.lit("KEGG-"), F.trim("pathway_id")).alias("pathway_id"),
+            F.col("pathway_name").alias("pathway_label"),
+        )
+        pw = self.test_filter(pw, "pathway_id", test_mode)
+        image_url = F.concat(
+            F.lit("http://www.genome.jp/kegg/pathway/map/"),
+            F.regexp_replace("pathway_id", "KEGG-path:", ""),
+            F.lit(".png"),
+        )
+        parts += [
+            class_triples(pw, "pathway_id", "pathway_label", graph_id=g),
+            make_triples(pw, "pathway_id", F.lit(T.SUBCLASS_OF), F.lit(CELLULAR_PROCESS), graph_id=g),
+            make_triples(pw, "pathway_id", F.lit(T.SUBCLASS_OF), F.lit(PATHWAY), graph_id=g),
+            make_triples(pw, "pathway_id", F.lit(DEPICTION), image_url, graph_id=g),
+        ]
+
+        # ---- KEGG gene ↔ NCBI gene equivalence (KEGG.py:636-688) -----------
+        ncbi = self._read(spark, raw_dir, "ncbi").select(
+            F.concat(F.lit("KEGG-"), F.trim("kegg_gene_id")).alias("kegg_gene_id"),
+            F.regexp_replace(F.trim("ncbi_gene_id"), "ncbi-geneid", "NCBIGene").alias("ncbi_gene_id"),
+        )
+        parts += [
+            class_triples(ncbi, "kegg_gene_id", graph_id=g),
+            class_triples(ncbi, "ncbi_gene_id", graph_id=g),
+            pairwise_triples(ncbi, "kegg_gene_id", "ncbi_gene_id", T.EQUIVALENT_CLASS, graph_id=g),
+        ]
+
+        # ---- pathway ← pubmed (KEGG.py:689-721) ----------------------------
+        pub = self._read(spark, raw_dir, "pubmed").select(
+            F.upper(F.trim("pubmed_id")).alias("pmid"),
+            F.concat(F.lit("KEGG-"), F.trim("kegg_pathway_num")).alias("pathway_id"),
+        )
+        parts += [
+            make_triples(pub, "pmid", F.lit(T.TYPE), F.lit(JOURNAL_ARTICLE), graph_id=g),
+            make_triples(pub, "pmid", F.lit(IS_ABOUT), "pathway_id", graph_id=g),
+        ]
+
+        # ---- pathway → disease (KEGG.py:722-761) ---------------------------
+        pds = self._read(spark, raw_dir, "ds").select(
+            F.concat(F.lit("KEGG-"), F.trim("disease_id")).alias("disease_id"),
+            F.concat(F.lit("KEGG-"), F.trim("kegg_pathway_num")).alias("pathway_id"),
+        )
+        parts.append(
+            make_triples(pds, "pathway_id", F.lit(CAUSAL_UPSTREAM), "disease_id", graph_id=g)
+        )
+
+        # ---- ortholog class → pathway via gene-product bnode ---------------
+        # (KEGG.py:762-791 + Pathway.addGeneToPathway: the bnode digest is
+        # sha1 of the colon-stripped gene id + 'product'; its rdfs:label
+        # triple carries the PATHWAY ID as an IRI object — mirrored exactly)
+        ko = self._read(spark, raw_dir, "ko").select(
+            F.concat(F.lit("KEGG-"), F.trim("ko_id")).alias("ko_id"),
+            F.concat(F.lit("KEGG-"), F.trim("pathway_id")).alias("pathway_id"),
+        ).withColumn(
+            "gene_product",
+            make_id(
+                F.concat(F.regexp_replace("ko_id", ":", ""), F.lit("product")),
+                prefix="_",
+            ),
+        )
+        parts += [
+            make_triples(ko, "gene_product", F.lit(T.TYPE), F.lit(GENE_PRODUCT), graph_id=g),
+            make_triples(ko, "gene_product", F.lit(T.LABEL), "pathway_id", is_literal=False, graph_id=g),
+            make_triples(ko, "ko_id", F.lit(HAS_GENE_PRODUCT), "gene_product", graph_id=g),
+            make_triples(ko, "gene_product", F.lit(INVOLVED_IN), "pathway_id", graph_id=g),
+        ]
+
+        # ---- ortholog classes (KEGG.py:325-391) ----------------------------
+        oc = self._read(spark, raw_dir, "ortholog_classes").select(
+            F.concat(F.lit("KEGG-"), F.trim("orthology_class_id")).alias("oc_id"),
+            F.col("orthology_class_name").alias("oc_name"),
+        )
+        oc_parts = F.split("oc_name", "[;,]")
+        oc = (
+            oc.withColumn("oc_label", F.get(oc_parts, 0))
+            .withColumn("_n", F.size(oc_parts))
+            .withColumn("oc_desc", F.trim(F.element_at(oc_parts, -1)))
+        )
+        multi = oc.filter(F.col("_n") > 1)
+        parts += [
+            class_triples(oc, "oc_id", "oc_label", graph_id=g),
+            make_triples(oc, "oc_id", F.lit(T.SUBCLASS_OF), F.lit(GENE_FAMILY), graph_id=g),
+            # EVERY split part (including the label itself) becomes an exact
+            # synonym when the name has >1 part (the reference's 'todo skip
+            # the first' comment documents this as shipped behavior)
+            make_triples(
+                multi.select("oc_id", F.explode(oc_parts).alias("syn"))
+                .withColumn("syn", F.trim("syn")).filter(F.col("syn") != ""),
+                "oc_id", F.lit(T.HAS_EXACT_SYNONYM), "syn", is_literal=True, graph_id=g,
+            ),
+            make_triples(multi, "oc_id", F.lit(T.DESCRIPTION), "oc_desc", is_literal=True, graph_id=g),
+            # embedded enzyme-commission numbers → xrefs (EC:1.10.3.-)
+            make_triples(
+                multi.select(
+                    "oc_id",
+                    F.explode(
+                        F.regexp_extract_all("oc_desc", F.lit(r"((?:\d+|\.|-){5,7})"), F.lit(1))
+                    ).alias("ec"),
+                ),
+                "oc_id", F.lit(T.HAS_DBXREF), F.concat(F.lit("EC:"), F.col("ec")), graph_id=g,
+            ),
+        ]
 
         # ---- omim2disease 1:1 reconciliation (KEGG.py:560-635) -------------
         o2d = self._read(spark, raw_dir, "omim").select(

@@ -236,13 +236,7 @@ FIXTURE_WRITERS = {
     "hgnc": lambda d: (d / "hgnc_complete_set.txt").write_text(hgnc.TSV),
     "hpoa": lambda d: (d / "phenotype.hpoa").write_text(srcs.HPOA_FIXTURE),
     "impc": lambda d: _gz(d / "ALL_genotype_phenotype.csv.gz", impc.CSV),
-    "kegg": lambda d: [
-        (d / get_pipeline("kegg").files[key].file).write_text(content)
-        for key, content in {
-            "disease": kegg.DISEASE, "hsa_genes": kegg.GENES,
-            "omim2gene": kegg.OMIM2GENE, "omim": kegg.OMIM2DISEASE,
-        }.items()
-    ],
+    "kegg": lambda d: kegg.write_kegg_fixture(d),
     "mgi": lambda d: [
         (d / name).write_text(content) for name, content in mgi.FIXTURES.items()
     ],
