@@ -31,6 +31,8 @@ from dipper_spark.models import terms as T
 from dipper_spark.sources.base import FileContract, SourcePipeline, register
 
 CELL_LINE = "CLO:0000031"
+ERO_COLLECTION = "ERO:0002190"  # globaltt['collection']
+FOAF_PAGE = "foaf:page"
 PERSON = "foaf:Person"
 FAMILY = "PCO:0000020"
 HAS_GENOTYPE = "GENO:0000222"
@@ -139,6 +141,24 @@ class CoriellPipeline(SourcePipeline):
             )
         )
 
+        # repository collection stanza (_process_collection, Coriell.py:787-813):
+        # one per staged collection file — individual typed ERO collection
+        # with label + foaf:page (page is an IRI, Reference.addPage)
+        collections = spark.createDataFrame(
+            [(
+                "CoriellCollection:NIGMS",
+                "NIGMS Human Genetic Cell Repository",
+                "https://catalog.coriell.org/1/NIGMS",
+            )],
+            ["repo_id", "repo_label", "repo_page"],
+        )
+        collection_graph = union_graphs(
+            individual_triples(
+                collections, "repo_id", F.lit(ERO_COLLECTION), label_col="repo_label", graph_id=g
+            ),
+            make_triples(collections, "repo_id", F.lit(FOAF_PAGE), "repo_page", graph_id=g),
+        )
+
         equiv = rows.filter(F.col("equiv_line").isNotNull())
         fams = rows.filter(F.col("family_id").isNotNull())
         repo = rows.filter(F.col("repository").isNotNull())
@@ -152,6 +172,7 @@ class CoriellPipeline(SourcePipeline):
         )
 
         return union_graphs(
+            collection_graph,
             # cell line + equivalents (Coriell.py:415-432)
             individual_triples(rows, "cell_line_id", F.lit(CELL_LINE), label_col="line_label", graph_id=g),
             individual_triples(equiv, "equiv_line", F.lit(CELL_LINE), graph_id=g),

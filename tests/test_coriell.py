@@ -95,3 +95,14 @@ def test_disease_assoc_only_for_affected(graph):
     dz = {o for _, p, o in _spo(graph) if p == "RO:0002200"}
     assert dz == {"OMIM:230800", "OMIM:611254"}  # affected proband only
     assert graph.filter(F.col("object") == "OMIM:607014").count() == 0
+
+
+def test_collection_stanza(graph):
+    """_process_collection (Coriell.py:787-813): repository individual typed
+    ERO collection with label + foaf:page IRI."""
+    spo = {(r.subject, r.predicate, r.object) for r in graph.collect()}
+    assert ("CoriellCollection:NIGMS", "rdf:type", "ERO:0002190") in spo
+    assert ("CoriellCollection:NIGMS", "rdfs:label",
+            "NIGMS Human Genetic Cell Repository") in spo
+    assert ("CoriellCollection:NIGMS", "foaf:page",
+            "https://catalog.coriell.org/1/NIGMS") in spo
