@@ -163,14 +163,23 @@ def source_quota(
     as tiebreaker — a uniform, reproducible draw independent of row order
     or partitioning.
 
-    One window over the source partition; at scale this shuffles once on
-    the source key (skewed mega-sources are exactly the rows the quota
-    discards, and rank-k selection spills linearly, never materializing a
-    sort of the whole corpus per group beyond the shuffle)."""
-    from pyspark.sql import Window
+    Salted two-phase exact selection: ``source`` is a low-cardinality key
+    (~tens of values), so a single per-source window would push EVERY
+    document of a mega-source through one task's external sort.  Instead
+    phase 1 ranks within ``(source, salt)`` cells (salt fanned out from the
+    key hash) and keeps the ``quota`` smallest hashes per cell; the final
+    per-source rank then runs over ≤ quota·n_salts survivors — bounded
+    fan-in no matter how large the source.  The selected set is identical
+    to the single-window form (the global quota-smallest hashes of a
+    source are each among the quota-smallest of their own salt cell)."""
+    from dipper_spark.operators.windows import salted_topk_per_group
 
     k = F.col(key_col)
-    rank = F.row_number().over(
-        Window.partitionBy(source_col).orderBy(F.md5(k.cast("string")), k)
+    out = salted_topk_per_group(
+        df.withColumn("_h", F.md5(k.cast("string"))),
+        source_col,
+        [F.col("_h"), k],
+        quota,
+        salt_on=k,
     )
-    return df.withColumn("_r", rank).filter(F.col("_r") <= quota).drop("_r")
+    return out.drop("_h")

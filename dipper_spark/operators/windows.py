@@ -34,6 +34,49 @@ def topk_per_group(
     return out if keep_rank else out.drop(rank_col)
 
 
+def salted_topk_per_group(
+    df: DataFrame,
+    partition: str | list[str],
+    order: list[Column],
+    k: int,
+    salt_on: Column,
+    n_salts: int = 64,
+    rank_col: str = "rank",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """EXACT top-k per group via salted two-phase selection — the
+    low-cardinality-partition form of ``topk_per_group``.
+
+    A plain per-group window is a scale hazard when the partition key has
+    few distinct values (e.g. ~20 sources over a 100 TB corpus): every row
+    of a group funnels through ONE task's external sort.  This variant
+    first ranks within ``(partition, salt)`` — salt is
+    ``pmod(xxhash64(salt_on), n_salts)``, so each group fans out over
+    ``n_salts`` parallel cells — and keeps the per-cell top-k.  Any row in
+    a group's true top-k is, under the same total order, also within the
+    top-k of its own salt cell, so phase 1 never discards a winner.  The
+    final window then ranks ≤ ``k * n_salts`` survivors per group — a
+    bounded, broadcast-sized set regardless of corpus size.
+
+    ``order`` must be a total order (ties broken), same contract as
+    ``topk_per_group``; the output is row-for-row identical to the
+    single-window form.
+    """
+    parts = [partition] if isinstance(partition, str) else list(partition)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salts)))
+    w1 = Window.partitionBy(*parts, "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_srk", F.row_number().over(w1))
+        .filter(F.col("_srk") <= k)
+        .drop("_srk", "_salt")
+    )
+    w2 = Window.partitionBy(*parts).orderBy(*order)
+    out = survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )
+    return out if keep_rank else out.drop(rank_col)
+
+
 def rolling_range_agg(
     df: DataFrame,
     partition: str | list[str],

@@ -2266,10 +2266,14 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram) — the heavy-hitter report that DISCOVERS boilerplate before
     ``q_strip_boilerplate`` removes it.  Explode-first n-gram assembly
     (codegen'd slice+concat after the Generate — the measured ~5x shape),
-    one hash-agg, one per-source window."""
-    from pyspark.sql import Window
-
+    one hash-agg, then SALTED two-phase top-k: ``source`` has ~20 distinct
+    values while a 100 TB source has billions of distinct 3-grams, so a
+    single per-source window would funnel each source through one task's
+    external sort.  Phase 1 ranks within ``(source, salt)`` cells and keeps
+    top-5 per cell; the final window sees ≤ 5·n_salts rows per source.
+    Output identical to the single-window form (same total order)."""
     from dipper_spark.operators.util import exploded_word_ngrams
+    from dipper_spark.operators.windows import salted_topk_per_group
 
     docs = load_table(spark, sf_dir, "documents")
     ng = (
@@ -2277,10 +2281,16 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "sh")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("source").orderBy(F.desc("n"), "sh")
     return (
-        ng.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOPNG_K)
+        salted_topk_per_group(
+            ng,
+            "source",
+            [F.desc("n"), F.col("sh")],
+            _TOPNG_K,
+            salt_on=F.col("sh"),
+            rank_col="rk",
+            keep_rank=True,
+        )
         .select(
             "source",
             F.col("sh").alias("ngram"),

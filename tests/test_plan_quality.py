@@ -107,11 +107,25 @@ class TestJoinStrategies:
         assert "Broadcast" in plan
         assert "CartesianProduct" not in plan
 
-    def test_top_ngrams_is_windowed_agg(self, spark, sf):
-        # heavy hitters = one hash-agg + one per-source window; no joins
+    def test_top_ngrams_is_salted_two_phase(self, spark, sf):
+        # heavy hitters = one hash-agg + SALTED two-phase top-k: `source`
+        # has ~20 values, so a single per-source window is one task's
+        # external sort over a source's billions of distinct n-grams at
+        # 100 TB.  The plan must show the phase-1 window partitioned by
+        # (source, _salt) AND the bounded phase-2 window; no joins.
         plan = plan_of(QUERIES["q_top_ngrams"](spark, sf))
         assert "CartesianProduct" not in plan
-        assert "Window" in plan
+        assert plan.count("Window") >= 2
+        assert "_salt" in plan
+
+    def test_source_quota_is_salted_two_phase(self, spark, sf):
+        # same low-cardinality-key hazard on raw documents: phase 1 keeps
+        # the quota-smallest hashes per (source, _salt) cell; phase 2 ranks
+        # <= quota * n_salts survivors per source.
+        plan = plan_of(QUERIES["q_source_quota"](spark, sf))
+        assert "CartesianProduct" not in plan
+        assert plan.count("Window") >= 2
+        assert "_salt" in plan
 
     def test_clean_corpus_single_anti_join_then_map(self, spark, sf):
         # the capstone adds ONLY map stages after the strip's rebuild: same

@@ -79,3 +79,59 @@ def test_strip_boilerplate_at_60k(spark, skewed_docs):
     # exactly once per doc; no clean text retains it
     assert agg.dropped == N_DOCS
     assert agg.leaks == 0
+
+
+def test_source_quota_mega_source_salted_equivalence(spark):
+    # one mega-source (59k docs) + two tiny ones: the salted two-phase
+    # selection must pick EXACTLY the rows the naive single-window form
+    # picks (quota-smallest md5 hashes per source), while fanning the
+    # mega-source's sort over n_salts parallel cells instead of one task.
+    from pyspark.sql import Window
+
+    from dipper_spark.operators.sampling import source_quota
+
+    rows = [(i, "mega" if i < 59_000 else ("s1" if i % 2 else "s2"), f"d{i}")
+            for i in range(60_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"]).repartition(32)
+
+    got = {(r.source, r.doc_id) for r in source_quota(df, "doc_id", "source", 40).collect()}
+
+    k = F.col("doc_id")
+    naive = df.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.md5(k.cast("string")), k)
+        ),
+    ).filter(F.col("_r") <= 40)
+    want = {(r.source, r.doc_id) for r in naive.collect()}
+    assert got == want
+    assert len(got) == 40 + 40 + 40
+
+
+def test_salted_topk_mega_group_equivalence(spark):
+    # the generic helper: heavy-hitter counts with one dominant group and
+    # adversarial ties — salted two-phase output must be row-for-row the
+    # single-window answer under the same total order.
+    from pyspark.sql import Window
+
+    from dipper_spark.operators.windows import salted_topk_per_group
+
+    # group "hot" has 50k distinct items with counts folding to many ties
+    rows = [("hot", f"item{i}", (i % 97) + 1) for i in range(50_000)]
+    rows += [("cold", f"c{i}", i + 1) for i in range(20)]
+    df = spark.createDataFrame(rows, ["grp", "item", "n"]).repartition(32)
+
+    order = [F.desc("n"), F.col("item")]
+    got = [
+        (r.grp, r.item, r.n, r.rank)
+        for r in salted_topk_per_group(df, "grp", order, 5, salt_on=F.col("item"),
+                                       keep_rank=True)
+        .orderBy("grp", "rank").collect()
+    ]
+    naive = (
+        df.withColumn("rank", F.row_number().over(
+            Window.partitionBy("grp").orderBy(*order)))
+        .filter(F.col("rank") <= 5).orderBy("grp", "rank")
+    )
+    want = [(r.grp, r.item, r.n, r.rank) for r in naive.collect()]
+    assert got == want
