@@ -34,6 +34,9 @@ class FileContract:
     #: (io.staging.split_xml_stanzas)
     split_tag: str | None = None
     split_stanzas: int = 5000
+    #: contract may be absent from raw_dir; the pipeline degrades (documented
+    #: per-source) instead of failing — e.g. ncbigene's OMIM typing dimension
+    optional: bool = False
 
 
 class SourcePipeline:

@@ -95,9 +95,10 @@ class TestGeneInfo:
     def test_typed_class_with_label(self, graph):
         t = _spo(graph.filter(F.col("subject") == "NCBIGene:8"))
         assert ("NCBIGene:8", "rdf:type", "owl:Class") in t
-        assert ("NCBIGene:8", "rdf:type", "SO:0000336") in t  # pseudo
+        # addClassToGraph's type param is a SUBCLASS edge (Model.py:114-120)
+        assert ("NCBIGene:8", "rdfs:subClassOf", "SO:0000336") in t  # pseudo
         assert ("NCBIGene:8", "rdfs:label", "A2MP1") in t
-        assert ("NCBIGene:8", "IAO:0000115", "pseudogene A2MP1") in t
+        assert ("NCBIGene:8", "dc:description", "pseudogene A2MP1") in t
         assert ("NCBIGene:8", "RO:0002162", "NCBITaxon:9606") in t
 
     def test_sequence_feature_is_individual(self, graph):
@@ -122,8 +123,9 @@ class TestGeneInfo:
         assert ("NCBIGene:8", "OIO:hasExactSynonym", "alpha-2-macroglobulin pseudogene 1") in t
         assert ("NCBIGene:8", "OIO:hasRelatedSynonym", "A2MP") in t
         assert ("NCBIGene:8", "OIO:hasRelatedSynonym", "pregnancy zone protein family") in t
-        # history symbol becomes a synonym of the survivor
-        assert ("NCBIGene:8", "OIO:hasRelatedSynonym", "A2MP-OLD") in t
+        # history symbol becomes an EXACT synonym of the survivor
+        # (addSynonym default, NCBIGene.py:583)
+        assert ("NCBIGene:8", "OIO:hasExactSynonym", "A2MP-OLD") in t
 
 
 class TestDbxrefDispatch:
@@ -186,15 +188,40 @@ class TestHistoryPubsOrthology:
         assert ("PMID:9873079", "rdf:type", "IAO:0000013") in t
         assert graph.filter(F.col("subject") == "PMID:1").count() == 0
 
-    def test_ortholog_pairs_through_anchor(self, graph):
-        t = _spo(graph.filter(F.col("predicate") == "RO:HOM0000017"))
-        # anchor 8 ↔ both members, and members pairwise through the anchor
-        assert ("NCBIGene:8", "RO:HOM0000017", "NCBIGene:11287") in t
+    def test_orthology_not_in_parse(self, graph):
+        # the reference does NOT run add_orthologs_by_gene_group from parse()
+        # (NCBIGene.py:691-692); the main graph has no orthology edges
+        assert graph.filter(F.col("predicate") == "RO:HOM0000017").count() == 0
+
+
+class TestOrthologGraphSurface:
+    """add_orthologs_by_gene_group as the OMIA-style composition surface."""
+
+    @pytest.fixture(scope="class")
+    def ortho(self, spark, tmp_path_factory):
+        raw = tmp_path_factory.mktemp("ncbigene_grp_raw")
+        src = get_pipeline("ncbigene")
+        with gzip.open(raw / src.files["gene_group"].file, "wt") as fh:
+            fh.write(GRP)
+        return src.ortholog_graph(spark, str(raw), ["NCBIGene:11287", "NCBIGene:8"]).cache()
+
+    def test_member_reaches_group_through_anchor(self, ortho):
+        t = _spo(ortho.filter(F.col("predicate") == "RO:HOM0000017"))
+        # member 11287 pairs with every group member — the anchor, the other
+        # member, and ITSELF (the reference loop does not exclude self-pairs)
         assert ("NCBIGene:11287", "RO:HOM0000017", "NCBIGene:8") in t
         assert ("NCBIGene:11287", "RO:HOM0000017", "NCBIGene:30188") in t
+        assert ("NCBIGene:11287", "RO:HOM0000017", "NCBIGene:11287") in t
+        # anchor-only genes appear in gene_to_group only via the MEMBER side
+        # (NCBIGene.py:736-738) — gid 8 contributes nothing as subject
+        assert not any(s == "NCBIGene:8" for s, _, _ in t)
         # non-Ortholog relationship rows contribute nothing
         assert not any("1234" in o for _, _, o in t)
 
-    def test_ortholog_taxon_decoration(self, graph):
-        t = _spo(graph.filter(F.col("predicate") == "RO:0002162"))
-        assert ("NCBIGene:11287", "RO:0002162", "NCBITaxon:10090") in t
+    def test_ortholog_taxon_and_reified_assoc(self, ortho):
+        t = _spo(ortho)
+        assert ("NCBIGene:30188", "RO:0002162", "NCBITaxon:7955") in t
+        assert ("NCBIGene:30188", "rdfs:subClassOf", "SO:0000704") in t
+        # the association star carries the method paper as dc source
+        assoc = {s for s, p, o in t if p == "dc:source" and o == "PMID:24063302"}
+        assert assoc and all(a.startswith("MONARCH:b") for a in assoc)
