@@ -205,9 +205,11 @@ def stage_files(
 ) -> dict[str, str]:
     """Stage every file a pipeline declares (Source.get_files,
     Source.py:361-432): try ``<cache_base>/<source>/<file>`` first, then the
-    origin url.  Returns {file_key: 'cache'|'origin'|'existing'|'missing'}.
-    Files with no url (curated local inputs) report 'missing' unless already
-    present."""
+    origin url.  Returns {file_key: 'cache'|'origin'|'existing'|'missing'|
+    'missing-optional'}.  Files with no url (curated local inputs) report
+    missing unless already present.  Contracts declared ``optional`` degrade
+    to 'missing-optional' at INFO; a REQUIRED file that cannot be staged is
+    logged as a WARNING so callers see the pipeline will fail downstream."""
     report: dict[str, str] = {}
     os.makedirs(raw_dir, exist_ok=True)
     for key, contract in pipeline.files.items():
@@ -234,6 +236,20 @@ def stage_files(
         )
         if report[key] == "origin":
             _maybe_split(local, contract, fresh=True)
+    for key, status in report.items():
+        if status != "missing":
+            continue
+        if pipeline.files[key].optional:
+            report[key] = "missing-optional"
+            LOG.info(
+                "%s: optional file %s not staged; pipeline degrades as documented",
+                pipeline.name, pipeline.files[key].file,
+            )
+        else:
+            LOG.warning(
+                "%s: REQUIRED file %s could not be staged; transform will fail",
+                pipeline.name, pipeline.files[key].file,
+            )
     return report
 
 

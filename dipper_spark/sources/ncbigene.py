@@ -315,7 +315,12 @@ class NcbiGenePipeline(SourcePipeline):
             )
             omim = (
                 omim.join(typed, omim["local_id"] == typed["omim_num"], "left")
-                .withColumn("rep", F.explode_outer(F.coalesce("replaced_by", F.array(F.lit(None)))))
+                .select(
+                    "*",
+                    F.posexplode_outer(
+                        F.coalesce("replaced_by", F.array(F.lit(None)))
+                    ).alias("rep_pos", "rep"),
+                )
                 .join(gene_typed, F.col("rep") == F.col("rep_num"), "left")
                 .withColumn(
                     "eff_num",
@@ -325,11 +330,19 @@ class NcbiGenePipeline(SourcePipeline):
                     "eff_type",
                     F.when(F.col("rep_is_gene"), F.lit(GENE)).otherwise(F.col("omim_type")),
                 )
-                # last gene-typed replacement wins (never >2 in practice)
+                # LAST gene-typed replacement wins, deterministically: the
+                # reference overwrites in list order (NCBIGene.py:460-467),
+                # so rank by (is-gene, position-in-replaced_by)
+                .withColumn(
+                    "rep_rank",
+                    F.when(
+                        F.col("rep_is_gene"), F.lit(1000) + F.col("rep_pos")
+                    ).otherwise(F.lit(0)),
+                )
                 .groupBy("gene_id", "is_class", "tax_curie", "dbxref")
                 .agg(
-                    F.max_by("eff_num", F.when(F.col("rep_is_gene"), 1).otherwise(0)).alias("local_id"),
-                    F.max_by("eff_type", F.when(F.col("rep_is_gene"), 1).otherwise(0)).alias("eff_type"),
+                    F.max_by("eff_num", F.col("rep_rank")).alias("local_id"),
+                    F.max_by("eff_type", F.col("rep_rank")).alias("eff_type"),
                 )
                 # OMIM entries that are not gene-typed never link (:468-474)
                 .filter(F.col("eff_type") == GENE)
@@ -338,7 +351,15 @@ class NcbiGenePipeline(SourcePipeline):
                 .select("gene_id", "is_class", "tax_curie", "prefix", "curie")
             )
         else:
-            omim = omim.select("gene_id", "is_class", "tax_curie", "prefix", "curie")
+            # degraded mode (mimTitles.txt not staged): without the typing
+            # dimension every OMIM xref would link UNGATED, equating genes
+            # with phenotype/disease MIM entries and corrupting downstream
+            # cliques.  The reference's gate drops untypable entries
+            # (omim_num not in omim_type -> continue, NCBIGene.py:455-459),
+            # so degrade in the safe direction: drop all OMIM dbxrefs.
+            omim = omim.select(
+                "gene_id", "is_class", "tax_curie", "prefix", "curie"
+            ).filter(F.lit(False))
 
         equiv = (
             x.filter(~F.col("prefix").isin("HPRD", "ENSEMBL", "OMIM"))
@@ -390,17 +411,27 @@ class NcbiGenePipeline(SourcePipeline):
             .withColumn("chrom", F.when(F.col("chrom") == "X; Y", F.lit("X|Y")).otherwise(F.col("chrom")))
             .select("gene_id", "tax_num", "map_loc", F.explode(F.split("chrom", r"\|")).alias("chromosome"))
             .withColumn("chrom_iri", chrom_id(F.col("chromosome"), F.col("tax_num")))
-            .withColumn("band_ok", F.col("map_loc").rlike(BAND_RE))
+            # anchored like the reference's re.match (NCBIGene.py:366-368):
+            # values that merely END in a band token (e.g. the X|Y PAR
+            # "Xp22.3; Yp11.3", or "22q13.3|22q13.3") must fall through to
+            # the chromosome-level branch, not mint malformed band IRIs
+            .withColumn("band_ok", F.col("map_loc").rlike("^" + BAND_RE))
             .withColumn(
                 "band_iri",
                 F.when(
                     F.col("band_ok"),
                     chrom_id(
-                        # maploc already carries the chromosome prefix —
-                        # strip it then re-prepend once (NCBIGene.py:377-381)
+                        # maploc usually carries the chromosome prefix —
+                        # strip it then re-prepend once; the reference's
+                        # re.sub(r'^'+chrom, '', maploc) (NCBIGene.py:377-381)
+                        # is a no-op when maploc does NOT start with chrom,
+                        # so guard the strip the same way
                         F.concat(
                             F.col("chromosome"),
-                            F.expr("substring(map_loc, length(chromosome) + 1)"),
+                            F.when(
+                                F.col("map_loc").startswith(F.col("chromosome")),
+                                F.expr("substring(map_loc, length(chromosome) + 1)"),
+                            ).otherwise(F.col("map_loc")),
                         ),
                         F.col("tax_num"),
                     ),
@@ -434,7 +465,7 @@ class NcbiGenePipeline(SourcePipeline):
 
     # ---- gene_history ------------------------------------------------------
 
-    def _history_triples(self, hist: DataFrame, ci: DataFrame, g: str, test_mode: bool) -> list[DataFrame]:
+    def _history_triples(self, hist: DataFrame, ci: DataFrame, g: str) -> list[DataFrame]:
         """NCBIGene.py:495-586: the branch is chosen by gene_info's
         ``class_or_indiv`` verdict for the SURVIVING gene — genes never seen
         there fall to the individual branch (dict .get returns None)."""
@@ -583,23 +614,24 @@ class NcbiGenePipeline(SourcePipeline):
         parts = (
             self._preamble_triples(spark, g)
             + self._gene_info_triples(base, g, mim)
-            + self._history_triples(hist, ci, g, test_mode)
+            + self._history_triples(hist, ci, g)
             + self._pubmed_triples(g2p, ci, g)
         )
         return union_graphs(*parts).dropDuplicates(["subject", "predicate", "object"])
 
     def _mim_dim(self, spark: SparkSession, raw_dir: str) -> DataFrame | None:
         """OMIM typing dimension for the dbxref gate; absent mimTitles.txt →
-        UNGATED OMIM equivalences (documented degradation, same contract as
-        sources/omia.py:378-390)."""
+        ALL OMIM dbxrefs dropped (safe-direction degradation — see the
+        `mim is None` branch in _add_gene_equivalencies above)."""
         import os
 
         if not os.path.exists(self.path(raw_dir, "mimtitles")):
             import logging
 
             logging.getLogger(__name__).warning(
-                "ncbigene: no mimTitles.txt staged; OMIM dbxrefs are UNGATED "
-                "(kept as equivalences without the gene-type check)"
+                "ncbigene: no mimTitles.txt staged; dropping ALL OMIM "
+                "dbxrefs (the gene-type gate cannot run without the typing "
+                "dimension, and ungated equivalences corrupt cliques)"
             )
             return None
         from dipper_spark.sources.omim import OmimPipeline

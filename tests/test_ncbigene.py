@@ -131,8 +131,12 @@ class TestGeneInfo:
 class TestDbxrefDispatch:
     def test_destutter_and_equivalence(self, graph):
         t = _spo(graph.filter(F.col("predicate") == "owl:equivalentClass"))
-        assert ("NCBIGene:8", "owl:equivalentClass", "OMIM:614444") in t  # MIM→OMIM
         assert ("NCBIGene:8", "owl:equivalentClass", "HGNC:8") in t       # HGNC:HGNC destutter
+        # this fixture stages NO mimTitles.txt: without the typing dimension
+        # the OMIM gene-type gate cannot run, so OMIM dbxrefs must be
+        # DROPPED (safe-direction degradation), never linked ungated
+        assert not any(o.startswith("OMIM:") for _, _, o in t)
+        assert graph.filter(F.col("object") == "OMIM:614444").count() == 0
 
     def test_hprd_is_gene_product(self, graph):
         t = _spo(graph.filter(F.col("predicate") == "RO:0002205"))

@@ -9,7 +9,10 @@ hand-traced from NCBIGene.py:
   Genotype.addGenome's double-prefixed lookup never hits the translation
   table, Genotype.py:529-545) + bare taxon class;
 - gene stanzas (:283-308): addClassToGraph's type is a SUBCLASS edge and
-  its description lands on dc:description (Model.py:74-128); sequence
+  its description lands on dc:description — gated ONLY on None/'' at
+  Model.py:121, so the gene_info "-" placeholder IS emitted (unlike
+  name/synonyms/other_designations which are != '-' guarded at
+  NCBIGene.py:293-311); sequence
   features become individuals typed ONLY SO:0000110 (:273-289);
 - dbxref dispatch (``_add_gene_equivalencies`` :404-494): de-stutter,
   MIM→OMIM rename, HPRD→gene product, ENSEMBL→loose xref, the OMIM
@@ -159,6 +162,7 @@ HGNC:5962 MONARCH:cliqueLeader "true"^^xsd:boolean .
 # ---- B: ADA (OMIM gate) --------------------------------------------
 NCBIGene:100 a owl:Class ;
     rdfs:label "ADA" ;
+    dc:description "-" ;
     rdfs:subClassOf SO:0001217 ;
     RO:0002162 NCBITaxon:9606 ;
     OIO:hasDbXref OMIM:602450 ;
@@ -171,6 +175,7 @@ NCBIGene:100 a owl:Class ;
 # ---- C: mouse sequence feature -------------------------------------
 NCBIGene:212390 a SO:0000110 ;
     rdfs:label "Gm5801" ;
+    dc:description "-" ;
     RO:0002162 NCBITaxon:10090 ;
     RO:0002525 :10090chr13 .
 :10090chr13 a owl:Class ; rdfs:label "chr13" ; rdfs:subClassOf SO:0000340 ;
@@ -179,6 +184,7 @@ NCBIGene:212390 a SO:0000110 ;
 # ---- D: ASMT PAR ----------------------------------------------------
 NCBIGene:438 a owl:Class ;
     rdfs:label "ASMT" ;
+    dc:description "-" ;
     rdfs:subClassOf SO:0001217 ;
     RO:0002162 NCBITaxon:9606 ;
     RO:0002525 :9606chrX, :9606chrY .
@@ -188,7 +194,8 @@ NCBIGene:438 a owl:Class ;
     OIO:hasExactSynonym "chrY (9606)" .
 
 # ---- E: NEWENTRY multi-chrom: bare typed class only -----------------
-NCBIGene:619538 a owl:Class ; rdfs:subClassOf SO:0001217 .
+NCBIGene:619538 a owl:Class ; rdfs:subClassOf SO:0001217 ;
+    dc:description "-" .
 
 # ---- history --------------------------------------------------------
 NCBIGene:45 a owl:Class ; rdfs:label "IL10-OLD" ;

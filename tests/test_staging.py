@@ -113,6 +113,23 @@ class TestStageFiles:
         report = stage_files(pipe, str(raw))
         assert report == {"omia_d2p": "existing"}
 
+    def test_optional_vs_required_missing(self, tmp_path):
+        """FileContract.optional is ENFORCED at staging: an optional file
+        that cannot be staged reports 'missing-optional' (pipeline degrades
+        as documented), a required one stays 'missing' (transform will
+        fail)."""
+        from dipper_spark.sources.base import FileContract, SourcePipeline
+
+        class Pipe(SourcePipeline):
+            name = "optpipe"
+            files = {
+                "req": FileContract(file="req.txt"),
+                "opt": FileContract(file="opt.txt", optional=True),
+            }
+
+        report = stage_files(Pipe(), str(tmp_path / "raw3"))
+        assert report == {"req": "missing", "opt": "missing-optional"}
+
 
 class TestEtlFetchEndToEnd:
     def test_fetch_then_transform(self, spark, http_server, tmp_path):
