@@ -527,7 +527,12 @@ class NcbiGenePipeline(SourcePipeline):
     # ---- gene_group orthology (composition surface, not in parse) ----------
 
     def ortholog_graph(
-        self, spark: SparkSession, raw_dir: str, gene_ids: list[str]
+        self,
+        spark: SparkSession,
+        raw_dir: str,
+        gene_ids: list[str] | DataFrame,
+        *,
+        graph_id: str | None = None,
     ) -> DataFrame:
         """add_orthologs_by_gene_group (NCBIGene.py:676-770) — the reference
         does NOT run this in parse(); it is the convenience surface OMIA
@@ -537,8 +542,16 @@ class NcbiGenePipeline(SourcePipeline):
         gene itself — the reference loop does not exclude self-pairs).
         Emits the reified orthology association (definedby=ncbigene,
         source PMID:24063302), the target's gene-class stanza, and its
-        taxon."""
-        g = self.name
+        taxon.
+
+        ``gene_ids`` is either a driver-side curie list (reference-shaped
+        convenience) or a DataFrame with a ``gene_id`` curie column — the
+        distributed path composing pipelines should prefer, since the
+        annotated-gene set then never leaves the cluster.  ``graph_id``
+        lets the CALLING source claim the triples for its own output file
+        (the reference writes into the caller's graph, OMIA.py:172) while
+        definedby stays 'ncbigene' like the reference's OrthologyAssoc."""
+        g = graph_id or self.name
         grp = self._read(spark, raw_dir, "gene_group")
         edges = grp.filter(F.col("relationship") == "Ortholog").select(
             F.trim("GeneID").alias("anchor"),
@@ -551,9 +564,14 @@ class NcbiGenePipeline(SourcePipeline):
             edges.select("anchor", F.col("anchor").alias("member"),
                          F.col("anchor_tax").alias("member_tax")).dropDuplicates()
         )
-        wanted = spark.createDataFrame(
-            [(i.replace("NCBIGene:", ""),) for i in gene_ids], ["gene_num"]
-        )
+        if isinstance(gene_ids, DataFrame):
+            wanted = gene_ids.select(
+                F.regexp_replace("gene_id", "^NCBIGene:", "").alias("gene_num")
+            ).dropDuplicates()
+        else:
+            wanted = spark.createDataFrame(
+                [(i.replace("NCBIGene:", ""),) for i in gene_ids], ["gene_num"]
+            )
         # gene_to_group membership is via the MEMBER side only (:736-738)
         my_groups = edges.join(
             F.broadcast(wanted), edges["member"] == wanted["gene_num"], "inner"

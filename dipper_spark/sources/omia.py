@@ -126,6 +126,17 @@ class OmiaPipeline(SourcePipeline):
         "mimtitles": FileContract(
             file="mimTitles.txt",
             url="https://omim.org/static/omim/data/mimTitles.txt",
+            optional=True,
+        ),
+        # NCBI gene_group: the reference stages this via its embedded
+        # NCBIGene instance (OMIA.py:124,133-135) and bolts vertebrate
+        # orthology for phene-annotated genes onto its own graph
+        # (OMIA.py:172).  Optional: absent file → no orthology stanzas.
+        "gene_group": FileContract(
+            file="gene_group.gz",
+            url="https://ftp.ncbi.nih.gov/gene/DATA/gene_group.gz",
+            columns=["tax_id", "GeneID", "relationship", "Other_tax_id", "Other_GeneID"],
+            optional=True,
         ),
     }
     test_ids = [
@@ -250,6 +261,10 @@ class OmiaPipeline(SourcePipeline):
         )
         omia_omim = self._phenotype_filtered_map(spark, raw_dir, omim_xref)
 
+        pg_graph, annotated_genes = self._phene_gene_triples(
+            tab("Phene_Gene"), genes, phenes, g
+        )
+
         parts: list[DataFrame] = [
             # species classes + common-name synonym (OMIA.py:297-311)
             class_triples(species, "tax_curie", graph_id=g),
@@ -308,7 +323,7 @@ class OmiaPipeline(SourcePipeline):
                 ),
                 "omia_curie", "mp_id", F.lit(HAS_PHENOTYPE), definedby=g, graph_id=g,
             ),
-            self._phene_gene_triples(tab("Phene_Gene"), genes, phenes, g),
+            pg_graph,
             self._breed_phene_triples(tab("Breed_Phene"), breeds, phenes, omia_omim, g),
             make_triples(
                 tab("Article_Phene")
@@ -350,6 +365,19 @@ class OmiaPipeline(SourcePipeline):
                     "ref_id", F.lit(IS_ABOUT), "breed_curie", is_literal=False, graph_id=g,
                 ),
             ]
+        # vertebrate orthology for phene-annotated genes: the reference
+        # delegates to its embedded NCBIGene instance and writes the result
+        # into OMIA's OWN graph (OMIA.py:172 add_orthologs_by_gene_group);
+        # here the ncbigene pipeline's distributed surface is composed over
+        # the same staged gene_group file — optional, absent → degraded.
+        if os.path.exists(self.path(raw_dir, "gene_group")):
+            from dipper_spark.sources.ncbigene import NcbiGenePipeline
+
+            parts.append(
+                NcbiGenePipeline().ortholog_graph(
+                    spark, raw_dir, annotated_genes, graph_id=g
+                )
+            )
         return union_graphs(*parts).dropDuplicates(["subject", "predicate", "object"])
 
     @staticmethod
@@ -414,10 +442,13 @@ class OmiaPipeline(SourcePipeline):
     @staticmethod
     def _phene_gene_triples(
         phene_gene: DataFrame, genes: DataFrame, phenes: DataFrame, g: str
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, DataFrame]:
         """Anonymous variant-locus per annotated gene + G2P association
         (OMIA.py:652-679): var = digest('<gene_num>VL'), 'some variant of
-        <symbol>', allele-of/affected-locus edges, has-phenotype assoc."""
+        <symbol>', allele-of/affected-locus edges, has-phenotype assoc.
+        Also returns the distinct annotated-gene frame (the reference's
+        ``self.annotated_genes`` set, OMIA.py:679) for the orthology
+        composition — kept as a DataFrame so it never leaves the cluster."""
         rows = (
             phene_gene
             .join(F.broadcast(genes.select("gene_key", "gene_curie", "symbol")),
@@ -431,7 +462,7 @@ class OmiaPipeline(SourcePipeline):
             .withColumn("var_label", F.concat(F.lit("some variant of "), F.coalesce("symbol", F.lit("")))
                         )
         )
-        return union_graphs(
+        graph = union_graphs(
             individual_triples(rows, "var", F.lit(ALLELE), label_col="var_label", graph_id=g),
             make_triples(rows, "var", F.lit(IS_ALLELE_OF), "gene_curie", is_literal=False, graph_id=g),
             make_triples(rows, "var", F.lit(T.HAS_AFFECTED_FEATURE), "gene_curie", is_literal=False, graph_id=g),
@@ -443,6 +474,8 @@ class OmiaPipeline(SourcePipeline):
                 rows, "var", "sp_phene_id", F.lit(HAS_PHENOTYPE), definedby="omia", graph_id=g
             ),
         )
+        annotated = rows.select(F.col("gene_curie").alias("gene_id")).dropDuplicates()
+        return graph, annotated
 
     @staticmethod
     def _breed_phene_triples(

@@ -207,6 +207,58 @@ class TestOmiaGraph:
         assert not any(p == "IAO:0000136" and o == "OMIA-breed:758" for s, p, o in spo)
 
 
+class TestOrthologyComposition:
+    """OMIA.py:172: parse() bolts NCBI gene_group orthology for the
+    phene-annotated genes onto OMIA's OWN graph."""
+
+    GRP = "\n".join(
+        [
+            "#tax_id\tGeneID\trelationship\tOther_tax_id\tOther_GeneID",
+            "9606\t445\tOrtholog\t9913\t281125",   # human ASS1 anchor → cattle
+            "9606\t445\tOrtholog\t10090\t11898",   # → mouse
+            "9606\t445\tRegion member\t9606\t777",  # non-ortholog dropped
+            "9606\t999\tOrtholog\t9031\t888",       # group w/o annotated member
+            "",
+        ]
+    )
+
+    @pytest.fixture(scope="class")
+    def ortho_graph(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("omia_ortho_raw")
+        with gzip.open(d / "omia.xml.gz", "wt", encoding="utf-8") as fh:
+            fh.write(OMIA_XML)
+        (d / "mimTitles.txt").write_text(MIMTITLES)
+        with gzip.open(d / "gene_group.gz", "wt") as fh:
+            fh.write(self.GRP)
+        return get_pipeline("omia").transform(spark, str(d)).cache()
+
+    def test_annotated_gene_gets_group_orthologs(self, ortho_graph):
+        t = _spo(ortho_graph.filter(F.col("predicate") == "RO:HOM0000017"))
+        # the ONLY annotated gene is 281125 (the Phene_Gene row); it pairs
+        # with every member of its anchor group — anchor, other member, self
+        assert ("NCBIGene:281125", "RO:HOM0000017", "NCBIGene:445") in t
+        assert ("NCBIGene:281125", "RO:HOM0000017", "NCBIGene:11898") in t
+        assert ("NCBIGene:281125", "RO:HOM0000017", "NCBIGene:281125") in t
+        # unannotated groups contribute nothing
+        assert not any("888" in o or "999" in o for _, _, o in t)
+        # target stanza + taxon ride along in OMIA's graph
+        full = _spo(ortho_graph)
+        assert ("NCBIGene:11898", "RO:0002162", "NCBITaxon:10090") in full
+        assert ("NCBIGene:11898", "rdfs:subClassOf", "SO:0000704") in full
+
+    def test_triples_claimed_by_omia_graph(self, ortho_graph):
+        rows = ortho_graph.filter(
+            (F.col("predicate") == "RO:HOM0000017")
+        ).select("graph_id").distinct().collect()
+        assert [r.graph_id for r in rows] == ["omia"]
+
+
+def test_no_orthology_without_gene_group(graph):
+    # the module fixture stages NO gene_group.gz → degraded mode, no
+    # orthology stanzas in the graph
+    assert graph.filter(F.col("predicate") == "RO:HOM0000017").count() == 0
+
+
 def test_whole_graph_serializes_strict(graph):
     from conftest import assert_strict_nt
 
