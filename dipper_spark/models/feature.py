@@ -60,6 +60,7 @@ def feature_triples(
     stop_col: str = "stop",
     strand_col: str | None = None,
     graph_id: str | None = None,
+    unpositioned_region: bool = False,
 ) -> DataFrame:
     """addFeatureToGraph (GenomicFeature.py:127-231) as a union of selects,
     bit-compatible with the reference bnode derivations:
@@ -82,6 +83,15 @@ def feature_triples(
     position id = digest of '-'.join(prefix-stripped ref, coord[, strand
     word]) (_makePositionId 246-279).  Both bnodes carry their digest words
     as rdfs:label, as the reference does.
+
+    ``unpositioned_region=True`` models a start location that has a
+    reference but NO coordinate (Coriell.py:568
+    ``addFeatureStartLocation(None, chr_id)``): rows with a chrom but both
+    coords null then emit the '<ref>-UN-UN-Region' star with a
+    coordinate-less begin position (label + faldo:reference only — the
+    reference's position loop skips faldo:position and types for
+    coordinate None / empty type list, GenomicFeature.py:316-330) instead
+    of being typed SO:0000001.
     """
     strand_w = strand_string_col(strand_col) if strand_col is not None else F.lit(None).cast("string")
     strand_cls = strand_type_col(strand_col) if strand_col is not None else F.lit(None).cast("string")
@@ -103,6 +113,11 @@ def feature_triples(
     g = graph_id
     located = staged.filter(F.col(start_col).isNotNull() | F.col(stop_col).isNotNull())
     unlocated = staged.filter(F.col(start_col).isNull() & F.col(stop_col).isNull())
+    if unpositioned_region:
+        unpos = unlocated.filter(F.col(chrom_col).isNotNull()).withColumn(
+            "_pos_w", refstr
+        ).withColumn("_pos", F.concat(F.lit("_:"), digest_id("_pos_w")))
+        unlocated = unlocated.filter(F.col(chrom_col).isNull())
     parts = [
         make_triples(located, id_col, F.lit(T.FALDO_LOCATION), "_region", is_literal=False, graph_id=g),
         make_triples(located, "_region", F.lit(T.TYPE), F.lit(T.FALDO_REGION), is_literal=False, graph_id=g),
@@ -110,6 +125,15 @@ def feature_triples(
         # no location → the feature itself is typed region SO:0000001
         make_triples(unlocated, id_col, F.lit(T.TYPE), F.lit(T.SO_REGION), is_literal=False, graph_id=g),
     ]
+    if unpositioned_region:
+        parts += [
+            make_triples(unpos, id_col, F.lit(T.FALDO_LOCATION), "_region", is_literal=False, graph_id=g),
+            make_triples(unpos, "_region", F.lit(T.TYPE), F.lit(T.FALDO_REGION), is_literal=False, graph_id=g),
+            make_triples(unpos, "_region", F.lit(T.LABEL), "_rid", is_literal=True, graph_id=g),
+            make_triples(unpos, "_region", F.lit(T.FALDO_BEGIN), "_pos", is_literal=False, graph_id=g),
+            make_triples(unpos, "_pos", F.lit(T.LABEL), "_pos_w", is_literal=True, graph_id=g),
+            make_triples(unpos, "_pos", F.lit(T.FALDO_REFERENCE), chrom_col, is_literal=False, graph_id=g),
+        ]
     for pos, words, coord in (("_begin", "_begin_w", start_col), ("_end", "_end_w", stop_col)):
         has = located.filter(F.col(coord).isNotNull())
         parts += [

@@ -24,12 +24,17 @@ CSV = "\n".join(
             collection="NIGMS Human Genetic Cell Repository",
             cat_remark="46;XX; clinically normal mother", species="Homo sapiens",
         ),
+        # the reference's own 'good example': both abnormal karyotype and
+        # variation (Coriell.py:513-515)
         _row(
             catalog_id="GM00325", description="GAUCHER DISEASE",
             omim_num="230800;611254", sample_type="Fibroblast", gender="Male",
             affected="Yes", relprob="proband", fam="39",
             collection="NIGMS Human Genetic Cell Repository",
             dbsnp_id="na001", species="Homo sapiens",
+            karyotype="46;XY;t(1;3)(p22;q13)",
+            gene="GBA", mutation="L444P",
+            variant_id="230800.0002;230800.0001",
         ),
         "",
     ]
@@ -85,15 +90,76 @@ def test_family_membership(graph):
     assert ("CoriellFamily:39", "rdf:type", "PCO:0000020") in t
 
 
-def test_dbsnp_genotype(graph):
-    t = _spo(graph.filter(F.col("predicate") == "GENO:0000222"))
-    assert len(t) == 1
-    assert next(iter(t))[2] == "dbSNPIndividual:na001"
+class TestGenotypeDecomposition:
+    """Coriell.py:503-733 karyotype/VSLC/GVC/genotype build on GM00325."""
+
+    def test_karyotype_complement_and_features(self, graph):
+        t = _spo(graph)
+        kary = [s for s, p, o in t if p == "rdf:type" and o == "GENO:0000644"]
+        assert len(kary) == 1 and kary[0].startswith("_:b")
+        kid = kary[0]
+        assert (kid, "rdfs:label", "46;XY;t(1;3)(p22;q13)") in t
+        # t(1;3) decomposes to one anonymous alteration per chromosome
+        for chrom in ("1", "3"):
+            fid = f"{kid}-{chrom}"
+            assert (fid, "rdf:type", "SO:0001059") in t
+            assert (fid, "rdfs:label", f"some karyotype alteration on chr{chrom}") in t
+            assert (kid, "GENO:0000382", fid) in t
+            # coordinate-less FALDO star: feature → UN-UN region → begin
+            # position carrying only label + reference
+            region = [o for s, p, o in t if s == fid and p == "faldo:location"]
+            assert len(region) == 1
+            assert (region[0], "rdfs:label", f":9606chr{chrom}-UN-UN-Region") in t
+            begin = [o for s, p, o in t if s == region[0] and p == "faldo:begin"]
+            assert len(begin) == 1
+            assert (begin[0], "faldo:reference", f":9606chr{chrom}") in t
+            assert not any(s == begin[0] and p == "faldo:position" for s, p, o in t)
+
+    def test_vslc_and_alleles(self, graph):
+        t = _spo(graph)
+        vslc = [s for s, p, o in t if p == "rdf:type" and o == "GENO:0000030"]
+        assert len(vslc) == 1
+        v = vslc[0]
+        # variant list is sorted-unique before decomposition
+        assert (v, "rdfs:label", "GBA(L444P)") in t
+        assert (v, "GENO:0000382", "OMIM:230800.0001") in t
+        assert (v, "GENO:0000382", "OMIM:230800.0002") in t
+        assert (v, "GENO:0000608", "GENO:0000137") in t
+        assert ("OMIM:230800.0001", "rdf:type", "SO:0001059") in t
+        # the VSLC is a variant part of the GVC, which is part of the
+        # dbSNP genotype
+        gvcs = [s for s, p, o in t if p == "GENO:0000382" and o == v]
+        assert len(gvcs) == 1
+        gvc = gvcs[0]
+        assert (gvc, "rdf:type", "GENO:0000009") in t
+        assert (gvc, "rdfs:label", "GBA(L444P); 46;XY;t(1;3)(p22;q13)") in t
+        assert ("dbSNPIndividual:na001", "GENO:0000382", gvc) in t
+
+    def test_intrinsic_genotype_on_patient(self, graph):
+        t = _spo(graph)
+        assert ("dbSNPIndividual:na001", "rdf:type", "GENO:0000719") in t
+        assert (
+            "dbSNPIndividual:na001", "rdfs:label",
+            "GBA(L444P); 46;XY;t(1;3)(p22;q13) [GM00325]",
+        ) in t
+        assert ("dbSNPIndividual:na001", "RO:0002162", "NCBITaxon:9606") in t
+        geno = [s for s, p, o in t if p == "GENO:0000222" and o == "dbSNPIndividual:na001"]
+        assert len(geno) == 1 and geno[0].startswith("_:b")
+
+    def test_unaffected_is_wildtype_with_taxon(self, graph):
+        t = _spo(graph)
+        wild = [s for s, p, o in t if p == "rdf:type" and o == "GENO:0000511"]
+        assert len(wild) == 1  # only the unaffected parent
+        # no genotype parts for that row → patient carries the taxon
+        assert (wild[0], "RO:0002162", "NCBITaxon:9606") in t
+        assert not any(s == wild[0] and p == "GENO:0000222" for s, p, o in t)
 
 
 def test_disease_assoc_only_for_affected(graph):
     dz = {o for _, p, o in _spo(graph) if p == "RO:0002200"}
-    assert dz == {"OMIM:230800", "OMIM:611254"}  # affected proband only
+    # 230800 decomposed as a variant LOCUS → it is a gene, not a disease
+    # (the reference's `disease not in omim_map` gate, Coriell.py:744-752)
+    assert dz == {"OMIM:611254"}  # affected proband only
     assert graph.filter(F.col("object") == "OMIM:607014").count() == 0
 
 
