@@ -1,12 +1,17 @@
 """Elements of Morphology pipeline: morphology-term classes + HP mappings.
 
 Reference behavior: dipper/sources/EOM.py —
-``_process_nlx_157874_1_view`` (178-283: the staged DISCO postgres view;
-class + label, objective/subjective definitions concatenated with trailing
-periods enforced, small/large figure depictions, comments, ';'-split exact
-synonyms, 'replaces' as related synonyms unless identical to synonyms,
-web-page typing + foaf:page), ``_map_eom_terms`` (285-325: underscore→colon
-HP ids as equivalentClass).
+``_process_nlx_157874_1_view`` (150-283: the staged DISCO postgres view;
+class + label + subClassOf biolink:PhenotypicFeature, objective/subjective
+definitions '  '-joined with trailing periods enforced — emitted even when
+empty, with the biolink:category side triple from addDefinition's
+class_category; small/large figure depictions and the term url as IRIS,
+not literals (addTriple auto-detects http); comments; ';'-split stripped
+exact synonyms; 'replaces' as related synonyms unless identical to the
+synonyms column, each piece UNSTRIPPED — the reference's `syn.strip()`
+at :265 discards its result; foaf:page; NO web-page typing — the
+Reference object at :272-273 is constructed but never written),
+``_map_eom_terms`` (285-325: underscore→colon HP ids as equivalentClass).
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ from dipper_spark.models import class_triples, pairwise_triples, synonym_triples
 from dipper_spark.models import terms as T
 from dipper_spark.sources.base import FileContract, SourcePipeline, register
 
-WEB_PAGE = "SIO:000302"
+PHENOTYPIC_FEATURE = "biolink:PhenotypicFeature"
 
 VIEW_COLUMNS = [
     "morphology_term_id", "morphology_term_num", "morphology_term_label",
@@ -33,8 +38,9 @@ MAP_COLUMNS = ["morphology_term_id", "morphology_term_label", "HP ID", "HP Label
 
 
 def _dotted(col: str) -> Column:
-    """Append a trailing period when missing (EOM.py:221-229)."""
-    c = F.trim(F.col(col))
+    """Append a trailing period when missing (EOM.py:221-229); absent
+    (null-read) columns behave like the reference's empty strings."""
+    c = F.coalesce(F.trim(F.col(col)), F.lit(""))
     return F.when(c == "", c).when(c.rlike(r"\.$"), c).otherwise(F.concat(c, F.lit(".")))
 
 
@@ -71,22 +77,30 @@ class EomPipeline(SourcePipeline):
             F.trim(F.col("morphology_term_id")).alias("term_id"),
             F.trim(F.col("morphology_term_label")).alias("label"),
             F.trim(F.col("morphology_term_url")).alias("url"),
-            F.trim(F.concat_ws("  ", _dotted("objective_definition"),
-                               _dotted("subjective_definition"))).alias("definition"),
+            # '  '.join((obj, subj)) — NOT trimmed, kept even when empty
+            # (addDefinition has no empty-gate, Model.py:355-362)
+            F.concat(_dotted("objective_definition"), F.lit("  "),
+                     _dotted("subjective_definition")).alias("definition"),
             F.trim(F.col("comments")).alias("comments"),
             F.transform(F.split(F.trim(F.col("synonyms")), ";"), lambda x: F.trim(x)).alias("synonyms"),
             F.trim(F.col("synonyms")).alias("synonyms_raw"),
             F.trim(F.col("replaces")).alias("replaces_raw"),
-            F.transform(F.split(F.trim(F.col("replaces")), ";"), lambda x: F.trim(x)).alias("replaces"),
+            # pieces deliberately NOT trimmed (EOM.py:265 no-op strip)
+            F.split(F.trim(F.col("replaces")), ";").alias("replaces"),
             F.trim(F.col("small_figure_url")).alias("small_fig"),
             F.trim(F.col("large_figure_url")).alias("large_fig"),
         )
         parts = [
             class_triples(rows, "term_id", label_col="label", graph_id=g),
+            make_triples(rows, "term_id", F.lit(T.SUBCLASS_OF),
+                         F.lit(PHENOTYPIC_FEATURE), is_literal=False, graph_id=g),
             make_triples(
-                rows.filter(F.col("definition") != ""),
-                "term_id", F.lit(T.DEFINITION), "definition", is_literal=True, graph_id=g,
+                rows, "term_id", F.lit(T.DEFINITION), "definition",
+                is_literal=True, graph_id=g,
             ),
+            # addDefinition's class_category side triple (EOM.py:233-234)
+            make_triples(rows, "term_id", F.lit("biolink:category"),
+                         F.lit(PHENOTYPIC_FEATURE), is_literal=False, graph_id=g),
             make_triples(
                 rows.filter(F.col("comments") != ""),
                 "term_id", F.lit(T.COMMENT), "comments", is_literal=True, graph_id=g,
@@ -99,17 +113,19 @@ class EomPipeline(SourcePipeline):
                 ),
                 "term_id", "replaces", synonym_type=T.HAS_RELATED_SYNONYM, graph_id=g,
             ),
-            make_triples(rows, "term_id", F.lit(T.TYPE), F.lit(WEB_PAGE), is_literal=False, graph_id=g),
+            # the term url is an IRI, not a literal (Reference.addPage
+            # passes object_is_literal=False, Reference.py:77-87)
             make_triples(
                 rows.filter(F.col("url") != ""),
-                "term_id", F.lit(T.PAGE), "url", is_literal=True, graph_id=g,
+                "term_id", F.lit(T.PAGE), "url", is_literal=False, graph_id=g,
             ),
         ]
         for fig in ("small_fig", "large_fig"):
             parts.append(
+                # depiction urls auto-detect as IRIs (RDFGraph._is_literal)
                 make_triples(
                     rows.filter(F.col(fig) != ""),
-                    "term_id", F.lit(T.DEPICTION), fig, is_literal=True, graph_id=g,
+                    "term_id", F.lit(T.DEPICTION), fig, is_literal=False, graph_id=g,
                 )
             )
         map_path = self.path(raw_dir, "map")

@@ -41,7 +41,7 @@ VSLC = "GENO:0000030"
 GVC = "GENO:0000009"
 INDETERMINATE = "GENO:0000137"
 UNSPECIFIED_BACKGROUND = "GENO:0000649"
-INTRINSIC_GENOTYPE = "GENO:0000000"
+INTRINSIC_GENOTYPE = "GENO:0000719"  # globaltt['intrinsic genotype']
 HAS_GENOTYPE = "GENO:0000222"
 JOURNAL_ARTICLE = "IAO:0000013"
 
@@ -107,7 +107,7 @@ class MmrrcPipeline(SourcePipeline):
             F.regexp_extract_all("MPT_IDS", F.lit(r"\[(MP:\d{7})\]"), 1).alias("mp_ids"),
             F.col("PUBMED_IDS").alias("pubmed_raw"),
             F.trim(F.coalesce("RESEARCH_AREAS", F.lit(""))).alias("research_areas"),
-        ).filter(F.col("gene_name") != "withdrawn")
+        ).filter(F.coalesce(F.col("gene_name"), F.lit("")) != "withdrawn")
         rows = self.test_filter(rows, "strain_id", test_mode)
         rows = rows.withColumn(
             "gene_id", F.when(F.col("gene_id_raw") != "", F.col("gene_id_raw"))
@@ -130,6 +130,9 @@ class MmrrcPipeline(SourcePipeline):
 
         strains = rows.select("strain_id", "strain_label", "strain_type", "descr").distinct()
         pmids = rows.select(F.explode(F.coalesce("pubmed_ids", F.array())).alias("pmid")).distinct()
+        # the MP class is declared for EVERY parsed phenotype id, even when
+        # the row has no allele to hang the association on (MMRRC.py:282-299)
+        all_mps = rows.select(F.explode("mp_ids").alias("mp_id")).distinct()
         phenos = (
             rows.filter(F.col("allele_id").isNotNull())
             .select("allele_id", "pubmed_ids", F.explode("mp_ids").alias("mp_id"))
@@ -231,16 +234,33 @@ class MmrrcPipeline(SourcePipeline):
                 is_literal=True, datatype="xsd:boolean", graph_id=g,
             ),
             reference_triples(pmids, "pmid", type_col=JOURNAL_ARTICLE, graph_id=g),
-            class_triples(phenos.select("mp_id").distinct(), "mp_id", graph_id=g),
+            class_triples(all_mps, "mp_id", graph_id=g),
             g2p_association_triples(
                 phenos, "allele_id", "mp_id", F.lit("RO:0002200"),
                 source_col="source", definedby=g, graph_id=g,
             ),
+            # the mouse taxon class is (re)declared every row (MMRRC.py:265)
+            class_triples(
+                strains.select(F.lit(MOUSE).alias("taxon")).limit(1), "taxon", graph_id=g
+            ),
             # variant loci (+ allele-of when the strain is 1 variant : 1 gene)
             individual_triples(vls, "vl", F.lit(VARIANT_LOCUS), label_col="vl_symbol", graph_id=g),
             make_triples(one_to_one, "vl", F.lit(IS_ALLELE_OF), "gene_id", is_literal=False, graph_id=g),
+            # multi-locus strains re-add each variant with the DEFAULT
+            # allele typing (the bare addAllele on the else branch,
+            # MMRRC.py:328-329 → Genotype.py:73-77)
+            make_triples(
+                with_vars.filter(~((F.col("n_var") == 1) & (F.col("n_gene") == 1))),
+                "vl", F.lit(T.TYPE), F.lit(ALLELE), is_literal=False, graph_id=g,
+            ),
+            # addGene: class + label + subClassOf gene (Genotype.py:80-88)
             class_triples(no_vars.select("gene_id", "gene_symbol").distinct(),
                           "gene_id", label_col="gene_symbol", graph_id=g),
+            make_triples(
+                no_vars.select("gene_id").distinct(),
+                "gene_id", F.lit(T.SUBCLASS_OF), F.lit("SO:0000704"),
+                is_literal=False, graph_id=g,
+            ),
             make_triples(no_vars, "vl", F.lit(IS_ALLELE_OF), "gene_id", is_literal=False, graph_id=g),
             # indeterminate-zygosity VSLCs
             individual_triples(vslcs, "vslc_id", F.lit(VSLC), label_col="vslc_label", graph_id=g),

@@ -371,7 +371,9 @@ class TestMmrrc:
         genotypes = {o for s, p, o in spo if p == "GENO:0000222"}
         assert len(genotypes) == 2
         for gt in genotypes:
-            assert (gt, "rdf:type", "GENO:0000000") in spo
+            # intrinsic genotype resolves to GENO:0000719 in the reference
+            # globaltt (previously GENO:0000000)
+            assert (gt, "rdf:type", "GENO:0000719") in spo
         assert any(p == "rdfs:label" and str(o).endswith(" [n.s.]") for s, p, o in spo)
         assert any(p == "GENO:0000385" for s, p, o in spo)  # has_reference_part bkgd
 
