@@ -103,10 +103,12 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_ivf_refined",
     "q_embedding_neardup",
+    "q_dup_components",
     # multimodal columns
     "q_media_stats",
     "q_media_features",
     "q_media_dedup",
+    "q_media_frames",
 ]
 
 
