@@ -90,6 +90,7 @@ HEADLINE = [
     "q_clean_corpus",
     "q_dedup_exact",
     "q_chunk_dedup",
+    "q_substring_spans",
     "q_dedup_decision",
     "q_decontaminate",
     "q_jaccard_pruned",

@@ -567,6 +567,81 @@ def chunk_dedup(
     )
 
 
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 10,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup spans — the window-hash form of the
+    suffix-array pass from Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): find the maximal per-document token
+    ranges covered by ``window_tokens``-token substrings that occur at
+    least ``min_occurrences`` times CORPUS-WIDE (total occurrences, so
+    within-document repeats count), the spans that pass would cut.
+
+    Beyond-reference operator.  Shape, fully relational:
+
+    1. per-doc overlapping window keys — one ``transform`` over the start
+       sequence, one posexplode: n_tokens rows total, same volume as any
+       shingle op;
+    2. corpus-wide window occurrence counts by hash-agg (map-side partial
+       combine; this is a COUNT, never a pair self-join, so a window
+       repeated 10^6 times costs one aggregate row, not 10^12 pairs);
+    3. duplicated starts survive a semi join back on the window key
+       (duplicated volume, not corpus volume);
+    4. per-doc span merge by gaps-and-islands: a new island starts when
+       the gap to the previous duplicated start exceeds ``window_tokens``
+       (i.e. the windows no longer overlap or touch); two window functions
+       over the duplicated starts only.
+
+    Returns (id, span_start, span_end, span_tokens) in token coordinates,
+    span_end exclusive."""
+    from pyspark.sql.window import Window
+
+    W = window_tokens
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .filter(F.size("toks") >= W)
+    )
+    wins = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - W),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, W)),
+            )
+        ).alias("start", "wtext"),
+    )
+    dup_keys = (
+        wins.groupBy("wtext")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("wtext")
+    )
+    dup_starts = wins.join(dup_keys, "wtext", "left_semi").select("id", "start")
+    byid = Window.partitionBy("id").orderBy("start")
+    islands = (
+        dup_starts.withColumn(
+            "brk",
+            F.when(F.col("start") - F.lag("start").over(byid) > W, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "grp",
+            F.sum("brk").over(byid.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return islands.groupBy("id", "grp").agg(
+        F.min("start").cast("long").alias("span_start"),
+        (F.max("start") + W).cast("long").alias("span_end"),
+        (F.max("start") + W - F.min("start")).cast("long").alias("span_tokens"),
+    ).drop("grp")
+
+
 def connected_components(
     edges: DataFrame,
     id1: str = "id_1",

@@ -66,6 +66,53 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(docs, "doc_id", "text", chunk_tokens=_CHUNK, min_doc_freq=2)
 
 
+# ---- exact-substring dedup spans (Lee et al. 2022 window-hash form) ----------
+
+_SPAN_W = 10
+
+
+@register(
+    "q_substring_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, {TOK} AS toks FROM documents
+      WHERE len({TOK}) >= {_SPAN_W}),
+    w AS (
+      SELECT id, i AS start,
+             array_to_string(toks[i+1 : i+{_SPAN_W}], ' ') AS wtext
+      FROM t, unnest(range(0, len(toks) - {_SPAN_W} + 1)) AS u(i)),
+    f AS (SELECT wtext FROM w GROUP BY wtext HAVING count(*) >= 2),
+    d AS (SELECT id, start FROM w JOIN f USING (wtext)),
+    m AS (
+      SELECT id, start,
+             CASE WHEN start - lag(start) OVER (PARTITION BY id ORDER BY start)
+                       > {_SPAN_W} THEN 1 ELSE 0 END AS brk
+      FROM d),
+    g AS (
+      SELECT id, start,
+             sum(brk) OVER (PARTITION BY id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m)
+    SELECT id, CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) + {_SPAN_W} AS BIGINT) AS span_end,
+           CAST(max(start) + {_SPAN_W} - min(start) AS BIGINT) AS span_tokens
+    FROM g GROUP BY id, grp
+    """,
+)
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022, window-hash form):
+    maximal per-doc token ranges covered by 10-token substrings occurring
+    >= 2 times corpus-wide — the spans the suffix-array pass would cut.
+    Count-based (never a pair self-join), so a boilerplate window repeated
+    a million times costs one aggregate row."""
+    from dipper_spark.operators.dedup import duplicated_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_substring_spans(
+        docs, "doc_id", "text", window_tokens=_SPAN_W, min_occurrences=2
+    )
+
+
 # ---- BM25 retrieval ----------------------------------------------------------
 
 _BM25_TERMS = ["spark", "join", "window"]

@@ -368,3 +368,11 @@ class TestRound5LateOps:
         df = QUERIES["q_bpe_merges"](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_substring_spans_semi_join_no_cartesian(self, spark, sf):
+        # duplicated starts survive via a LEFT SEMI join on the window key;
+        # the op is count-based — no pair self-join, no cartesian anywhere
+        plan = final_plan_of(QUERIES["q_substring_spans"](spark, sf))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

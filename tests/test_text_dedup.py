@@ -569,3 +569,33 @@ def test_source_quota_deterministic(spark):
     assert out1 == out2 and len(out1) == 30
     # quota larger than a group keeps the whole group
     assert source_quota(df, "doc_id", "source", 200).count() == 300
+
+
+def test_substring_spans_merge_gap_and_within_doc_repeats(spark):
+    """Planted geometry for duplicated_substring_spans (W=3, min_occ=2):
+    overlapping duplicated windows merge to one maximal span; a gap wider
+    than W splits islands; within-doc repeats count toward the corpus
+    occurrence total; docs shorter than W are excluded."""
+    from dipper_spark.operators.dedup import duplicated_substring_spans
+
+    rows = [
+        (1, "a b c d e f g h"),            # shares "a b c d e" with doc 2
+        (2, "x x a b c d e y z"),
+        (3, "p q r s p q r s t"),          # within-doc repeat of "p q r s"
+        (4, "a b c m n o p q x y z w a b c"),  # two far-apart "a b c" hits
+        (5, "ti ny"),                      # < W tokens -> excluded
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id, r.span_start): (r.span_end, r.span_tokens)
+        for r in duplicated_substring_spans(
+            docs, "doc_id", "text", window_tokens=3, min_occurrences=2
+        ).collect()
+    }
+    assert got == {
+        (1, 0): (5, 5),    # starts {0,1,2} merged
+        (2, 2): (7, 5),    # same substring, shifted coordinates
+        (3, 0): (8, 8),    # starts {0,1,4,5}: gap 3 == W -> still one island
+        (4, 0): (3, 3),    # isolated hit
+        (4, 12): (15, 3),  # gap 12 > W -> second island
+    }
