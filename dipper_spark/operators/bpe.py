@@ -121,3 +121,54 @@ def bpe_segment_counts(vocab: DataFrame) -> DataFrame:
         .groupBy("sym")
         .agg(F.sum("freq").cast("long").alias("n_occurrences"))
     )
+
+
+def bpe_encode(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Encode every document with a TRAINED BPE vocabulary — the apply
+    half of the tokenizer (train = ``bpe_train``).  The expensive merge
+    fold already ran once per distinct WORD when the vocabulary was
+    trained; encoding a corpus is therefore a broadcast word→segmentation
+    join plus one per-doc re-aggregation — the right 100 TB shape (the
+    corpus is scanned once and never carries the fold; the vocab frame is
+    dictionary-sized).  An out-of-vocabulary word falls back to its
+    character split (= the 0-merge segmentation), the BPE byte-level
+    fallback discipline.
+
+    Returns (doc_id, n_words, n_tokens, enc_fingerprint) where
+    ``n_tokens`` is the document's encoded length under the vocabulary and
+    ``enc_fingerprint`` is the md5 of the full space-joined token stream
+    in document order — an order-sensitive witness that the encoding
+    itself (not just its length) matches the oracle.
+    """
+    w = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "word"),
+    )
+    v = F.broadcast(
+        vocab.select(
+            "word",
+            F.array_join("syms", " ").alias("wsyms"),
+            F.size("syms").cast("long").alias("wn"),
+        )
+    )
+    enc = w.join(v, "word", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("wsyms", F.concat_ws(" ", F.split("word", ""))).alias("wsyms"),
+        F.coalesce("wn", F.length("word").cast("long")).alias("wn"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("wn").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wsyms"))),
+                    lambda s: s.getField("wsyms"),
+                ),
+            )
+        ).alias("enc_fingerprint"),
+    )

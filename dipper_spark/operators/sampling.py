@@ -183,3 +183,120 @@ def source_quota(
         salt_on=k,
     )
     return out.drop("_h")
+
+
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw document by the log-likelihood ratio of its hashed n-gram
+    features under bag-of-ngram models fit on the target vs the raw
+    corpus — log w(x) = sum_f [ln p_target(f) - ln p_raw(f)] over the
+    document's unigram + bigram occurrences, features hashed into
+    ``n_buckets`` buckets, Laplace-1 smoothed.  Selection composes with
+    ``weighted_sample`` / Gumbel top-k downstream.
+
+    Beyond-reference operator.  Scale shape: the feature-distribution
+    "model" is a bounded ``n_buckets``-row table built by two hash-aggs
+    over the exploded features (map-side partial combine), broadcast back
+    for per-doc scoring — the raw corpus is scanned twice (fit, score),
+    never shuffled on doc volume; scoring is a broadcast equi-join + one
+    re-aggregation on the doc key.  The hash trick bounds model size
+    independent of corpus size, which is the paper's point at 100 TB.
+
+    Returns (id, n_feats, logratio) for raw documents with >= 1 feature.
+    """
+    from dipper_spark.functions.text import tokens, word_shingles
+    from dipper_spark.operators.util import ensure_parallelism
+
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(_f), 1, 8), 16, 10) AS BIGINT) % {n_buckets}"
+    )
+
+    def feats(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = tokens(text_col)
+        cols = [F.col(id_col).alias("id")] if keep_id else []
+        return (
+            ensure_parallelism(df)
+            .select(*cols, F.explode(F.concat(toks, word_shingles(toks, 2))).alias("_f"))
+            .withColumn("bucket", bucket)
+        )
+
+    tf = feats(target, False).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rf = feats(raw, False).groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tbl = (
+        tf.join(rf, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .join(
+            tf.agg(F.sum("ct").alias("tt")).join(
+                rf.agg(F.sum("cr").alias("tr")), F.lit(True)
+            ),
+            F.lit(True),
+        )
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + 1) / (F.col("tt") + n_buckets))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats(raw, True)
+        .join(F.broadcast(tbl), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("logratio"),
+        )
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    key_col: str,
+    logweight: Column,
+    k: int,
+    seed: str = "g1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``k`` rows via the
+    Gumbel top-k trick (equivalently Efraimidis-Spirakis): each row scores
+    ``logweight - ln(-ln(u))`` where ``u`` is its deterministic md5
+    fraction (salted with ``seed``), and the global top-k by score is an
+    exact weight-proportional-without-replacement draw.  Deterministic:
+    membership is a pure function of (key, seed, weight) — same inputs,
+    same sample, on any engine or partitioning.
+
+    Beyond-reference operator — the selection half of importance
+    resampling (pairs with ``dsir_logratio``).  Scale shape: scoring is
+    map-side; the global top-k is TakeOrderedAndProject (per-partition
+    partial top-k folded on the driver), never a global sort.  ``u`` is
+    offset by half a bucket so it is strictly inside (0, 1) and the double
+    log never sees 0.
+
+    Returns the k selected rows with their ``score`` (rounded), ties on
+    score broken by key.
+    """
+    key = F.col(key_col)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = df.withColumn("score", logweight - F.log(-F.log(u)))
+    return (
+        scored.orderBy(F.col("score").desc(), key.asc())
+        .limit(k)
+        .withColumn("score", F.round("score", 6))
+    )

@@ -483,3 +483,76 @@ def label_pca_spectrum(
     return df.groupBy(label_col).applyInPandas(
         spectrum, "label int, component int, eigval double, var_frac double"
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then within each cluster dropping every item
+    whose cosine to ANY earlier-ranked cluster member reaches
+    ``threshold``.  The paper's pseudo-code computes, per item, the max
+    similarity to all earlier-sorted cluster members and drops when it
+    crosses the threshold — exactly the relational rule "drop iff an
+    earlier neighbor within tau exists"; no iteration, no greedy loop.
+    Keep order is ascending similarity-to-centroid (the paper's reported
+    best variant: among semantic duplicates keep the example FARTHEST from
+    the centroid), ties by vec_id.
+
+    Beyond-reference operator.  Scale shape: centroid assignment is one
+    broadcast-product scan over the vectors (k centroids, k small); the
+    pair search is the blocked self-equi-join on the bucket key (sum of
+    per-bucket quadratics, AQE skew-split applies — the same blocking
+    economics that make SemDeDup tractable at corpus scale in the paper);
+    the verdict is a distinct + a broadcast-able anti-flag join on pair
+    volume.  The assigned frame feeds three consumers, so it is eagerly
+    localCheckpoint-ed — without it the O(n*k) assignment scan re-executes
+    per consumer.
+
+    Returns (vec_id, bucket, cent_cos, keep).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+    )
+    scored = ensure_parallelism(vectors).join(c, F.lit(True)).select(
+        "vec_id", "embedding", "cent_id", cosine("embedding", "cent_emb").alias("cent_cos")
+    )
+    assigned = (
+        topk_per_group(
+            scored,
+            "vec_id",
+            [F.col("cent_cos").desc(), F.col("cent_id").asc()],
+            k=1,
+        )
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"), "cent_cos")
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"),
+        "bucket", F.col("cent_cos").alias("cc1"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"),
+        "bucket", F.col("cent_cos").alias("cc2"),
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("cc1") < F.col("cc2"))
+            | ((F.col("cc1") == F.col("cc2")) & (F.col("id_1") < F.col("id_2")))
+        )
+        .filter(cosine("e1", "e2") >= threshold)
+        .select(F.col("id_2").alias("vec_id"))
+        .distinct()
+        .withColumn("keep", F.lit(False))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "bucket",
+        F.round("cent_cos", 6).alias("cent_cos"),
+        F.coalesce("keep", F.lit(True)).alias("keep"),
+    )

@@ -142,3 +142,62 @@ def bloom_probe(
     return joined.groupBy(*others).agg(
         (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("maybe_present")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: Column | str,
+    groups: list[str],
+    probs: dict[str, float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable fixed-width-histogram quantile sketch: the bounded-state
+    quantile path for data too big to sort (the t-digest/KLL role, in
+    exact-SQL form).  Values are binned into ``n_bins`` equal slots over
+    [lo, hi) (clamped at the edges); the p-quantile estimate is the UPPER
+    edge of the first bin whose cumulative count reaches p·total —
+    deterministic, engine-portable, error bounded by one bin width.
+
+    Shape at 100 TB: one hash-agg to (group, bin) counts — map-side
+    partial combine compresses every partition to ≤ n_bins rows per group
+    before the shuffle, so shuffle volume is the SKETCH size, not the data
+    size; merging sketches across partitions/days/sources is the same
+    grouped sum.  The cumulative window runs over ≤ n_bins rows per group.
+    (The exact-percentile sibling is ``q_length_percentiles``; this is the
+    variant whose state stays bounded when the value column has unbounded
+    cardinality.)
+
+    ``probs`` maps output column name -> probability.  Returns
+    (*groups, n_total, <probs keys...>).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value) if isinstance(value, str) else value
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    ).alias("bin")
+    counts = df.select(*groups, bin_).groupBy(*groups, "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*groups).orderBy("bin")
+    wt = Window.partitionBy(*groups)
+    cum = counts.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wt)
+    )
+    edge = F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6)
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum").cast("double") >= F.lit(p) * F.col("total").cast("double"),
+                edge,
+            )
+        ).alias(name)
+        for name, p in probs.items()
+    ]
+    return cum.groupBy(*groups).agg(
+        F.max("total").cast("long").alias("n_total"), *aggs
+    )

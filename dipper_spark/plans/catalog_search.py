@@ -1122,6 +1122,56 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_percentiles(lengths, "source", "n", [0.5, 0.9, 0.99])
 
 
+# ---- histogram-quantile sketch (bounded-state percentiles) -------------------
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 1024.0, 128
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_BINS
+_HQ_BIN = (
+    f"least({_HQ_BINS - 1}, greatest(0, "
+    f"CAST(floor((n_chars - {_HQ_LO}) / {_HQ_W}) AS INT)))"
+)
+_HQ_PROBS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def _hq_pick(name: str, p: float) -> str:
+    return (
+        f"min(CASE WHEN CAST(cum AS DOUBLE) >= {p} * CAST(total AS DOUBLE) "
+        f"THEN round(CAST({_HQ_LO} + (bin + 1) * {_HQ_W} AS DOUBLE), 6) END) "
+        f"AS {name}"
+    )
+
+
+@register(
+    "q_hist_quantiles",
+    f"""
+    WITH b AS (SELECT source, {_HQ_BIN} AS bin FROM documents),
+    c AS (SELECT source, bin, count(*) AS n FROM b GROUP BY source, bin),
+    cc AS (SELECT source, bin,
+                  sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                  sum(n) OVER (PARTITION BY source) AS total
+           FROM c)
+    SELECT source, CAST(max(total) AS BIGINT) AS n_total,
+           {", ".join(_hq_pick(k, v) for k, v in _HQ_PROBS.items())}
+    FROM cc GROUP BY source
+    """,
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch over document char lengths per
+    source — the BOUNDED-STATE percentile path (the t-digest/KLL role):
+    128 fixed bins over [0, 1024), estimate = upper edge of the first bin
+    reaching p·total, error ≤ one bin width.  Shuffle volume is the sketch
+    (≤ 128 rows/group after map-side combine), not the corpus — the
+    production form when the exact `q_length_percentiles` aggregate's
+    per-group value map stops fitting."""
+    from dipper_spark.operators.sketches import histogram_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_quantiles(
+        docs, F.col("n_chars").cast("double"), ["source"], _HQ_PROBS,
+        lo=_HQ_LO, hi=_HQ_HI, n_bins=_HQ_BINS,
+    )
+
+
 # ---- anonymization / k-anonymity audit ---------------------------------------
 
 _ANON_K = 5
@@ -1179,6 +1229,89 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(0.1) + F.lit(0.8) * quality_score("text")
     return weighted_sample(docs.withColumn("_w", w), "doc_id", F.col("_w")).select(
         "doc_id", "lang", F.round("_w", 6).alias("keep_weight")
+    )
+
+
+# ---- Gumbel top-k weighted sampling without replacement ----------------------
+
+_GUM_K = 100
+_GUM_SEED = "g1"
+_GUM_U = (
+    f"((CAST(('0x' || substr(md5('{_GUM_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) + 0.5) / 4294967296.0)"
+)
+
+
+@register(
+    "q_gumbel_topk",
+    f"""
+    SELECT doc_id, round(score, 6) AS score FROM (
+      SELECT doc_id,
+             ln(0.1 + 0.8 * ({_QUALITY_SQL})) - ln(-ln({_GUM_U})) AS score
+      FROM documents)
+    ORDER BY score DESC, doc_id LIMIT {_GUM_K}
+    """,
+)
+def q_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weight-proportional sampling without replacement of 100
+    documents (Gumbel top-k / Efraimidis-Spirakis) with quality-derived
+    weights: score = ln(w) + Gumbel(md5 fraction), global top-k by score.
+    Deterministic on any partitioning; the top-k is TakeOrderedAndProject
+    (map-side partial fold), never a global sort."""
+    from dipper_spark.operators.sampling import gumbel_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    logw = F.log(F.lit(0.1) + F.lit(0.8) * quality_score("text"))
+    return gumbel_topk(docs, "doc_id", logw, k=_GUM_K, seed=_GUM_SEED).select(
+        "doc_id", "score"
+    )
+
+
+# ---- DSIR importance weights -------------------------------------------------
+
+_DSIR_B = 4096
+_DSIR_TGT = "src0"
+_DSIR_FEATS = f"list_concat({TOK}, {_shingles_sql(TOK, 2)})"
+_DSIR_BUCKET = f"CAST(('0x' || substr(md5(_f), 1, 8)) AS BIGINT) % {_DSIR_B}"
+
+
+@register(
+    "q_dsir_weights",
+    f"""
+    WITH tfe AS (
+      SELECT {_DSIR_BUCKET} AS bucket FROM (
+        SELECT unnest({_DSIR_FEATS}) AS _f FROM documents
+        WHERE source = '{_DSIR_TGT}')),
+    rfe AS (
+      SELECT doc_id AS id, {_DSIR_BUCKET} AS bucket FROM (
+        SELECT doc_id, unnest({_DSIR_FEATS}) AS _f FROM documents
+        WHERE source != '{_DSIR_TGT}')),
+    tf AS (SELECT bucket, count(*) AS ct FROM tfe GROUP BY bucket),
+    rf AS (SELECT bucket, count(*) AS cr FROM rfe GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(ct) FROM tf) AS tt, (SELECT sum(cr) FROM rf) AS tr),
+    tbl AS (
+      SELECT coalesce(tf.bucket, rf.bucket) AS bucket,
+             ln((coalesce(ct, 0) + 1) / CAST(tt + {_DSIR_B} AS DOUBLE))
+           - ln((coalesce(cr, 0) + 1) / CAST(tr + {_DSIR_B} AS DOUBLE)) AS lr
+      FROM tf FULL JOIN rf ON tf.bucket = rf.bucket CROSS JOIN tot)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(lr), 6) AS logratio
+    FROM rfe JOIN tbl USING (bucket) GROUP BY id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag models fit on the target slice (source src0) vs the rest; each raw
+    document scored by its summed feature log-likelihood ratio.  The
+    4096-bucket model table is broadcast; the corpus is never shuffled on
+    doc volume."""
+    from dipper_spark.operators.sampling import dsir_logratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratio(
+        docs.filter(F.col("source") != _DSIR_TGT),
+        docs.filter(F.col("source") == _DSIR_TGT),
+        "doc_id", "text", n_buckets=_DSIR_B,
     )
 
 
@@ -1819,6 +1952,44 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _, vocab = bpe_train(docs, "text", n_merges=_BPE_MERGES)
     return bpe_segment_counts(vocab)
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Same unrolled training chain; the final select ENCODES every
+    document with the trained vocabulary — per-doc token position join to
+    the word→segmentation table, order-sensitive md5 fingerprint of the
+    full encoded stream."""
+    ctes = _bpe_sql(n_merges).rsplit("\nSELECT 1 AS step", 1)[0]
+    return (
+        ctes
+        + f""",
+    docw AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS word
+      FROM (SELECT doc_id, {TOK} AS t FROM documents) d,
+           unnest(range(1, len(t) + 1)) AS u(i))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+           md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+             AS enc_fingerprint
+    FROM docw JOIN s{n_merges} USING (word)
+    GROUP BY doc_id
+    """
+    )
+
+
+@register("q_bpe_encode", _bpe_encode_sql(_BPE_MERGES))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained 3-merge BPE vocabulary to encode the corpus —
+    the tokenizer's APPLY half.  The merge fold ran once per distinct word
+    at training; encoding is a broadcast word→segmentation join plus one
+    per-doc re-aggregation, so the corpus never carries the fold.  The
+    md5 fingerprint of the in-order encoded stream proves the encoding
+    itself (not just the token count) matches the oracle."""
+    from dipper_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    return bpe_encode(docs, "doc_id", "text", vocab)
 
 
 # ---- capstone dedup decision: clusters -> surviving representative -----------

@@ -324,6 +324,47 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_neardup(emb, "label", threshold=0.3)
 
 
+# ---- SemDeDup ----------------------------------------------------------------
+
+_SEMD_TAU = 0.35
+_COS_SEMD = duckdb_cosine("e.embedding", "cent.ce")
+_COS_SEMD_AB = duckdb_cosine("a.embedding", "b.embedding")
+
+
+@register(
+    "q_semdedup",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, embedding, cid AS bucket, cc AS cent_cos FROM (
+        SELECT e.vec_id, e.embedding, cent.cid, {_COS_SEMD} AS cc,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_SEMD} DESC, cent.cid) AS rn
+        FROM embeddings e CROSS JOIN cent)
+      WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b ON a.bucket = b.bucket
+       AND (a.cent_cos < b.cent_cos
+            OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+      WHERE {_COS_SEMD_AB} >= {_SEMD_TAU})
+    SELECT s.vec_id, s.bucket, round(s.cent_cos, 6) AS cent_cos,
+           d.vec_id IS NULL AS keep
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings (16 deterministic
+    centroids, max-cosine assignment), then within each cluster drop every
+    vector with cosine >= 0.35 to an earlier-ranked member (rank = ascending
+    similarity-to-centroid — among duplicates, the example farthest from
+    the centroid is kept)."""
+    from dipper_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, emb.filter(F.col("vec_id") < 16), threshold=_SEMD_TAU)
+
+
 _DECON_N = 3
 
 

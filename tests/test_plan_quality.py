@@ -376,3 +376,37 @@ class TestRound5LateOps:
         assert "LeftSemi" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_semdedup_blocked_join_no_cartesian(self, spark, sf):
+        # centroid assignment is a DELIBERATE broadcast product (k tiny);
+        # the pair search must be the bucket equi-join, never a cartesian
+        plan = final_plan_of(QUERIES["q_semdedup"](spark, sf))
+        assert "CartesianProduct" not in plan
+
+    def test_dsir_model_table_is_broadcast(self, spark, sf):
+        # the 4096-bucket model table joins back to doc features broadcast;
+        # the corpus is never shuffled on doc volume
+        plan = final_plan_of(QUERIES["q_dsir_weights"](spark, sf))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_gumbel_topk_is_take_ordered(self, spark, sf):
+        # global weighted top-k must be the per-partition partial fold,
+        # never a global sort
+        plan = plan_of(QUERIES["q_gumbel_topk"](spark, sf))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_hist_quantiles_sketch_shape(self, spark, sf):
+        # one hash-agg to (group, bin) counters; no join at all
+        plan = final_plan_of(QUERIES["q_hist_quantiles"](spark, sf))
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan
+
+    def test_bpe_encode_vocab_broadcast(self, spark, sf):
+        # the word->segmentation table joins back broadcast; the corpus
+        # side never shuffles on doc volume
+        plan = final_plan_of(QUERIES["q_bpe_encode"](spark, sf))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

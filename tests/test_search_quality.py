@@ -878,3 +878,94 @@ class TestBpeTrain:
         got = {r.word: list(r.syms) for r in vocab.collect()}
         assert got["aaa"] == ["aa", "a"]
         assert got["bb"] == ["b", "b"]
+
+
+class TestBpeEncode:
+    def test_encode_matches_python_greedy(self, spark):
+        """Encoding = the vocab's final per-word segmentation, in document
+        order; n_tokens is the encoded length; fingerprint is order-
+        sensitive (a word-order permutation changes it)."""
+        from dipper_spark.operators.bpe import bpe_encode, bpe_train
+
+        df = spark.createDataFrame(
+            [(0, "low lower low"), (1, "lower low")], ["doc_id", "text"]
+        )
+        _, vocab = bpe_train(df, "text", n_merges=2)
+        seg = {r.word: list(r.syms) for r in vocab.collect()}
+        got = {r.doc_id: r for r in bpe_encode(df, "doc_id", "text", vocab).collect()}
+        assert got[0].n_words == 3 and got[1].n_words == 2
+        assert got[0].n_tokens == 2 * len(seg["low"]) + len(seg["lower"])
+        assert got[1].n_tokens == len(seg["low"]) + len(seg["lower"])
+        # doc 0 = "low lower low", doc 1 = "lower low": different streams
+        assert got[0].enc_fingerprint != got[1].enc_fingerprint
+
+    def test_oov_word_falls_back_to_char_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from dipper_spark.operators.bpe import bpe_encode, bpe_train
+
+        train = spark.createDataFrame([(0, "aa aa aa")], ["doc_id", "text"])
+        _, vocab = bpe_train(train, "text", n_merges=1)
+        apply_df = spark.createDataFrame([(7, "aa xyz")], ["doc_id", "text"])
+        [row] = bpe_encode(apply_df, "doc_id", "text", vocab).collect()
+        # 'aa' -> 1 merged token; OOV 'xyz' -> 3 chars
+        assert row.n_words == 2 and row.n_tokens == 1 + 3
+
+    def test_vocab_side_is_broadcast(self, spark):
+        from dipper_spark.operators.bpe import bpe_encode, bpe_train
+
+        df = spark.createDataFrame([(0, "a b a")], ["doc_id", "text"])
+        _, vocab = bpe_train(df, "text", n_merges=1)
+        plan = bpe_encode(df, "doc_id", "text", vocab)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestHistogramQuantiles:
+    def test_matches_numpy_on_binned_semantics(self, spark):
+        """Estimate = upper edge of the first bin whose cumulative count
+        reaches p*total; exact by construction when values sit on bin
+        edges is NOT required — assert the bin-arithmetic contract."""
+        from pyspark.sql import functions as F
+
+        from dipper_spark.operators.sketches import histogram_quantiles
+
+        # group g: values 0..99 -> bins 0..99 with width 1 over [0, 128)
+        rows = [("g", float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, ["grp", "v"])
+        [r] = histogram_quantiles(
+            df, "v", ["grp"], {"p50": 0.5, "p90": 0.9}, lo=0.0, hi=128.0, n_bins=128
+        ).collect()
+        assert r.n_total == 100
+        # p50: first bin with cum >= 50 is bin 49 -> upper edge 50.0
+        assert r.p50 == 50.0
+        assert r.p90 == 90.0
+
+    def test_out_of_range_values_clamp_to_edge_bins(self, spark):
+        from dipper_spark.operators.sketches import histogram_quantiles
+
+        df = spark.createDataFrame(
+            [("g", -5.0), ("g", 3.0), ("g", 999.0)], ["grp", "v"]
+        )
+        [r] = histogram_quantiles(
+            df, "v", ["grp"], {"p99": 0.99}, lo=0.0, hi=8.0, n_bins=8
+        ).collect()
+        # 999 clamps into the last bin [7, 8) -> estimate 8.0, never NULL
+        assert r.n_total == 3 and r.p99 == 8.0
+
+    def test_state_is_bounded_by_bins(self, spark):
+        """10k distinct values collapse to <= n_bins counter rows before
+        the quantile pick — the sketch property."""
+        from pyspark.sql import functions as F
+
+        from dipper_spark.operators.sketches import histogram_quantiles
+
+        df = spark.range(10000).select(
+            F.lit("g").alias("grp"), (F.col("id") % 7919).cast("double").alias("v")
+        )
+        out = histogram_quantiles(
+            df, "v", ["grp"], {"p50": 0.5}, lo=0.0, hi=8192.0, n_bins=64
+        )
+        [r] = out.collect()
+        assert r.n_total == 10000 and r.p50 is not None
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan  # map-side combine to sketch size

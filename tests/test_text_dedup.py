@@ -599,3 +599,64 @@ def test_substring_spans_merge_gap_and_within_doc_repeats(spark):
         (4, 0): (3, 3),    # isolated hit
         (4, 12): (15, 3),  # gap 12 > W -> second island
     }
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """Two clusters; within one, three near-identical vectors — SemDeDup
+    keeps only the lowest-cent_cos member (paper's keep-farthest variant)
+    and the isolated vector; the other cluster is untouched."""
+    from dipper_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),        # centroid A
+        (1, [0.0, 1.0]),        # centroid B
+        (10, [0.9, 0.1]),       # cluster A dup group
+        (11, [0.89, 0.11]),
+        (12, [0.88, 0.12]),     # farthest from centroid A of the three
+        (13, [0.5, 0.5]),       # cluster A (ties to A by cid), not a dup of the group? cos is high with dups...
+        (20, [0.1, 0.9]),       # cluster B, alone
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = emb.filter(F.col("vec_id") < 2)
+    out = {r.vec_id: r.keep for r in semdedup(emb, cents, threshold=0.99).collect()}
+    group = {k: v for k, v in out.items() if k in (10, 11, 12)}
+    # exactly one of the near-identical trio survives: the one with the
+    # LOWEST similarity to its centroid (12)
+    assert group == {10: False, 11: False, 12: True}
+    assert out[20] is True
+
+
+def test_dsir_logratio_separates_target_like_docs(spark):
+    """Docs sharing the target's vocabulary score higher than disjoint-
+    vocab docs; n_feats counts unigrams + bigrams."""
+    from dipper_spark.operators.sampling import dsir_logratio
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta")], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),       # target-like
+            (2, "delta epsilon zeta"),     # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r for r in dsir_logratio(raw, target, "doc_id", "text").collect()}
+    assert got[1].n_feats == 5 and got[2].n_feats == 5  # 3 unigrams + 2 bigrams
+    assert got[1].logratio > got[2].logratio
+
+
+def test_gumbel_topk_deterministic_and_partition_invariant(spark):
+    from dipper_spark.operators.sampling import gumbel_topk
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(500)], ["doc_id", "w"]
+    )
+    sel = lambda d: {
+        r.doc_id for r in gumbel_topk(d, "doc_id", F.log("w"), k=50).collect()
+    }
+    s1, s2 = sel(df), sel(df.repartition(13))
+    assert s1 == s2 and len(s1) == 50
+    # weight-proportionality sanity: the heavy weights dominate the draw
+    heavy = {r.doc_id for r in df.filter(F.col("w") >= 6).collect()}
+    assert len(s1 & heavy) > 50 * len(heavy) / 500
