@@ -46,6 +46,7 @@ HEADLINE = [
     "q_session_ids",
     "q_sequence_pack",
     "q_bpe_vocab",
+    "q_bpe_encode",
     "q_ngram_jaccard",
     "q_doc_fingerprint",
     "q_count_min",
@@ -70,6 +71,7 @@ HEADLINE = [
     "q_incremental_dedup",
     "q_embedding_outliers",
     "q_length_percentiles",
+    "q_hist_quantiles",
     "q_anonymize",
     "q_label_centroids",
     "q_weighted_sample",
@@ -91,6 +93,9 @@ HEADLINE = [
     "q_dedup_exact",
     "q_chunk_dedup",
     "q_substring_spans",
+    "q_semdedup",
+    "q_dsir_weights",
+    "q_gumbel_topk",
     "q_dedup_decision",
     "q_decontaminate",
     "q_jaccard_pruned",
@@ -145,13 +150,24 @@ def main() -> int:
     # full per-query map goes to a sidecar artifact — the single stdout JSON
     # line must stay SMALL (the round-5 73-query line outgrew the driver's
     # tail buffer and parsed as null), so it carries totals + the slowest 10
+    # per-source ETL sweep seconds (round-6 task #8): fixture-scale but
+    # round-over-round stable, so a rebuilt pipeline whose plan regressed
+    # shows as a step change.  Skippable via env for query-only iteration.
+    sources: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SOURCE_BENCH") != "1":
+        try:
+            from tools.bench_sources import bench_sources
+
+            sources = bench_sources(spark)
+        except Exception as ex:  # noqa: BLE001 — sweep failure must not sink the bench line
+            print(f"# source sweep failed: {ex}", file=sys.stderr)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
         json.dump(
             {"metric": "headline_queries_total", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf_val},
+             "queries": timings, "sources": sources, "sf": sf_val},
             fh, indent=1,
         )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])

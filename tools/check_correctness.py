@@ -66,6 +66,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("-q", "--query", action="append", default=None)
+    ap.add_argument("--out", default=None,
+                    help="write the full per-query result map to this JSON file")
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -121,6 +123,13 @@ def main() -> int:
             results[name] = {"status": "ERROR", "error": str(ex)[:500]}
             print(f"{name:28s} ERROR {str(ex)[:200]}")
     print(json.dumps({"pass": n_pass, "total": len(names)}))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(
+                {"sf": args.sf, "pass": n_pass, "total": len(names),
+                 "queries": results},
+                fh, indent=1,
+            )
     spark.stop()
     return 0 if n_pass == len(names) else 1
 
