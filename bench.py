@@ -152,13 +152,18 @@ def main() -> int:
     # tail buffer and parsed as null), so it carries totals + the slowest 10
     # per-source ETL sweep seconds (round-6 task #8): fixture-scale but
     # round-over-round stable, so a rebuilt pipeline whose plan regressed
-    # shows as a step change.  Skippable via env for query-only iteration.
+    # shows as a step change.  OPT-IN (the 41-source sweep adds ~8 min,
+    # which must not sit on the driver's per-round bench path): set
+    # SPARK_GRAFT_SOURCE_BENCH=1, or run tools/bench_sources.py standalone
+    # — either way the result lands in BENCH_SOURCES.json, committed at
+    # round close.
     sources: dict[str, dict[str, float]] = {}
-    if os.environ.get("SPARK_GRAFT_SKIP_SOURCE_BENCH") != "1":
+    if os.environ.get("SPARK_GRAFT_SOURCE_BENCH") == "1":
         try:
-            from tools.bench_sources import bench_sources
+            from tools.bench_sources import bench_sources, write_sources_artifact
 
             sources = bench_sources(spark)
+            write_sources_artifact(sources)
         except Exception as ex:  # noqa: BLE001 — sweep failure must not sink the bench line
             print(f"# source sweep failed: {ex}", file=sys.stderr)
     detail_path = os.path.join(
@@ -167,7 +172,9 @@ def main() -> int:
     with open(detail_path, "w") as fh:
         json.dump(
             {"metric": "headline_queries_total", "value": total, "unit": "sec",
-             "queries": timings, "sources": sources, "sf": sf_val},
+             "queries": timings,
+             "sources": sources or "see BENCH_SOURCES.json (opt-in sweep)",
+             "sf": sf_val},
             fh, indent=1,
         )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])

@@ -51,14 +51,34 @@ def bench_sources(spark) -> dict[str, dict[str, float]]:
     return out
 
 
+def write_sources_artifact(timings: dict[str, dict[str, float]]) -> str:
+    """Persist the sweep to BENCH_SOURCES.json at the repo root (committed
+    at round close so per-source transform cost is diffable round over
+    round)."""
+    total = round(sum(v["total"] for v in timings.values()), 3)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SOURCES.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(
+            {"metric": "source_sweep_total", "value": total, "unit": "sec",
+             "n_sources": len(timings), "sources": timings},
+            fh, indent=1,
+        )
+    return path
+
+
 def main() -> int:
     from dipper_spark.session import get_spark
 
     spark = get_spark("bench-sources")
     timings = bench_sources(spark)
     total = round(sum(v["total"] for v in timings.values()), 3)
+    write_sources_artifact(timings)
     print(json.dumps({"metric": "source_sweep_total", "value": total,
-                      "unit": "sec", "n_sources": len(timings)}))
+                      "unit": "sec", "n_sources": len(timings),
+                      "detail": "BENCH_SOURCES.json"}))
     spark.stop()
     return 0
 
