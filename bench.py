@@ -83,6 +83,7 @@ HEADLINE = [
     "q_quality_classifier",
     "q_passage_chunks",
     "q_bm25_topk",
+    "q_rrf_fusion",
     "q_tfidf_keywords",
     "q_bloom_probe",
     "q_top_ngrams",

@@ -277,3 +277,56 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
     )
+
+
+def rrf_fuse(
+    arms: dict[str, DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named ranked lists:
+    rrf(d) = Σ_arm 1/(k_const + rank_arm(d)), a document absent from an
+    arm contributing 0 — the standard hybrid-retrieval combiner for a
+    lexical (BM25) and a semantic (embedding cosine) arm.
+
+    Scale shape: each arm arrives ALREADY truncated to its own top-N
+    (bounded by construction — TakeOrdered on the arm side), so fusion
+    operates on ≤ Σ N_arm rows however large the corpus: a union, one
+    grouped sum, and a TakeOrdered top-``k``.  No corpus-sized input ever
+    reaches this operator.
+
+    Determinism: 1/(k_const + rank) is a pure function of integer rank;
+    the per-doc sum adds arms in the fixed iteration order of ``arms``;
+    ties break by id.
+
+    Returns (id, <arm>_rank..., rrf_score, rank), score rounded to 6.
+    """
+    joined = None
+    for name, arm in arms.items():
+        a = arm.select(
+            F.col(id_col).alias("id"), F.col(rank_col).alias(f"{name}_rank")
+        )
+        joined = a if joined is None else joined.join(a, "id", "full_outer")
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        for name in arms
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    w = Window.orderBy(F.desc("rrf_score"), "id")
+    return (
+        joined.withColumn("rrf_score", score)
+        .orderBy(F.desc("rrf_score"), "id")
+        .limit(k)
+        .select(
+            "id",
+            *[F.col(f"{name}_rank") for name in arms],
+            F.round("rrf_score", 6).alias("rrf_score"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )

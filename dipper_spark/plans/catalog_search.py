@@ -162,6 +162,59 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- hybrid retrieval: reciprocal-rank fusion ---------------------------------
+
+_RRF_N, _RRF_K, _RRF_C = 50, 10, 60
+_RRF_QVEC = 0
+_COS_RRF = duckdb_cosine("c.embedding", "qv.qe")
+
+
+@register(
+    "q_rrf_fusion",
+    f"""
+    WITH lex AS (
+      SELECT id, rank AS lex_rank
+      FROM ({_bm25_sql(_BM25_TERMS, _RRF_N, _BM25_K1, _BM25_B)})),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+    sem AS (
+      SELECT neighbor_id AS id, rank AS sem_rank FROM (
+        SELECT c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (ORDER BY {_COS_RRF} DESC, c.vec_id)
+                    AS BIGINT) AS rank
+        FROM embeddings c CROSS JOIN qv WHERE c.vec_id != {_RRF_QVEC})
+      WHERE rank <= {_RRF_N}),
+    fused AS (
+      SELECT coalesce(lex.id, sem.id) AS id, lex_rank, sem_rank,
+             coalesce(1.0 / CAST({_RRF_C} + lex_rank AS DOUBLE), 0.0)
+           + coalesce(1.0 / CAST({_RRF_C} + sem_rank AS DOUBLE), 0.0) AS s
+      FROM lex FULL JOIN sem ON lex.id = sem.id)
+    SELECT id, lex_rank, sem_rank, round(s, 6) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank
+    FROM fused ORDER BY s DESC, id LIMIT {_RRF_K}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    the BM25 lexical arm (terms spark/join/window) and the
+    embedding-cosine semantic arm (query = vec 0) each produce their
+    bounded top-50; rrf = Σ 1/(60+rank) fuses them, top-10 out.  Both arms
+    are TakeOrdered-truncated before fusion, so the fuse step never sees
+    corpus-sized input."""
+    from dipper_spark.operators.search import rrf_fuse
+    from dipper_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=_RRF_N, k1=_BM25_K1, b=_BM25_B
+    )
+    sem = cosine_topk(emb.filter(F.col("vec_id") == _RRF_QVEC), emb, k=_RRF_N)
+    return rrf_fuse(
+        {"lex": lex, "sem": sem.select(F.col("neighbor_id").alias("id"), "rank")},
+        k_const=_RRF_C, k=_RRF_K,
+    )
+
+
 # ---- TF-IDF keywords ---------------------------------------------------------
 
 

@@ -410,3 +410,10 @@ class TestRound5LateOps:
         plan = final_plan_of(QUERIES["q_bpe_encode"](spark, sf))
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_rrf_fusion_arms_truncated_before_fuse(self, spark, sf):
+        # both arms are TakeOrdered-bounded; the fuse join runs on <= 2N
+        # rows so no shuffle-heavy join shape may appear on corpus volume
+        plan = final_plan_of(QUERIES["q_rrf_fusion"](spark, sf))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan

@@ -969,3 +969,29 @@ class TestHistogramQuantiles:
         assert r.n_total == 10000 and r.p50 is not None
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" in plan  # map-side combine to sketch size
+
+
+class TestRrfFuse:
+    def test_fusion_math_and_absence_handling(self, spark):
+        from pyspark.sql import functions as F
+
+        from dipper_spark.operators.search import rrf_fuse
+
+        lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+        sem = spark.createDataFrame([(3, 1), (4, 2)], ["id", "rank"])
+        out = {r.id: r for r in rrf_fuse({"lex": lex, "sem": sem}, k_const=60, k=10).collect()}
+        # doc 3 is in both arms -> 1/63 + 1/61
+        assert abs(out[3].rrf_score - (1 / 63 + 1 / 61)) < 1e-6
+        # doc 4 only semantic -> 1/62, lex_rank NULL
+        assert out[4].lex_rank is None
+        assert abs(out[4].rrf_score - 1 / 62) < 1e-6
+        # overall order: 3 (two arms) first
+        assert min(out.values(), key=lambda r: r.rank).id == 3
+
+    def test_topk_truncation_and_tie_break(self, spark):
+        from dipper_spark.operators.search import rrf_fuse
+
+        lex = spark.createDataFrame([(i, i) for i in range(1, 9)], ["id", "rank"])
+        sem = spark.createDataFrame([(i, i) for i in range(1, 9)], ["id", "rank"])
+        out = rrf_fuse({"lex": lex, "sem": sem}, k=3).collect()
+        assert [r.id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
