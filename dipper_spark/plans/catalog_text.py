@@ -599,18 +599,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dup_components",
     f"""
     WITH RECURSIVE
-    sh AS (SELECT doc_id AS id, unnest(list_distinct({_SH})) AS s FROM documents),
-    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-    inter AS (
-      SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-      GROUP BY a.id, b.id),
-    pairs AS (
-      SELECT id_1, id_2 FROM inter
-      JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
-      WHERE n_common / CAST(z1.n + z2.n - n_common AS DOUBLE) >= 0.5),
-    edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
-              UNION ALL SELECT id_2, id_1 FROM pairs),
+    prs AS (SELECT id_1, id_2 FROM ({_minhash_sql(threshold=0.5)})),
+    edges AS (SELECT id_1 AS a, id_2 AS b FROM prs
+              UNION ALL SELECT id_2, id_1 FROM prs),
     reach(id, comp) AS (
       SELECT a, a FROM edges
       UNION
@@ -619,15 +610,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (exact 3-gram Jaccard >= 0.5) clustered into
-    connected components with min-id canonical labels — iterative
-    min-label propagation run to its exact fixpoint (the DuckDB mirror is
-    a recursive-CTE transitive closure)."""
+    """Near-dup pairs (MinHash-LSH banded candidates, exact-Jaccard
+    verified at >= 0.5 — the production candidate source, same as
+    q_dedup_decision) clustered into connected components with min-id
+    canonical labels — iterative min-label propagation run to its exact
+    fixpoint (the DuckDB mirror is a recursive-CTE transitive closure).
+    The exact all-pairs Jaccard form stays benched separately as
+    q_ngram_jaccard; riding the banded candidates here keeps the CC input
+    ~linear in corpus size instead of quadratic in the dup-dense slice."""
     from dipper_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return connected_components(pairs).select("id", "component")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return connected_components(pairs.select("id_1", "id_2")).select(
+        "id", "component"
+    )
 
 
 @register(
