@@ -79,6 +79,7 @@ HEADLINE = [
     "q_epoch_shuffle",
     "q_snapshot_diff",
     "q_novelty_rate",
+    "q_zorder_layout",
     "q_label_pca",
     "q_quality_classifier",
     "q_passage_chunks",

@@ -1875,6 +1875,79 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- z-order layout audit ------------------------------------------------------
+
+_ZO_XR, _ZO_YR = (0.0, 1024.0), (0.0, 4096.0)
+_ZO_SHARDS = 16
+
+
+def _zorder_oracle() -> str:
+    from dipper_spark.io.zorder import Z_BITS, zorder_key_sql
+
+    n = 1 << Z_BITS
+    ident = (0.0, float(n))  # identity scaling: input already on the grid
+
+    def scale(col: str, lo: float, hi: float) -> str:
+        w = (hi - lo) / n
+        return (
+            f"least({n - 1}, greatest(0, "
+            f"CAST(floor(({col} - {lo}) / {w}) AS BIGINT)))"
+        )
+
+    shift = 2 * Z_BITS - (_ZO_SHARDS.bit_length() - 1)
+    agg = """CAST(count(*) AS BIGINT) AS n_rows,
+             round(min(value), 6) AS x_min, round(max(value), 6) AS x_max,
+             CAST(min(user_id) AS BIGINT) AS y_min,
+             CAST(max(user_id) AS BIGINT) AS y_max"""
+    return f"""
+    WITH g AS (
+      SELECT value, user_id,
+             {scale("value", *_ZO_XR)} AS xs,
+             {scale("user_id", *_ZO_YR)} AS ys
+      FROM events),
+    k AS (
+      SELECT value, user_id,
+             {zorder_key_sql("xs", "ys", ident, ident)} AS zk,
+             (xs << {Z_BITS}) AS lk
+      FROM g)
+    SELECT 'zorder' AS layout, (zk >> {shift}) AS shard, {agg}
+    FROM k GROUP BY shard
+    UNION ALL
+    SELECT 'linear' AS layout, (lk >> {shift}) AS shard, {agg}
+    FROM k GROUP BY shard
+    """
+
+
+@register("q_zorder_layout", _zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-dimension layout audit over events(value,
+    user_id): rows are assigned to 16 equal-width key-range shards under a
+    Morton-interleaved key and under a value-only sort key; each shard
+    reports its bounding box on BOTH dimensions.  The z-order layout's
+    per-shard user_id extent collapses to ~1/sqrt(shards) of the domain —
+    exactly the per-file min/max statistic parquet pruning uses, so this
+    is the measurable form of the 'sort for scan pruning' decision.  Pure
+    shift/mask expressions end to end: one scan, one grouped agg per
+    layout, no UDFs, no window."""
+    from dipper_spark.io.zorder import linear_key, zorder_key, zorder_shard_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    x, y = F.col("value"), F.col("user_id")
+    zs = zorder_shard_stats(
+        ev, zorder_key(x, y.cast("double"), _ZO_XR, _ZO_YR), x, y,
+        n_shards=_ZO_SHARDS,
+    ).withColumn("layout", F.lit("zorder"))
+    ls = zorder_shard_stats(
+        ev, linear_key(x, _ZO_XR), x, y, n_shards=_ZO_SHARDS
+    ).withColumn("layout", F.lit("linear"))
+    return zs.unionByName(ls).select(
+        "layout", "shard", "n_rows",
+        F.round("x_min", 6).alias("x_min"), F.round("x_max", 6).alias("x_max"),
+        F.col("y_min").cast("long").alias("y_min"),
+        F.col("y_max").cast("long").alias("y_max"),
+    )
+
+
 # ---- first-seen novelty rate ---------------------------------------------------
 
 
