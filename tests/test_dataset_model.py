@@ -146,3 +146,38 @@ def test_default_license_when_unset(spark):
         if r.subject.endswith(".ttl") and r.predicate == "dc:license"
     ]
     assert lic == ["https://project-open-data.cio.gov/unknown-license/"]
+
+
+def test_version_and_distribution_descriptions(stanza):
+    """test_version_level_description (266-271) +
+    test_distribution_level_description (362-368): the ingest description
+    appears verbatim at all three levels."""
+    pred = "http://purl.org/dc/terms/description"
+    assert (VERSION_IRI, pred, DESC) in stanza
+    assert (DIST, pred, DESC) in stanza
+
+
+def test_default_version_is_today(spark):
+    """test_version_level_version_default (282-291): when no
+    data_release_version is given, the version level stamps today and the
+    version/distribution IRIs are built from it."""
+    tiny = spark.createDataFrame([("a", "b", "c", True, None, None)], TRIPLE_SCHEMA)
+    df = hcls_dataset_triples(spark, tiny, IDENT, today=TODAY)
+    rows = {
+        (_x(r.subject), _x(r.predicate), r.object if r.is_literal else _x(r.object))
+        for r in df.collect()
+    }
+    v_iri = ARCHIVE + TODAY + "/#" + IDENT
+    d_iri = ARCHIVE + TODAY + "/rdf/" + IDENT + ".ttl"
+    assert (v_iri, "http://purl.org/pav/version", TODAY) in rows
+    assert (v_iri, "http://www.w3.org/ns/dcat#distribution", d_iri) in rows
+
+
+def test_exactly_one_version_triple(stanza):
+    """The reference asserts len == 1 on the version-level pav:version
+    (282-291); set-membership alone can't catch duplicates, so count."""
+    n = sum(
+        1 for s, p, o in stanza
+        if s == VERSION_IRI and p == "http://purl.org/pav/version"
+    )
+    assert n == 1
