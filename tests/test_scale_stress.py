@@ -135,3 +135,67 @@ def test_salted_topk_mega_group_equivalence(spark):
     )
     want = [(r.grp, r.item, r.n, r.rank) for r in naive.collect()]
     assert got == want
+
+
+def test_semdedup_planted_clusters_at_20k(spark):
+    """SemDeDup at 20k vectors over 16 buckets: every document direction
+    belongs to one of 16x16 planted duplicate groups (identical members),
+    adjacent groups are separated far enough to stay below tau — so the
+    verdict must keep EXACTLY one survivor per group (min vec_id on the
+    cent_cos tie), dropping the other ~78 members of each.  The pair
+    search stays the per-bucket equi-join — no global pair explosion."""
+    import math
+
+    from dipper_spark.operators.similarity import semdedup
+
+    n, k, n_dirs = 20_000, 16, 16
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    cents = [(i, unit(i * (2 * math.pi / k))) for i in range(k)]
+    rows = []
+    for i in range(n):
+        b, d = i % k, (i // k) % n_dirs
+        # 16 directions fanned +-0.15 rad around centroid b: within-group
+        # cos = 1 (identical), adjacent-group cos = cos(0.02) ~ 0.9998 < tau
+        theta = b * (2 * math.pi / k) + (d - (n_dirs - 1) / 2) * 0.02
+        rows.append((100 + i, unit(theta)))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent_df = spark.createDataFrame(cents, ["vec_id", "embedding"])
+
+    out = semdedup(emb, cent_df, threshold=0.9999).collect()
+    assert len(out) == n
+    kept = {r.vec_id for r in out if r.keep}
+    # one survivor per (bucket, direction) group: the min vec_id,
+    # i.e. ids 100..355 (i = b + 16*d for all b, d)
+    assert kept == {100 + r for r in range(k * n_dirs)}
+
+
+def test_dsir_weights_scale_and_invariance(spark):
+    """DSIR at 30k raw docs: one row per doc out (the scan is linear, no
+    pair joins), weights partition-invariant, and the planted target-like
+    stratum outranks the disjoint-vocab stratum."""
+    from dipper_spark.operators.sampling import dsir_logratio
+
+    target = spark.createDataFrame(
+        [(10**6 + i, "alpha beta gamma delta " + f"t{i % 5}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta" if i % 3 == 0
+             else f"omega{i % 20} psi{i % 20} chi{i % 20} phi{i % 20}")
+            for i in range(30_000)
+        ],
+        ["doc_id", "text"],
+    ).repartition(32)
+    out = dsir_logratio(raw, target, "doc_id", "text")
+    got = {r.id: r.logratio for r in out.collect()}
+    assert len(got) == 30_000
+    like = [v for k, v in got.items() if k % 3 == 0]
+    unlike = [v for k, v in got.items() if k % 3 != 0]
+    assert min(like) > max(unlike)
+    got13 = {r.id: r.logratio for r in dsir_logratio(
+        raw.repartition(13), target, "doc_id", "text").collect()}
+    assert got == got13
