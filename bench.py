@@ -117,6 +117,7 @@ HEADLINE = [
     "q_media_features",
     "q_media_dedup",
     "q_media_frames",
+    "q_media_patch_dedup",
 ]
 
 

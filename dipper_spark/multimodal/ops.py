@@ -257,3 +257,75 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def patch_digests(media: DataFrame, patch_bytes: int = 32) -> DataFrame:
+    """Split each media blob into fixed-width byte patches and digest each
+    — the asset-level analog of text shingling (block-level storage dedup
+    and near-dup image scans both start from chunk digests).  Pure JVM
+    expressions: substring over the BINARY column inside a transform of
+    the patch-index sequence, md5 per slice — no Python in the path, and
+    the blob itself never shuffles (only 16-byte digests do).
+
+    Returns (doc_id, n_patches, pos, patch_key)."""
+    arr = (
+        f"transform(sequence(0, CAST(ceil(media_meta.n_bytes / {patch_bytes}.0) "
+        f"AS INT) - 1), i -> md5(substring(media, i * {patch_bytes} + 1, {patch_bytes})))"
+    )
+    n = (
+        F.ceil(F.col("media_meta.n_bytes") / F.lit(float(patch_bytes)))
+        .cast("long")
+        .alias("n_patches")
+    )
+    return media.filter(F.col("media_meta.n_bytes") >= 1).select(
+        "doc_id", n, F.posexplode(F.expr(arr)).alias("pos", "patch_key")
+    ).select("doc_id", "n_patches", F.col("pos").cast("long").alias("pos"), "patch_key")
+
+
+def patch_neardup_pairs(
+    media: DataFrame,
+    patch_bytes: int = 32,
+    min_shared: int = 2,
+    max_doc_freq: int = 20,
+) -> DataFrame:
+    """Near-duplicate media assets by shared patch digests: two blobs
+    sharing >= ``min_shared`` patches are near-dups (crops, re-encodes and
+    concatenations share most blocks even when whole-blob digests differ).
+
+    Scale shape — the same discipline as the text dedup family: patches
+    occurring in more than ``max_doc_freq`` distinct assets are dropped
+    before pairing (the hot-block prune bounds the per-digest fan-out, so
+    candidate volume is sum of per-digest quadratics with a hard cap, not
+    corpus²); the pair search is an equi-join on the digest; the verify
+    count is a grouped agg on pair keys.
+
+    Returns (id_1, id_2, n_shared, n_1, n_2, share_frac) where share_frac
+    = n_shared / min(n_1, n_2)."""
+    p = patch_digests(media, patch_bytes=patch_bytes).select(
+        "doc_id", "n_patches", "patch_key"
+    ).distinct()
+    freq = p.groupBy("patch_key").agg(F.count(F.lit(1)).alias("dfreq"))
+    hot = freq.filter(F.col("dfreq") > max_doc_freq).select("patch_key")
+    kept = p.join(F.broadcast(hot), "patch_key", "left_anti")
+    a = kept.select(
+        F.col("patch_key").alias("k"), F.col("doc_id").alias("id_1"),
+        F.col("n_patches").alias("n_1"),
+    )
+    b = kept.select(
+        F.col("patch_key").alias("k"), F.col("doc_id").alias("id_2"),
+        F.col("n_patches").alias("n_2"),
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2", "n_1", "n_2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.select(
+        "id_1", "id_2",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_1").cast("long").alias("n_1"),
+        F.col("n_2").cast("long").alias("n_2"),
+        F.round(F.col("n_shared") / F.least("n_1", "n_2"), 6).alias("share_frac"),
+    )

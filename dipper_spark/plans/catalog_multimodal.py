@@ -133,3 +133,44 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         F.col("n_dups").alias("n_copies"),
     )
+
+
+_PATCH_B, _PATCH_MIN, _PATCH_CAP = 32, 2, 20
+_PATCH_N = f"CAST(ceil(octet_length(encode(text)) / {_PATCH_B}.0) AS BIGINT)"
+
+
+@register(
+    "q_media_patch_dedup",
+    f"""
+    WITH p AS (
+      SELECT DISTINCT doc_id, {_PATCH_N} AS n_patches,
+             md5(substr(text, i * {_PATCH_B} + 1, {_PATCH_B})) AS k
+      FROM documents,
+           unnest(range(0, CAST({_PATCH_N} AS INT))) AS u(i)
+      WHERE octet_length(encode(text)) >= 1),
+    freq AS (SELECT k, count(*) AS dfreq FROM p GROUP BY k),
+    kept AS (SELECT p.* FROM p JOIN freq USING (k) WHERE dfreq <= {_PATCH_CAP}),
+    pairs AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             a.n_patches AS n_1, b.n_patches AS n_2, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.k = b.k AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4 HAVING count(*) >= {_PATCH_MIN})
+    SELECT id_1, id_2, CAST(n_shared AS BIGINT) AS n_shared, n_1, n_2,
+           round(n_shared / CAST(least(n_1, n_2) AS DOUBLE), 6) AS share_frac
+    FROM pairs
+    """,
+)
+def q_media_patch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media assets by shared 32-byte patch digests — the
+    block-level storage-dedup / near-dup-image primitive, composing the
+    multimodal binary plumbing with the text-dedup discipline: hot-patch
+    prune (df > 20 dropped) bounds candidate fan-out, the pair search is a
+    digest equi-join, and only 16-byte digests ever shuffle (never the
+    blobs).  The oracle recomputes the digests from the source text whose
+    utf-8 bytes ARE the blob on this ascii corpus."""
+    from dipper_spark.multimodal.ops import patch_neardup_pairs
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return patch_neardup_pairs(
+        media, patch_bytes=_PATCH_B, min_shared=_PATCH_MIN, max_doc_freq=_PATCH_CAP
+    )

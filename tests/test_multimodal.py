@@ -152,3 +152,45 @@ class TestStats:
 
             readschema = _re.search(r"ReadSchema: ([^\n]+)", plan)
             assert readschema and "media:" not in readschema.group(1).replace("media_meta", "")
+
+
+class TestPatchDedup:
+    def test_shared_patch_pairs_and_hot_prune(self, spark):
+        from dipper_spark.multimodal.ops import patch_neardup_pairs
+
+        boiler = b"H" * 32  # identical first block everywhere (hot)
+        blk = lambda c: bytes([c]) * 32
+        rows = [
+            # docs 1 and 2 share two unique blocks -> a pair
+            (1, boiler + blk(65) + blk(66)),
+            (2, boiler + blk(65) + blk(66) + blk(67)),
+            # doc 3 shares only ONE block with 1/2 -> below min_shared
+            (3, boiler + blk(65) + blk(90)),
+            # doc 4 disjoint
+            (4, boiler + blk(80) + blk(81)),
+        ]
+        media = spark.createDataFrame(
+            [(i, b) for i, b in rows], ["doc_id", "media"]
+        ).withColumn(
+            "media_meta",
+            F.struct(F.length("media").cast("long").alias("n_bytes")),
+        )
+        out = patch_neardup_pairs(media, patch_bytes=32, min_shared=2, max_doc_freq=3)
+        got = {(r.id_1, r.id_2): r for r in out.collect()}
+        assert set(got) == {(1, 2)}
+        r = got[(1, 2)]
+        # boiler block hits df=4 > 3 -> pruned; shared = blocks A, B only
+        assert r.n_shared == 2 and r.n_1 == 3 and r.n_2 == 4
+        assert abs(r.share_frac - 2 / 3) < 1e-6  # rounded to 6 places
+
+    def test_blob_never_shuffles_only_digests(self, spark, sf_dir=None):
+        from dipper_spark.multimodal.ops import attach_media, patch_neardup_pairs
+        from dipper_spark.session import load_table
+
+        media = attach_media(load_table(spark, "/root/testdata/sf0.001", "documents"))
+        plan = (
+            patch_neardup_pairs(media)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftAnti" in plan  # hot-patch prune
+        assert "CartesianProduct" not in plan
