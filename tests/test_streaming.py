@@ -273,3 +273,60 @@ class TestStreamingCleaning:
         assert streamed == batch
         assert ("1", "mail [EMAIL] and call [PHONE] now", 2) not in streamed  # typed ids
         assert (1, "mail [EMAIL] and call [PHONE] now", 2) in streamed
+
+
+class TestStreamingHistogramSketch:
+    def test_stream_counters_equal_batch_and_quantiles_agree(
+        self, spark, tables, tmp_path
+    ):
+        """The sketch maintained over micro-batches equals the batch
+        sketch bit-for-bit (merge = addition), and quantiles read off the
+        streamed counters match operators/sketches.histogram_quantiles on
+        the raw rows."""
+        from dipper_spark.operators.sketches import histogram_quantiles
+        from dipper_spark.streaming.sketches import (
+            histogram_counts_to_quantiles,
+            streaming_value_histogram,
+        )
+
+        ev = tables["events"].select("event_id", "ts", "user_id", "event_type", "value")
+        src_dir = str(tmp_path / "ev_hist")
+        # several files -> several micro-batches under maxFilesPerTrigger
+        ev.repartition(4).write.parquet(src_dir)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+        q = (
+            streaming_value_histogram(stream)
+            .writeStream.format("memory")
+            .queryName("hist_sketch")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.grp, r.bin): r.n
+            for r in spark.sql("select * from hist_sketch").collect()
+        }
+        batch = {
+            (r.grp, r.bin): r.n
+            for r in streaming_value_histogram(ev).collect()
+        }
+        assert streamed == batch and len(streamed) > 0
+
+        probs = {"p50": 0.5, "p99": 0.99}
+        from_sketch = {
+            r.grp: (r.p50, r.p99)
+            for r in histogram_counts_to_quantiles(
+                spark.sql("select * from hist_sketch"), probs
+            ).collect()
+        }
+        direct = {
+            r.event_type: (r.p50, r.p99)
+            for r in histogram_quantiles(
+                ev, F.col("value"), ["event_type"], probs, lo=0.0, hi=512.0, n_bins=64
+            ).collect()
+        }
+        assert from_sketch == direct
