@@ -110,6 +110,7 @@ HEADLINE = [
     "q_cosine_topk_quantized",
     "q_ann_ivf",
     "q_ann_ivf_refined",
+    "q_ann_recall",
     "q_embedding_neardup",
     "q_dup_components",
     # multimodal columns

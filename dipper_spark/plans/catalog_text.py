@@ -433,9 +433,7 @@ def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_EC = duckdb_cosine("e.embedding", "cent.ce")
 
 
-@register(
-    "q_ann_ivf",
-    f"""
+_ANN_IVF_SQL = f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
     assign AS (
       SELECT vec_id, embedding, cid AS bucket FROM (
@@ -454,8 +452,10 @@ _COS_EC = duckdb_cosine("e.embedding", "cent.ce")
                                      ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
       FROM scored)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("q_ann_ivf", _ANN_IVF_SQL)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF(nprobe=1) approximate top-5: corpus bucketed by nearest of 16
     deterministic centroids; each query searches only its bucket."""
@@ -531,6 +531,43 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") < 5), emb,
         n_centroids=16, k=5, refine_iters=2, nprobe=2,
+    )
+
+
+@register(
+    "q_ann_recall",
+    f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_COSINE_TOPK_SQL})),
+    approx AS (SELECT query_id, neighbor_id FROM ({_ANN_IVF_SQL}))
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF(nprobe=1) index against the brute-force exact
+    top-5 — THE metric ANN tuning tracks (how much recall does bucketing
+    trade for its ~1/n_centroids scan cost).  Both sides are bounded
+    TakeOrdered outputs (5 queries x 5 neighbors), so the audit join is
+    driver-trivial however large the corpus; only the underlying searches
+    scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(q, emb, n_centroids=16, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.count("hit").cast("long").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)).cast("double"), 6).alias("recall"),
+        )
     )
 
 
