@@ -417,3 +417,17 @@ class TestRound5LateOps:
         plan = final_plan_of(QUERIES["q_rrf_fusion"](spark, sf))
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
+
+    def test_zorder_layout_is_pure_agg(self, spark, sf):
+        # the layout audit is scan -> map (bit ops) -> grouped agg per
+        # layout: no joins of any kind
+        plan = final_plan_of(QUERIES["q_zorder_layout"](spark, sf))
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_media_patch_dedup_hot_prune(self, spark, sf):
+        # hot-patch prune is a broadcast anti-join; pairs only via digest
+        # equi-join — never a cartesian, blobs never in the shuffle
+        plan = final_plan_of(QUERIES["q_media_patch_dedup"](spark, sf))
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
