@@ -231,3 +231,34 @@ def test_strip_boilerplate_matches_pure_python(spark, docs, maxdf):
         kept = [c for c in cs if dfreq[c] <= maxdf]
         expect[i] = (len(cs), len(cs) - len(kept), " ".join(kept))
     assert got == expect
+
+
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1023.0, allow_nan=False, width=32),
+        min_size=5, max_size=120,
+    )
+)
+def test_histogram_quantile_within_one_bin_of_exact(spark, values):
+    """Property: the sketch estimate is >= the exact percentile and within
+    one bin width above it (upper-edge estimator over [lo, hi))."""
+    import math
+
+    from dipper_spark.operators.sketches import histogram_quantiles
+
+    n_bins, lo, hi = 64, 0.0, 1024.0
+    width = (hi - lo) / n_bins
+    df = spark.createDataFrame([("g", float(v)) for v in values], ["grp", "v"])
+    [r] = histogram_quantiles(
+        df, "v", ["grp"], {"p50": 0.5}, lo=lo, hi=hi, n_bins=n_bins
+    ).collect()
+    xs = sorted(values)
+    # exact p50 by the sketch's own definition: smallest x with
+    # cum-count >= 0.5 * n
+    exact = xs[math.ceil(0.5 * len(xs)) - 1]
+    assert r.p50 >= exact
+    assert r.p50 - exact <= width + 1e-9
