@@ -98,6 +98,7 @@ HEADLINE = [
     "q_semdedup",
     "q_dsir_weights",
     "q_gumbel_topk",
+    "q_training_mix",
     "q_dedup_decision",
     "q_decontaminate",
     "q_jaccard_pruned",

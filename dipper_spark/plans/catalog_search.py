@@ -1328,9 +1328,7 @@ _DSIR_FEATS = f"list_concat({TOK}, {_shingles_sql(TOK, 2)})"
 _DSIR_BUCKET = f"CAST(('0x' || substr(md5(_f), 1, 8)) AS BIGINT) % {_DSIR_B}"
 
 
-@register(
-    "q_dsir_weights",
-    f"""
+_DSIR_SQL = f"""
     WITH tfe AS (
       SELECT {_DSIR_BUCKET} AS bucket FROM (
         SELECT unnest({_DSIR_FEATS}) AS _f FROM documents
@@ -1350,8 +1348,10 @@ _DSIR_BUCKET = f"CAST(('0x' || substr(md5(_f), 1, 8)) AS BIGINT) % {_DSIR_B}"
     SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
            round(sum(lr), 6) AS logratio
     FROM rfe JOIN tbl USING (bucket) GROUP BY id
-    """,
-)
+    """
+
+
+@register("q_dsir_weights", _DSIR_SQL)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bag models fit on the target slice (source src0) vs the rest; each raw
@@ -1365,6 +1365,61 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != _DSIR_TGT),
         docs.filter(F.col("source") == _DSIR_TGT),
         "doc_id", "text", n_buckets=_DSIR_B,
+    )
+
+
+# ---- training-mix capstone: DSIR select -> Gumbel draw -> epoch shards --------
+
+_MIX_K, _MIX_SHARDS = 200, 8
+_MIX_U = (
+    "((CAST(('0x' || substr(md5('g1:' || CAST(id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) + 0.5) / 4294967296.0)"
+)
+_MIX_H = "md5('ep1:' || CAST(id AS VARCHAR))"
+_MIX_SHARD = f"CAST(('0x' || substr({_MIX_H}, 1, 8)) AS BIGINT) % {_MIX_SHARDS}"
+
+
+@register(
+    "q_training_mix",
+    f"""
+    WITH d AS (SELECT id, logratio FROM ({_DSIR_SQL})),
+    sel AS (
+      SELECT id, logratio, s FROM (
+        SELECT id, logratio, logratio - ln(-ln({_MIX_U})) AS s FROM d)
+      ORDER BY s DESC, id LIMIT {_MIX_K})
+    SELECT id AS doc_id, logratio, round(s, 6) AS score,
+           CAST({_MIX_SHARD} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY {_MIX_SHARD}
+                                   ORDER BY {_MIX_H}, id) AS BIGINT) AS pos
+    FROM sel
+    """,
+)
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection capstone, end to end: DSIR importance weights (hashed
+    n-gram LLR vs the src0 target slice) -> exact weighted sampling
+    without replacement of 200 documents (Gumbel top-k on the weights) ->
+    deterministic epoch shuffle of the selection into 8 training shards.
+    Every stage is the production operator used by its standalone query
+    (q_dsir_weights, q_gumbel_topk, q_epoch_shuffle); the composition is
+    what a pretraining data pipeline actually ships.  Corpus-sized work:
+    two scans for the DSIR model + one broadcast-join scoring pass; the
+    draw is TakeOrdered; the shard shuffle moves 200 rows."""
+    from dipper_spark.operators.sampling import (
+        dsir_logratio,
+        epoch_shuffle,
+        gumbel_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lr = dsir_logratio(
+        docs.filter(F.col("source") != _DSIR_TGT),
+        docs.filter(F.col("source") == _DSIR_TGT),
+        "doc_id", "text", n_buckets=_DSIR_B,
+    )
+    sel = gumbel_topk(lr, "id", F.col("logratio"), k=_MIX_K, seed="g1")
+    sh = epoch_shuffle(sel, "id", n_shards=_MIX_SHARDS, seed="ep1")
+    return sh.select(
+        F.col("id").alias("doc_id"), "logratio", "score", "shard", "pos"
     )
 
 

@@ -431,3 +431,11 @@ class TestRound5LateOps:
         plan = final_plan_of(QUERIES["q_media_patch_dedup"](spark, sf))
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+
+    def test_training_mix_capstone_shape(self, spark, sf):
+        # DSIR model broadcast, Gumbel draw TakeOrdered, 200-row shard
+        # shuffle — no cartesians, no global sort of the corpus
+        plan = plan_of(QUERIES["q_training_mix"](spark, sf))
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
