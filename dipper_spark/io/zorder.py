@@ -100,7 +100,13 @@ def zorder_shard_stats(
     shard) and report each shard's row count and bounding box on both
     dimensions.  The per-shard (x_max - x_min)/(y_max - y_min) extents are
     exactly what parquet min/max pruning sees per file.
+
+    ``n_shards`` must be a power of two: the shard is a pure bit shift of
+    the key, so only power-of-two counts yield equal-width ranges (e.g.
+    10 would silently audit 8 wider shards).
     """
+    if n_shards < 1 or n_shards & (n_shards - 1):
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
     shift = key_bits - (n_shards.bit_length() - 1)
     shard = F.shiftright(key, shift).cast("long").alias("shard")
     return (

@@ -2141,6 +2141,10 @@ def _bpe_encode_sql(n_merges: int) -> str:
     the word→segmentation table, order-sensitive md5 fingerprint of the
     full encoded stream."""
     ctes = _bpe_sql(n_merges).rsplit("\nSELECT 1 AS step", 1)[0]
+    # LEFT join + char-split coalesce mirrors bpe_encode's OOV fallback
+    # (a word absent from the trained vocab encodes as its 0-merge
+    # character split) — the corpus-trained registration never exercises
+    # it, but the oracle must agree if it ever does
     return (
         ctes
         + f""",
@@ -2149,10 +2153,13 @@ def _bpe_encode_sql(n_merges: int) -> str:
       FROM (SELECT doc_id, {TOK} AS t FROM documents) d,
            unnest(range(1, len(t) + 1)) AS u(i))
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
-           md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+           CAST(sum(coalesce(len(syms), length(word))) AS BIGINT) AS n_tokens,
+           md5(string_agg(
+                 coalesce(array_to_string(syms, ' '),
+                          array_to_string(string_split(word, ''), ' ')),
+                 ' ' ORDER BY pos))
              AS enc_fingerprint
-    FROM docw JOIN s{n_merges} USING (word)
+    FROM docw LEFT JOIN s{n_merges} USING (word)
     GROUP BY doc_id
     """
     )

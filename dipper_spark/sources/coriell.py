@@ -369,6 +369,17 @@ class CoriellPipeline(SourcePipeline):
             ),
             # GVC individual (684-689)
             individual_triples(gvc, "gvc_id", F.lit(GVC), label_col="gvc_label", graph_id=g),
+            # abnormal karyotype is a variant part of the GVC (612-615):
+            # only when the karyotype is abnormal, a GVC exists, and the
+            # karyotype id did not itself become the GVC id
+            make_triples(
+                gvc.filter(
+                    F.col("abnormal_kary")
+                    & F.col("karyotype_id").isNotNull()
+                    & (F.col("karyotype_id") != F.col("gvc_id"))
+                ),
+                "gvc_id", F.lit(HAS_VARIANT_PART), "karyotype_id", graph_id=g,
+            ),
             # gvc into genotype, reference part for unaffected (691-697);
             # uses the PRE-fallback genotype id — the normal-karyotype
             # reassignment happens after this edge in the reference

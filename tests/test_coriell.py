@@ -134,6 +134,11 @@ class TestGenotypeDecomposition:
         assert (gvc, "rdf:type", "GENO:0000009") in t
         assert (gvc, "rdfs:label", "GBA(L444P); 46;XY;t(1;3)(p22;q13)") in t
         assert ("dbSNPIndividual:na001", "GENO:0000382", gvc) in t
+        # abnormal karyotype rides into the GVC as a variant part
+        # (Coriell.py:612-615: abnormal kary + distinct gvc_id)
+        kary = [s for s, p, o in t if p == "rdf:type" and o == "GENO:0000644"]
+        assert len(kary) == 1
+        assert (gvc, "GENO:0000382", kary[0]) in t
 
     def test_intrinsic_genotype_on_patient(self, graph):
         t = _spo(graph)

@@ -910,6 +910,13 @@ class TestBpeEncode:
         [row] = bpe_encode(apply_df, "doc_id", "text", vocab).collect()
         # 'aa' -> 1 merged token; OOV 'xyz' -> 3 chars
         assert row.n_words == 2 and row.n_tokens == 1 + 3
+        # pin the fallback's fingerprint: in-vocab segmentation for 'aa',
+        # char split for the held-out 'xyz', space-joined in doc order
+        import hashlib
+
+        seg = {r.word: list(r.syms) for r in vocab.collect()}
+        stream = " ".join(seg["aa"] + ["x", "y", "z"])
+        assert row.enc_fingerprint == hashlib.md5(stream.encode()).hexdigest()
 
     def test_vocab_side_is_broadcast(self, spark):
         from dipper_spark.operators.bpe import bpe_encode, bpe_train

@@ -68,3 +68,18 @@ def test_zorder_shards_bound_both_dims(spark):
     for r in ls:
         assert r.y_max - r.y_min == 63.0
         assert r.x_max - r.x_min <= 3.0
+
+
+def test_shard_stats_rejects_non_power_of_two(spark):
+    """The shard is a pure bit shift, so n_shards=10 would silently audit
+    8 wider shards — the guard raises instead (round-9 ADVICE)."""
+    import pytest
+
+    grid = spark.range(4).select(
+        F.col("id").cast("double").alias("x"), F.col("id").cast("double").alias("y")
+    )
+    rng = (0.0, 4.0)
+    key = zorder_key(F.col("x"), F.col("y"), rng, rng)
+    for bad in (0, 3, 10, 12):
+        with pytest.raises(ValueError, match="power of two"):
+            zorder_shard_stats(grid, key, F.col("x"), F.col("y"), n_shards=bad)
