@@ -695,6 +695,14 @@ def connected_components(
             .agg(F.min("n_comp").alias("n_comp"))
             .select(F.col("src").alias("id"), "n_comp")
         )
+        # the changed-flag rides ALONG the label update (chg = a strictly
+        # smaller neighbor label arrived), so the fixpoint test is a sum
+        # over the frame being materialized anyway — one Spark job per
+        # iteration, not a checkpoint job plus a compare-join job.  The
+        # LAZY checkpoint is materialized by the sum action itself (the
+        # single-consumer case where eager=False is safe; concurrent
+        # branches of one action would each recompute — see the pruned
+        # jaccard path for the eager counter-example).
         new_labels = (
             labels.join(F.broadcast(nbr) if broadcast_labels else nbr, "id", "left")
             .select(
@@ -702,16 +710,16 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("n_comp", F.col("component"))
                 ).alias("component"),
+                (F.coalesce("n_comp", F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(F.broadcast(labels.alias("o")) if broadcast_labels else labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(
+            F.coalesce(F.sum("chg"), F.lit(0)).alias("n")
+        ).first()[0]
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels
