@@ -485,6 +485,50 @@ def label_pca_spectrum(
     )
 
 
+def label_pca_invariants(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Value-level PCA certificate per label: the FULL eigensolve of each
+    label's covariance, reduced to three invariants a relational oracle
+    can verify independently — (1) the eigenvalue sum, which must equal
+    the covariance trace = Σ_dim var_pop(x_dim) (an eigensolve-free
+    identity), (2) the count of non-negative eigenvalues, which must be d
+    (covariance is PSD), and (3) the number of descending-order
+    violations, which must be 0.  A wrong eigensolve — scaling bug, bad
+    centering, truncated spectrum — breaks (1); returning garbage breaks
+    (2)/(3).  Same grouped-applyInPandas shape and determinism discipline
+    as ``label_pca_spectrum`` (rows sorted by id before the fold).
+
+    Returns (label, eigval_sum UNROUNDED, n_nonneg, n_desc_violations);
+    callers round eigval_sum engine-side for cross-engine compare.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def invariants(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        xc = x - x.mean(axis=0, keepdims=True)
+        cov = (xc.T @ xc) / max(len(x), 1)
+        eig = np.linalg.eigvalsh(cov)[::-1]  # descending
+        return pd.DataFrame(
+            {
+                "label": [pdf[label_col].iloc[0]],
+                "eigval_sum": [float(eig.sum())],
+                "n_nonneg": [int((eig >= -1e-9).sum())],
+                "n_desc_violations": [int((np.diff(eig) > 1e-12).sum())],
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(
+        invariants,
+        "label int, eigval_sum double, n_nonneg long, n_desc_violations long",
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -1852,20 +1852,47 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(edges, "a", "b", order="degree")
 
 
-# ---- grouped-applyInPandas PCA spectrum (no SQL oracle: eigensolve) ----------
+# ---- grouped-applyInPandas PCA with a value-level invariant oracle -----------
 
 
-@register("q_label_pca")
+@register(
+    "q_label_pca",
+    """
+    WITH e AS (
+      SELECT label, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    d AS (SELECT label, CAST(len(embedding) AS BIGINT) AS d
+          FROM embeddings QUALIFY row_number() OVER (PARTITION BY label
+                                                     ORDER BY vec_id) = 1),
+    tr AS (SELECT label, round(CAST(sum(var) AS DOUBLE), 4) AS eigval_sum
+           FROM (SELECT label, dim, var_pop(v) AS var FROM e
+                 GROUP BY label, dim)
+           GROUP BY label)
+    SELECT tr.label, eigval_sum, d AS n_nonneg,
+           CAST(0 AS BIGINT) AS n_desc_violations
+    FROM tr JOIN d USING (label)
+    """,
+)
 def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 PCA eigenvalues + variance-explained per embedding label —
-    the grouped-applyInPandas surface (eigendecomposition is genuinely
-    non-relational, so this entry has no SQL oracle; the driver records
-    the rows-only check).  Deterministic: member rows are sorted by id
-    before the covariance fold."""
-    from dipper_spark.operators.similarity import label_pca_spectrum
+    """Per-label PCA with a VALUE-LEVEL oracle (round-8 verdict item #4):
+    the Spark side eigensolves each label's covariance (grouped
+    applyInPandas — the eigensolve itself is genuinely non-relational)
+    and reports invariants the DuckDB oracle derives WITHOUT an
+    eigensolve: eigenvalue sum = covariance trace = Σ_dim var_pop
+    (a mathematical identity broken by any scaling/centering/truncation
+    bug), all d eigenvalues non-negative (covariance is PSD), and zero
+    descending-order violations.  The full top-k spectrum surface
+    (``label_pca_spectrum``) stays library API, hash-pinned in pytest."""
+    from dipper_spark.operators.similarity import label_pca_invariants
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return label_pca_spectrum(emb, "vec_id", "label", "embedding", k=2)
+    inv = label_pca_invariants(emb, "vec_id", "label", "embedding")
+    return inv.select(
+        "label",
+        F.round("eigval_sum", 4).alias("eigval_sum"),
+        "n_nonneg",
+        "n_desc_violations",
+    )
 
 
 # ---- snapshot diff (CDC between corpus versions) ------------------------------

@@ -407,21 +407,26 @@ class TestDecontaminate:
 
 
 class TestLabelPcaGolden:
-    """q_label_pca is the one catalog query with no DuckDB oracle (the
-    eigensolve is non-relational); its output is nonetheless fully
-    deterministic — member rows are sorted by id before the covariance
-    fold and numpy's symmetric eigensolver is stable — so the sf0.01
-    spectrum is pinned by value hash here.  Regenerating the constant is a
-    DELIBERATE act on a semantic change."""
+    """The full PCA spectrum (top-k eigenvalues + variance fractions) has
+    no DuckDB oracle — the eigensolve is non-relational — but its output
+    is fully deterministic: member rows are sorted by id before the
+    covariance fold and numpy's symmetric eigensolver is stable, so the
+    sf0.01 spectrum is pinned by value hash here.  (The registered
+    q_label_pca catalog entry now carries a VALUE-LEVEL invariant oracle —
+    eigenvalue sum = trace, PSD, descending — so the driver gate checks
+    the eigensolve too; this pin still guards the per-component split.)
+    Regenerating the constant is a DELIBERATE act on a semantic change."""
 
     HASH = "32716a863827abad757c3294d9ed4c25"
 
     def test_sf001_spectrum_pinned(self, spark):
         import hashlib
 
-        from dipper_spark.plans import QUERIES
+        from dipper_spark.operators.similarity import label_pca_spectrum
+        from dipper_spark.plans.catalog import load_table
 
-        df = QUERIES["q_label_pca"](spark, "/root/testdata/sf0.01")
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        df = label_pca_spectrum(emb, "vec_id", "label", "embedding", k=2)
         assert df.columns == ["label", "component", "eigval", "var_frac"]
         rows = sorted(tuple(r) for r in df.collect())
         assert len(rows) == 20  # 10 labels x top-2 components
@@ -430,6 +435,26 @@ class TestLabelPcaGolden:
             for r in rows
         )
         assert hashlib.md5(canon.encode()).hexdigest() == self.HASH
+
+    def test_invariants_certify_spectrum(self, spark):
+        """The invariant frame's eigval_sum equals the spectrum's total
+        variance (trace) computed independently by numpy on the collected
+        vectors — the same identity the DuckDB oracle checks via
+        var_pop."""
+        import numpy as np
+
+        from dipper_spark.operators.similarity import label_pca_invariants
+        from dipper_spark.plans.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        inv = {r.label: r for r in label_pca_invariants(emb).collect()}
+        pdf = emb.select("label", "embedding").toPandas()
+        for label, grp in pdf.groupby("label"):
+            x = np.asarray(grp["embedding"].tolist(), dtype=np.float64)
+            trace = float(x.var(axis=0, ddof=0).sum())
+            assert abs(inv[label].eigval_sum - trace) < 1e-8
+            assert inv[label].n_nonneg == x.shape[1]
+            assert inv[label].n_desc_violations == 0
 
 
 class TestSeededAnnGolden:
