@@ -120,6 +120,7 @@ HEADLINE = [
     "q_media_dedup",
     "q_media_frames",
     "q_media_patch_dedup",
+    "q_media_phash",
 ]
 
 

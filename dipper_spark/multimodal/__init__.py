@@ -26,6 +26,8 @@ from dipper_spark.multimodal.ops import (
     byte_histogram_features,
     decode_media,
     media_stats,
+    phash_media,
+    phash_pairs,
     resize_image,
     sample_frames,
 )
@@ -36,6 +38,8 @@ __all__ = [
     "byte_histogram_features",
     "decode_media",
     "media_stats",
+    "phash_media",
+    "phash_pairs",
     "resize_image",
     "sample_frames",
 ]

@@ -238,6 +238,116 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     return vids.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_media(media: DataFrame, n_cells: int = 64) -> DataFrame:
+    """Perceptual DCT fingerprint over the DECODED sample buffer — the
+    re-encode-robust dedup signal byte-level patch digests can't give
+    (round-8 verdict item #3): quantization-style amplitude noise (what a
+    lossy re-encode adds) changes every fixed-width block digest but
+    leaves the coarse spectrum intact, so near-identical content hashes
+    within a few bits.  Classic pHash discipline adapted to the 1-D
+    sample stream: mean-pool the decoded bytes onto ``n_cells`` equal
+    windows (the "resize"), DCT-II, drop the DC term, threshold the
+    remaining ``n_cells - 1`` coefficients at their median, pack to a
+    63-bit key.  Like image pHash, this is robust to amplitude noise and
+    global re-quantization, NOT to translation/cropping (a byte shift is
+    a phase shift; shift-invariant variants need magnitude spectra).
+
+    Runs through the production decode path (``decode_media`` — codec
+    stubbed to the deterministic byte-reverse here) then one Arrow
+    ``mapInPandas`` stage: numpy bincount pooling + one (cells x cells)
+    matmul per batch, no per-row Python.  Coefficients are rounded to 2
+    decimals before the median threshold so the bit pattern is
+    reproducible across engines (the DuckDB oracle recomputes the exact
+    hash relationally).  Only the 8-byte hash ever shuffles.
+
+    Returns (doc_id, modality, phash) with phash in [0, 2^63).
+    """
+    import numpy as np
+
+    basis = np.cos(
+        np.pi
+        * (2 * np.arange(n_cells)[:, None] + 1)
+        * np.arange(n_cells)[None, :]
+        / (2 * n_cells)
+    )  # (cell, freq) DCT-II basis
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf["decoded"]:
+                if b is None or len(b) == 0:
+                    hashes.append(0)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                n = len(arr)
+                cell = (np.arange(n) * n_cells) // n
+                sums = np.bincount(cell, weights=arr, minlength=n_cells)
+                cnts = np.bincount(cell, minlength=n_cells)
+                v = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+                coeffs = np.round((v @ basis)[1:], 2)
+                m = np.median(coeffs)
+                bits = coeffs > m
+                hashes.append(int(sum(1 << i for i in np.nonzero(bits)[0])))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return decode_media(media).mapInPandas(phash_batches, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(
+    phashes: DataFrame,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-dup pair search over ``phash_media`` output by
+    pigeonhole banding — the SimHash discipline applied to the DCT hash:
+    split the 63-bit key into ``bands`` contiguous bit bands; any pair
+    within ``max_hamming <= bands - 1`` bits must agree on at least one
+    whole band, so candidates are band-value collisions (an equi-join on
+    (band, value) — never all-pairs) and the exact Hamming verify
+    (``bit_count(xor)``) runs on candidate volume only.  Only 8-byte
+    hashes shuffle; the blobs never do.
+
+    Returns (id_1, id_2, hamming) for pairs with hamming <= max_hamming.
+    """
+    banded = phashes.select(
+        F.col("doc_id"),
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(phash, band * {band_bits}) & {(1 << band_bits) - 1}"),
+    )
+    a = banded.select(
+        "band", "band_val", F.col("doc_id").alias("id_1"), F.col("phash").alias("h_1")
+    )
+    b = banded.select(
+        "band", "band_val", F.col("doc_id").alias("id_2"), F.col("phash").alias("h_2")
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", F.bit_count(F.expr("h_1 ^ h_2")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Per-modality inventory: count / total+avg bytes / frame totals.
 

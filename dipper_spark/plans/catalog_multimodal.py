@@ -135,6 +135,60 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PH_CELLS = 64  # 1-D resample windows = DCT length; hash is _PH_CELLS-1 bits
+
+
+@register(
+    "q_media_phash",
+    f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n, u.j AS j,
+             ord(array_extract(regexp_split_to_array(text, ''), u.j + 1)) AS byte
+      FROM documents, unnest(range(0, length(text))) AS u(j)),
+    cells AS (
+      -- decoded position i = n-1-j (the stub decode is a byte reverse);
+      -- mean-pool onto {_PH_CELLS} equal windows
+      SELECT doc_id, ((n - 1 - j) * {_PH_CELLS}) // n AS cell,
+             avg(CAST(byte AS DOUBLE)) AS v
+      FROM b GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, g.cell, coalesce(c.v, 0.0) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, {_PH_CELLS})) AS cell) g
+      LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.cell = g.cell),
+    coef AS (
+      -- DCT-II, DC dropped; round 2 so the median threshold is
+      -- reproducible across engines
+      SELECT doc_id, uu.u AS u,
+             round(CAST(sum(v * cos(pi() * (2 * cell + 1) * uu.u
+                                    / {2 * _PH_CELLS})) AS DOUBLE), 2) AS y
+      FROM grid, unnest(range(1, {_PH_CELLS})) AS uu(u)
+      GROUP BY 1, 2),
+    med AS (SELECT doc_id, median(y) AS m FROM coef GROUP BY 1)
+    SELECT coef.doc_id,
+           {MODALITY_SQL.replace('doc_id', 'coef.doc_id')} AS modality,
+           CAST(sum(CASE WHEN y > m
+                         THEN CAST(1 AS BIGINT) << CAST(u - 1 AS INT)
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM coef JOIN med USING (doc_id) GROUP BY 1, 2
+    """,
+)
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual DCT fingerprint per media asset over the DECODED buffer
+    (decode -> Arrow mapInPandas pool/DCT/median-threshold), the
+    re-encode-robust dedup key: amplitude noise that rewrites every
+    byte-patch digest moves this hash by <= a few bits (pinned in
+    tests/test_multimodal.py against q_media_patch_dedup's miss).  The
+    oracle recomputes the EXACT 63-bit hash relationally — pooling via
+    grouped avg, DCT as a cos-product sum, median threshold, integer bit
+    packing — byte-for-byte (all 500 sf0.01 hashes cross-checked during
+    design)."""
+    from dipper_spark.multimodal.ops import phash_media
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return phash_media(media, n_cells=_PH_CELLS)
+
+
 _PATCH_B, _PATCH_MIN, _PATCH_CAP = 32, 2, 20
 _PATCH_N = f"CAST(ceil(octet_length(encode(text)) / {_PATCH_B}.0) AS BIGINT)"
 

@@ -194,3 +194,72 @@ class TestPatchDedup:
         )
         assert "LeftAnti" in plan  # hot-patch prune
         assert "CartesianProduct" not in plan
+
+
+class TestPerceptualHash:
+    """phash_media / phash_pairs: the decoded-domain near-dup signal that
+    closes q_media_patch_dedup's re-encode blindspot (round-8 verdict
+    item #3).  The 'lossy re-encode' stand-in is quantization-style
+    amplitude noise on the payload bytes — it rewrites EVERY fixed-width
+    block digest while leaving the coarse DCT spectrum intact."""
+
+    @staticmethod
+    def _media(spark):
+        # real corpus content (repetitive synthetic text clusters DCT
+        # coefficients at the median and makes bits fragile — corpus docs
+        # have the varied spectra the operator is designed for)
+        corpus = {
+            r.doc_id: r.text
+            for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+            .filter("doc_id IN (1, 6) AND length(text) > 300")
+            .collect()
+        }
+        base, unrelated = corpus[1], corpus[6]
+        # lossy re-encode stand-in: bump every 3rd byte (stays ascii)
+        noisy = "".join(
+            chr(ord(c) + 1) if i % 3 == 0 and " " < c < "~" else c
+            for i, c in enumerate(base)
+        )
+        docs = spark.createDataFrame(
+            [(1, base), (2, noisy), (3, unrelated)], ["doc_id", "text"]
+        )
+        return attach_media(docs)
+
+    def test_reencoded_dup_caught_where_patch_dedup_misses(self, spark):
+        from dipper_spark.multimodal import phash_media, phash_pairs
+        from dipper_spark.multimodal.ops import patch_neardup_pairs
+
+        media = self._media(spark)
+        # byte-level patch dedup: the noise rewrote every 32-byte block,
+        # so NO pair survives — the documented blindspot
+        assert patch_neardup_pairs(media, patch_bytes=32, min_shared=2).count() == 0
+        # perceptual hash: the banded pair search catches exactly the
+        # re-encoded pair, within the pigeonhole guarantee (hamming <= 3)
+        pairs = phash_pairs(phash_media(media), max_hamming=3).collect()
+        assert [(r.id_1, r.id_2) for r in pairs] == [(1, 2)]
+        assert pairs[0].hamming <= 3
+
+    def test_identical_content_hamming_zero_and_determinism(self, spark):
+        from dipper_spark.multimodal import phash_media
+
+        media = self._media(spark)
+        h1 = {r.doc_id: r.phash for r in phash_media(media).collect()}
+        h2 = {
+            r.doc_id: r.phash
+            for r in phash_media(media.repartition(7)).collect()
+        }
+        assert h1 == h2  # partitioning-invariant
+        assert all(0 <= v < 1 << 63 for v in h1.values())
+        # unrelated content is far: > max_hamming by a wide margin
+        assert bin(h1[1] ^ h1[3]).count("1") > 10
+
+    def test_phash_only_hashes_shuffle_never_blobs(self, spark):
+        from dipper_spark.multimodal import phash_media, phash_pairs
+
+        plan = (
+            phash_pairs(phash_media(self._media(spark)))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
