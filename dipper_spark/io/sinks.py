@@ -149,12 +149,18 @@ def used_prefixes(df: DataFrame, curie_map: CurieMap) -> list[str]:
     ``self.prefixes`` per node at RDFGraph.py:175-177 and binds only those at
     serialize time)."""
     pfx = F.split(F.col("t"), ":").getItem(0)
-    terms = (
-        df.select(F.col("subject").alias("t"))
-        .union(df.select(F.col("predicate").alias("t")))
-        .union(df.filter(~F.col("is_literal")).select(F.col("object").alias("t")))
-        .union(df.filter(F.col("datatype").isNotNull()).select(F.col("datatype").alias("t")))
-    )
+    # one scan, not a 4-way union of scans: every candidate term rides a
+    # single exploded array (nulls dropped for the conditional slots)
+    terms = df.select(
+        F.explode(
+            F.array(
+                F.col("subject"),
+                F.col("predicate"),
+                F.when(~F.col("is_literal"), F.col("object")),
+                F.col("datatype"),
+            )
+        ).alias("t")
+    ).filter(F.col("t").isNotNull())
     rows = (
         terms.filter(~F.col("t").startswith("_") & ~F.lower(pfx).isin("http", "https", "ftp"))
         .select(pfx.alias("p")).distinct().collect()
@@ -176,6 +182,31 @@ def _ttl_term(term: str, is_literal: bool, datatype: str | None, cm: CurieMap) -
     return term if prefix in cm.mapping else f"<{term}>"
 
 
+def _subject_grouped(df: DataFrame) -> DataFrame:
+    """Dedup + subject-range-partition + in-partition sort for the
+    streaming (toLocalIterator) serializers, with the partition count
+    sized to the GRAPH, not the core count: toLocalIterator fetches ONE
+    PARTITION PER JOB, so a fixture-scale graph spread over
+    defaultParallelism(=32) partitions pays 32 sequential job round-trips
+    (~100 ms each) to stream a few hundred triples — the dominant share
+    of the per-source "write" seconds in BENCH_SOURCES (round-8 verdict
+    item #6).  One count() job up front (cheap: the ETL graph is
+    localCheckpoint-ed upstream) buys a matched partition count; the
+    streaming serializers are the documented small-graph sinks (write_nt
+    is the 100 TB path), so the count never scans big data."""
+    deduped = df.dropDuplicates(["subject", "predicate", "object"])
+    n_parts = max(
+        1,
+        min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            deduped.count() // 100_000 + 1,
+        ),
+    )
+    return deduped.repartitionByRange(n_parts, "subject").sortWithinPartitions(
+        "subject", "predicate", "object"
+    )
+
+
 def iter_turtle(df: DataFrame, curie_map: CurieMap | None = None):
     """Canonical subject-grouped turtle as a stream of text chunks, matching
     what rdflib's serializer gives the reference (RDFGraph.serialize,
@@ -194,11 +225,7 @@ def iter_turtle(df: DataFrame, curie_map: CurieMap | None = None):
         f"@prefix {p}: <{cm.mapping[p]}> .\n" for p in used_prefixes(df, cm)
     )
     yield "\n"
-    grouped = (
-        df.dropDuplicates(["subject", "predicate", "object"])
-        .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "subject")
-        .sortWithinPartitions("subject", "predicate", "object")
-    )
+    grouped = _subject_grouped(df)
     first = True
     cur_subj: str | None = None
     cur_pred: str | None = None
@@ -290,11 +317,7 @@ def iter_rdfxml(df: DataFrame, curie_map: CurieMap | None = None):
             return term
         return cm.expand_str(term)
 
-    grouped = (
-        df.dropDuplicates(["subject", "predicate", "object"])
-        .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "subject")
-        .sortWithinPartitions("subject", "predicate", "object")
-    )
+    grouped = _subject_grouped(df)
     yield '<?xml version="1.0" encoding="utf-8"?>\n'
     yield '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
     cur_subj = None
