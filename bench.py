@@ -44,6 +44,7 @@ HEADLINE = [
     # LLM-pipeline operators
     "q_dedup_agreement",
     "q_session_ids",
+    "q_scd2_history",
     "q_sequence_pack",
     "q_bpe_vocab",
     "q_bpe_encode",

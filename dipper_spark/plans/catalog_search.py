@@ -727,6 +727,75 @@ def q_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scd2_history",
+    """
+    WITH runs AS (
+      SELECT user_id, event_type, us, event_id,
+             CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+               lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events)),
+    hist AS (
+      SELECT user_id, version, event_type,
+             CAST(min(us) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY 1, 2, 3)
+    SELECT user_id, version, event_type, valid_from_us,
+           lead(valid_from_us) OVER
+             (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           n_events,
+           CAST(CASE WHEN lead(valid_from_us) OVER
+                  (PARTITION BY user_id ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM hist
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a CDC-style
+    change stream — the lakehouse dimension-maintenance primitive: each
+    user's event_type stream collapses into validity intervals
+    [valid_from, valid_to) by gaps-and-islands (lag-change flag → running
+    version number → per-run min/count → lead() closes each interval;
+    open interval = current row).  Scale shape: both windows and the agg
+    share ONE (user_id) keyed shuffle and its (time, id) sort — exactly
+    the q_session_ids discipline — so a 100 TB change log costs one
+    repartition regardless of how many versions each key has."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    order = [us.asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("event_type").over(w_lag)
+    version = F.sum(
+        (prev.isNull() | (prev != F.col("event_type"))).cast("int")
+    ).over(w_run).cast("long")
+    hist = (
+        ev.select(
+            "user_id", "event_type", us.alias("us"), version.alias("version")
+        )
+        .groupBy("user_id", "version", "event_type")
+        .agg(
+            F.min("us").cast("long").alias("valid_from_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from_us").over(w_ver)
+    return hist.select(
+        "user_id", "version", "event_type", "valid_from_us",
+        valid_to.alias("valid_to_us"), "n_events",
+        valid_to.isNull().cast("int").alias("is_current"),
+    )
+
+
 # ---- robust (median/MAD) outlier detection -------------------------------------
 
 

@@ -439,3 +439,16 @@ class TestRound5LateOps:
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestScd2History:
+    def test_single_keyed_shuffle(self, spark, sf):
+        """The SCD2 build's two windows and the run-aggregate must share
+        ONE (user_id) hash exchange — the q_session_ids discipline; a
+        second exchange means the agg or lead() re-shuffled."""
+        plan = final_plan_of(QUERIES["q_scd2_history"](spark, sf))
+        # count in the FINAL adaptive plan only (the AQE dump appends an
+        # "== Initial Plan ==" section that would double-count)
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in final
