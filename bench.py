@@ -105,6 +105,7 @@ HEADLINE = [
     "q_jaccard_pruned",
     "q_containment",
     "q_minhash_lsh",
+    "q_lsh_recall",
     "q_simhash",
     "q_simhash_pairs",
     "q_cosine_topk",

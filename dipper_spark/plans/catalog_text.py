@@ -158,7 +158,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SH = _shingles_sql(TOK, 3)
 
-_JACCARD_SQL = f"""
+def _jaccard_exact_sql(threshold: float) -> str:
+    return f"""
     WITH sh AS (SELECT doc_id AS id, unnest(list_distinct({_SH})) AS s FROM documents),
     sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     inter AS (
@@ -168,8 +169,11 @@ _JACCARD_SQL = f"""
     SELECT id_1, id_2,
            round(n_common / CAST(z1.n + z2.n - n_common AS DOUBLE), 6) AS jaccard
     FROM inter JOIN sz z1 ON z1.id = id_1 JOIN sz z2 ON z2.id = id_2
-    WHERE n_common / CAST(z1.n + z2.n - n_common AS DOUBLE) >= 0.5
+    WHERE n_common / CAST(z1.n + z2.n - n_common AS DOUBLE) >= {threshold}
 """
+
+
+_JACCARD_SQL = _jaccard_exact_sql(0.5)
 
 
 @register("q_ngram_jaccard", _JACCARD_SQL)
@@ -254,6 +258,41 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, num_perm=8, rows_per_band=2, threshold=0.8
     )
     return out.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q_lsh_recall",
+    f"""
+    WITH truth AS (SELECT id_1, id_2 FROM ({_jaccard_exact_sql(0.8)})),
+    lsh AS (SELECT id_1, id_2 FROM ({_minhash_sql(threshold=0.8)}))
+    SELECT CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(l.id_1) AS BIGINT) AS n_hit,
+           round(CAST(count(l.id_1) AS DOUBLE) / count(*), 6) AS recall
+    FROM truth t LEFT JOIN lsh l ON l.id_1 = t.id_1 AND l.id_2 = t.id_2
+    """,
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall audit for the MinHash-LSH production path — the
+    text-dedup twin of q_ann_recall: ground truth is the EXACT all-pairs
+    Jaccard >= 0.8 (inverted-index form), the candidate under audit is
+    the 8-perm/4x2-band LSH pipeline (whose pairs are exact-verified, so
+    LSH ⊆ truth and the only error mode is a missed banding collision).
+    Reports n_truth / n_hit / recall in one row — the number that decides
+    whether a banding configuration is safe to ship at 100 TB, measured
+    instead of trusted from the (1-(1-s^r)^b) curve."""
+    truth = jaccard_pairs(docs := load_table(spark, sf_dir, "documents"),
+                          "doc_id", "text", n=3, threshold=0.8)
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=8, rows_per_band=2, threshold=0.8
+    )
+    hit = truth.select("id_1", "id_2").join(
+        lsh.select("id_1", "id_2", F.lit(1).alias("hit")), ["id_1", "id_2"], "left"
+    )
+    return hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("hit").cast("long").alias("n_hit"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall"),
+    )
 
 
 def _simhash_sql(bits: int = 16) -> tuple[str, str]:
