@@ -199,3 +199,47 @@ def test_dsir_weights_scale_and_invariance(spark):
     got13 = {r.id: r.logratio for r in dsir_logratio(
         raw.repartition(13), target, "doc_id", "text").collect()}
     assert got == got13
+
+
+def test_phash_banded_pairs_at_20k_media_assets(spark):
+    """Perceptual-hash pair search at 20k media assets: 500 planted
+    noisy-re-encode pairs (ids 2p / 2p+1 share content; odd ids carry
+    quantization noise) must be found by the banded search, and the
+    candidate join must stay on band collisions — never all-pairs (20k
+    choose 2 ≈ 2e8 would be the non-banded cost).  Content words are
+    drawn from a 200-word pool so unrelated docs share vocabulary (the
+    adversarial case for a coarse spectrum hash: collisions are possible,
+    quadratic blowup is not)."""
+    from dipper_spark.multimodal import attach_media, phash_media, phash_pairs
+
+    import random
+
+    n_docs, n_pairs = 20_000, 500
+
+    def text(i):
+        key = i // 2 if i < 2 * n_pairs else i + 10**6
+        words = [f"w{w}" for w in random.Random(key).choices(range(200), k=40)]
+        base = " ".join(words)
+        if i < 2 * n_pairs and i % 2 == 1:
+            # quantization-noise "re-encode": bump every 3rd byte
+            return "".join(
+                chr(ord(c) + 1) if j % 3 == 0 and " " < c < "~" else c
+                for j, c in enumerate(base)
+            )
+        return base
+
+    docs = spark.createDataFrame(
+        [(i, text(i)) for i in range(n_docs)], ["doc_id", "text"]
+    ).repartition(32)
+    media = attach_media(docs)
+    pairs = phash_pairs(phash_media(media), max_hamming=3)
+    got = {(r.id_1, r.id_2) for r in pairs.collect()}
+    planted = {(2 * p, 2 * p + 1) for p in range(n_pairs)}
+    found = len(got & planted)
+    # identical-content planted pairs hash identically up to the noise;
+    # require >= 95% recall of the planted pairs (the coarse 1-D spectrum
+    # may drop a few whose noise pattern crosses the median threshold)
+    assert found >= int(0.95 * n_pairs), f"only {found}/{n_pairs} planted pairs found"
+    # precision guard: band collisions on a shared-vocab corpus must not
+    # explode into a quadratic pair set
+    assert len(got) < 20 * n_pairs, f"pair set blew up: {len(got)}"
