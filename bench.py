@@ -92,6 +92,7 @@ HEADLINE = [
     "q_pii_scan",
     "q_pii_redact",
     "q_strip_boilerplate",
+    "q_collapse_runs",
     "q_clean_corpus",
     "q_dedup_exact",
     "q_chunk_dedup",

@@ -56,6 +56,21 @@ def redact_pii(col: Column | str) -> Column:
     return c
 
 
+def collapse_token_runs(arr: Column) -> Column:
+    """Run-length scrub over a token array: keep element *i* iff ``i == 0``
+    or ``arr[i] != arr[i-1]`` — collapses consecutive duplicate tokens
+    ("the the", chat-log stutter, scraped-menu repetition) while leaving
+    non-adjacent recurrence untouched.  A single indexed ``F.filter``
+    lambda (``element_at`` is 1-based, so for 0-based index *i* it reads
+    the PREVIOUS element): pure per-row JVM map, zero shuffle."""
+    return F.filter(
+        arr,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x != F.element_at(arr, i)
+        ),
+    )
+
+
 def strip_boilerplate_chunks(
     df: DataFrame,
     id_col: str,

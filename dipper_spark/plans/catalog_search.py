@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from dipper_spark.functions.text import quality_rules, quality_score, tokens
 from dipper_spark.functions.vectors import duckdb_cosine
+from dipper_spark.operators.cleaning import collapse_token_runs
 from dipper_spark.operators.dedup import chunk_dedup
 from dipper_spark.operators.sampling import weighted_sample
 from dipper_spark.operators.search import bm25_topk, tfidf_keywords
@@ -31,6 +32,43 @@ from dipper_spark.plans.catalog_text import (
     _shingles_sql,
 )
 from dipper_spark.session import load_table
+
+# ---- intra-doc consecutive-duplicate-token scrub (rewrite, not filter) -------
+
+
+@register(
+    "q_collapse_runs",
+    f"""
+    WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(array_to_string(kept, ' ')) AS clean_fp
+    FROM (
+      SELECT doc_id, toks,
+             list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept
+      FROM t)
+    """,
+)
+def q_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document run-length scrub — collapse CONSECUTIVE duplicate
+    tokens ("the the", chat-log stutter, scraped-menu repetition) while
+    leaving non-adjacent recurrence alone.  The cleaning family's REWRITE
+    counterpart to the repetition-ratio FILTER (q_repetition flags; this
+    fixes).  Pure per-row map over the token array (indexed lambda
+    filter) — zero shuffle, codegen'd, embarrassingly parallel at 100 TB;
+    the md5 of the rebuilt text is the order-sensitive witness that both
+    engines kept the same tokens in the same order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    kept = collapse_token_runs(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+    )
+
 
 # ---- chunk-level dedup (RefinedWeb line-dedup analog) ------------------------
 

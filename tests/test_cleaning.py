@@ -3,6 +3,7 @@
 import pyspark.sql.functions as F
 
 from dipper_spark.operators.cleaning import (
+    collapse_token_runs,
     pii_counts,
     redact_pii,
     strip_boilerplate_chunks,
@@ -76,6 +77,31 @@ def test_strip_keeps_intra_doc_repetition(spark):
         for r in strip_boilerplate_chunks(df, "doc_id", "text", 10, max_doc_freq=1).collect()
     }
     assert out[1].n_dropped == 0 and out[1].clean_text == chunk + " " + chunk
+
+
+# ---- consecutive-duplicate-token scrub --------------------------------------
+
+
+def test_collapse_token_runs_semantics(spark):
+    from dipper_spark.functions.text import tokens
+
+    rows = [
+        (1, "the the the cat cat sat"),   # runs collapse to one survivor
+        (2, "a b a b"),                   # non-adjacent recurrence untouched
+        (3, "x"),                         # singleton passes through
+        (4, "go go go go go go"),         # all-run doc keeps exactly one
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.kept
+        for r in df.select(
+            "doc_id", collapse_token_runs(tokens("text")).alias("kept")
+        ).collect()
+    }
+    assert out[1] == ["the", "cat", "sat"]
+    assert out[2] == ["a", "b", "a", "b"]
+    assert out[3] == ["x"]
+    assert out[4] == ["go"]
 
 
 # ---- bloom filter (operators/sketches.py) -----------------------------------
