@@ -52,6 +52,7 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_count_min",
     "q_distinct_sketch",
+    "q_hll_distinct",
     "q_repetition",
     "q_stratified_sample",
     "q_source_quota",

@@ -54,10 +54,10 @@ def linear_counting(
 ) -> DataFrame:
     """Linear-counting distinct estimate per group: hash items into ``m``
     buckets, est = -m·ln(1 - occupied/m) — the low-cardinality-regime
-    distinct sketch (HLL's sibling), chosen over HLL here because its
-    state (a bucket bitmap = the distinct bucket set) and its estimator
-    are exact SQL, portable and oracle-checkable, where HLL register
-    blobs are engine-opaque.
+    distinct sketch.  Its large-cardinality sibling is ``hll_registers``
+    / ``hll_estimate`` below (fixed 2**p-register state where LC's
+    occupancy bitmap saturates); both are exact relational SQL, portable
+    and oracle-checkable.
 
     Shape: distinct (group, bucket) hash-agg — state per group is at most
     ``m`` rows however large the stream; merge across partitions/days is
@@ -200,4 +200,109 @@ def histogram_quantiles(
     ]
     return cum.groupBy(*groups).agg(
         F.max("total").cast("long").alias("n_total"), *aggs
+    )
+
+
+def _bit_length(w: Column, bits: int) -> Column:
+    """bit_length(w) for 0 <= w < 2**bits as a comparison cascade — exact
+    integer branching, no floating log2 (whose libm rounding near powers
+    of two need not agree across engines).  The oracle mirrors the same
+    CASE chain textually."""
+    c = F.when(w >= (1 << (bits - 1)), F.lit(bits))
+    for b in range(bits - 1, 0, -1):
+        c = c.when(w >= (1 << (b - 1)), F.lit(b))
+    return c.otherwise(F.lit(0))
+
+
+def hll_registers(
+    df: DataFrame, item: Column | str, groups: list[str], p: int = 10
+) -> DataFrame:
+    """HyperLogLog registers as RELATIONAL state: (group, bucket, rho) rows
+    with rho = max over items hashing to the bucket — refuting the usual
+    "HLL blobs are engine-opaque" objection (cf. ``linear_counting``): kept
+    as rows, the sketch is plain SQL, mergeable by ``groupBy(bucket).max``
+    and bit-reproducible by a DuckDB oracle.
+
+    Flajolet et al. 2007 layout on the portable 32-bit md5-prefix hash:
+    bucket = low ``p`` bits, w = high ``32-p`` bits, rho = leading zeros of
+    w in its ``32-p``-bit frame + 1 (w = 0 -> 32-p+1).
+
+    Shape at 100 TB: one hash-agg to at most 2**p rows per group — map-side
+    partial max compresses every partition to sketch size before the
+    shuffle; merging shards/days/sources is the same grouped max.  State is
+    FIXED at m = 2**p registers regardless of cardinality — the
+    large-cardinality regime where ``linear_counting``'s occupancy bitmap
+    saturates (occupied -> m makes ln(1 - occ/m) blow up).
+    """
+    it = F.col(item) if isinstance(item, str) else item
+    wbits = 32 - p
+    hashed = df.select(
+        *groups,
+        F.conv(F.substring(F.md5(it), 1, 8), 16, 10).cast("long").alias("_h"),
+    )
+    rho = F.lit(wbits + 1) - _bit_length(F.shiftright(F.col("_h"), p), wbits)
+    return (
+        hashed.select(
+            *groups,
+            F.col("_h").bitwiseAND((1 << p) - 1).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, groups: list[str], p: int = 10) -> DataFrame:
+    """Collapse HLL registers to a per-group cardinality estimate.
+
+    E_raw = alpha_m * m^2 / (V + sum 2^-rho) where V = zero registers
+    (absent rows); small-range correction E = m * ln(m / V) when
+    E_raw <= 2.5m and V > 0 (Flajolet et al. 2007).  Every double here is
+    cross-engine deterministic: 2^-rho = 1.0 / (1 << rho) is an exact
+    power of two, so the register sum — all terms multiples of 2^-(33-p)
+    with total < 2^p — is EXACT in IEEE double regardless of summation
+    order (<= 53 mantissa bits used); alpha/division/ln follow the
+    exact-double oracle discipline proven by ``linear_counting``.
+
+    Returns (*groups, n_present, registers_fp, estimate) where
+    registers_fp is an md5 over the sorted "bucket:rho" rows — the witness
+    that Spark and the oracle built identical register state.
+    """
+    m = 1 << p
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        # NB: F.shiftleft's python signature takes only an int amount;
+        # the SQL builtin accepts a column — 1 << rho is exact, and
+        # 1.0 / 2^rho is an exact power of two in IEEE double
+        F.sum(F.lit(1.0) / F.expr("shiftleft(1, rho)").cast("double")).alias(
+            "_s_present"
+        ),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("bucket").cast("string"),
+                            F.col("rho").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("registers_fp"),
+    )
+    v = (F.lit(m) - F.col("n_present")).cast("double")
+    s = F.col("_s_present") + v
+    raw = alpha * F.lit(float(m * m)) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > F.lit(0.0)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        *groups,
+        F.col("n_present").cast("long").alias("n_present"),
+        "registers_fp",
+        est.alias("estimate"),
     )

@@ -533,6 +533,111 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- HyperLogLog distinct sketch (large-cardinality regime) --------------------
+
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 32 - _HLL_P
+
+
+def _hll_bitlen_sql(col: str, bits: int) -> str:
+    """bit_length as a comparison cascade (mirrors sketches._bit_length —
+    no floating log2, whose libm rounding need not agree cross-engine)."""
+    whens = " ".join(
+        f"WHEN {col} >= {1 << (b - 1)} THEN {b}" for b in range(bits, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@register(
+    "q_hll_distinct",
+    f"""
+    WITH sh AS (SELECT source, unnest({_shingles_sql(TOK, 3)}) AS t
+                FROM documents),
+    h AS (SELECT source,
+                 CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+    reg0 AS (SELECT source, h & {_HLL_M - 1} AS bucket,
+                    max({_HLL_WBITS + 1}
+                        - {_hll_bitlen_sql(f"(h >> {_HLL_P})", _HLL_WBITS)}) AS rho
+             FROM h GROUP BY source, bucket),
+    reg AS (SELECT * FROM reg0
+            UNION ALL
+            SELECT '*ALL*' AS source, bucket, max(rho) AS rho
+            FROM reg0 GROUP BY bucket),
+    agg AS (SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_present,
+                   sum(CAST(1.0 AS DOUBLE) / (1 << rho)) AS s_present,
+                   md5(string_agg(s, ',' ORDER BY s)) AS registers_fp
+            FROM (SELECT source, rho, bucket || ':' || rho AS s FROM reg)
+            GROUP BY source),
+    est AS (SELECT source, n_present, registers_fp,
+                   CAST({_HLL_M} - n_present AS DOUBLE) AS v,
+                   (CAST(0.7213 AS DOUBLE)
+                    / (CAST(1.0 AS DOUBLE)
+                       + CAST(1.079 AS DOUBLE) / CAST({_HLL_M} AS DOUBLE)))
+                   * CAST({_HLL_M * _HLL_M} AS DOUBLE)
+                   / (s_present + CAST({_HLL_M} - n_present AS DOUBLE)) AS raw
+            FROM agg),
+    ex AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+           FROM sh GROUP BY source
+           UNION ALL
+           SELECT '*ALL*', CAST(count(DISTINCT t) AS BIGINT) FROM sh)
+    SELECT e.source, e.exact_distinct, a.n_present, a.registers_fp,
+           CAST(floor(CASE WHEN a.raw <= CAST({int(2.5 * _HLL_M)} AS DOUBLE)
+                                AND a.v > 0.0
+                           THEN CAST({_HLL_M} AS DOUBLE)
+                                * ln(CAST({_HLL_M} AS DOUBLE) / a.v)
+                           ELSE a.raw END + 0.5) AS BIGINT) AS estimate
+    FROM ex e JOIN est a ON a.source = e.source
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-3-shingle estimate per source PLUS a '*ALL*'
+    corpus rollup — the FIXED-STATE (2^10 registers) cardinality sketch
+    for the regime where ``q_distinct_sketch``'s linear-counting bitmap
+    saturates.  The rollup row's registers are built by MERGING the
+    per-source sketch rows (groupBy-max over registers, never re-scanning
+    the stream) — the property that makes HLL the cross-shard/day/source
+    distinct counter at 100 TB.  Per-source cardinalities (~1.1-1.5k) sit
+    in the small-range-correction branch; the ~16k rollup exercises the
+    raw alpha-m estimator, so BOTH estimator branches are oracle-pinned.
+    registers_fp is the md5 witness that both engines built IDENTICAL
+    register state; every double is cross-engine deterministic (2^-rho
+    sums are exact in IEEE — see ``hll_estimate``).  100 TB: shuffle is
+    sketch-sized (map-side partial max), never stream-sized."""
+    from dipper_spark.functions.text import word_shingles
+    from dipper_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles(tokens("text"), 3)).alias("t")
+    )
+    exact = sh.groupBy("source").agg(
+        F.countDistinct("t").cast("long").alias("exact_distinct")
+    ).unionByName(
+        sh.agg(F.countDistinct("t").cast("long").alias("exact_distinct"))
+        .select(F.lit("*ALL*").alias("source"), "exact_distinct")
+    )
+    reg_src = hll_registers(sh, "t", ["source"], p=_HLL_P)
+    reg_all = (
+        reg_src.groupBy("bucket").agg(F.max("rho").alias("rho"))
+        .select(F.lit("*ALL*").alias("source"), "bucket", "rho")
+    )
+    est = hll_estimate(reg_src.unionByName(reg_all), ["source"], p=_HLL_P)
+    return exact.join(est, "source").select(
+        "source",
+        "exact_distinct",
+        "n_present",
+        "registers_fp",
+        # floor(x+0.5) -> BIGINT: integer rendering swallows the one-ulp
+        # libm ln() divergence in the correction branch (the
+        # q_distinct_sketch discipline); sketch error is +/-3%, so the
+        # fractional part carries no information anyway
+        F.floor(F.col("estimate") + F.lit(0.5)).cast("long").alias("estimate"),
+    )
+
+
 # ---- sequence packing (token-budget binning) -----------------------------------
 
 _PACK_BUDGET = 2048

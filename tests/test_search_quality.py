@@ -1002,3 +1002,56 @@ class TestRrfFuse:
         sem = spark.createDataFrame([(i, i) for i in range(1, 9)], ["id", "rank"])
         out = rrf_fuse({"lex": lex, "sem": sem}, k=3).collect()
         assert [r.id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+class TestHyperLogLog:
+    def test_estimate_within_rated_error(self, spark):
+        from dipper_spark.operators.sketches import hll_estimate, hll_registers
+
+        # 5000 distinct >> 2.5*m=2560 -> raw alpha-m branch; rated rse
+        # for m=1024 is 1.04/sqrt(m) ~ 3.25%
+        df = spark.createDataFrame(
+            [("g", f"item-{i}") for i in range(5000)] * 2, ["g", "t"]
+        )
+        reg = hll_registers(df, "t", ["g"], p=10)
+        out = hll_estimate(reg, ["g"], p=10).first()
+        assert abs(out.estimate - 5000) / 5000 < 0.10  # 3 sigma
+
+    def test_small_range_correction_branch(self, spark):
+        from dipper_spark.operators.sketches import hll_estimate, hll_registers
+
+        # 300 distinct << 2.5*m -> linear-counting correction branch,
+        # which is much tighter than the raw estimator down here
+        df = spark.createDataFrame([("g", f"x{i}") for i in range(300)], ["g", "t"])
+        out = hll_estimate(hll_registers(df, "t", ["g"], p=10), ["g"], p=10).first()
+        assert abs(out.estimate - 300) / 300 < 0.05
+
+    def test_registers_merge_by_group_max(self, spark):
+        from dipper_spark.operators.sketches import hll_registers
+
+        rows = [("g", f"k{i}") for i in range(600)]
+        half1 = spark.createDataFrame(rows[:300], ["g", "t"])
+        half2 = spark.createDataFrame(rows[300:], ["g", "t"])
+        whole = {
+            (r.bucket): r.rho
+            for r in hll_registers(half1.unionAll(half2), "t", ["g"], p=8).collect()
+        }
+        # merge = per-bucket MAX across shard sketches
+        merged: dict = {}
+        for part in (half1, half2):
+            for r in hll_registers(part, "t", ["g"], p=8).collect():
+                merged[r.bucket] = max(merged.get(r.bucket, 0), r.rho)
+        assert merged == whole
+
+    def test_insert_order_and_duplication_invariant(self, spark):
+        from dipper_spark.operators.sketches import hll_estimate, hll_registers
+
+        items = [f"v{i}" for i in range(1000)]
+        a = spark.createDataFrame([("g", t) for t in items], ["g", "t"])
+        b = spark.createDataFrame(
+            [("g", t) for t in reversed(items * 3)], ["g", "t"]
+        )
+        fp = lambda df: hll_estimate(
+            hll_registers(df, "t", ["g"], p=10), ["g"], p=10
+        ).first().registers_fp
+        assert fp(a) == fp(b)
