@@ -90,6 +90,7 @@ HEADLINE = [
     "q_tfidf_keywords",
     "q_bloom_probe",
     "q_top_ngrams",
+    "q_pmi_collocations",
     "q_pii_scan",
     "q_pii_redact",
     "q_strip_boilerplate",

@@ -330,3 +330,57 @@ def rrf_fuse(
             F.row_number().over(w).cast("long").alias("rank"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information over
+    the corpus bigram stream (Church & Hanks 1990): for the contingency
+    table of the bigram stream, lift(a,b) = c(ab)·N / (c(a·)·c(·b)) and
+    pmi = ln(lift) — the association score that surfaces multi-word
+    expressions ("los angeles") a frequency-only heavy-hitter report
+    (``q_top_ngrams``) buries under common-word pairs.
+
+    All marginals derive from ONE bigram aggregate (left/right sums over
+    the (a,b) count table — aggregates of the aggregate, never a second
+    corpus pass); the ``min_count`` filter lands BEFORE the marginal
+    joins, so the joined frame is the collocation-candidate table, not
+    the full bigram vocabulary.  N arrives as a broadcast 1-row frame.
+    Global top-k compiles to TakeOrdered (no full sort).  ORDERING is on
+    the lift DOUBLE, which is integer-ratio arithmetic — multiply/divide
+    of exact integers, correctly rounded and cross-engine deterministic,
+    unlike ordering on the libm ln() — pmi itself is display-rounded to
+    6dp.
+    """
+    from dipper_spark.operators.util import exploded_word_ngrams
+
+    bg = exploded_word_ngrams(df, [], text_col, n=2, out="b")
+    ab = bg.select(
+        F.split("b", " ").getItem(0).alias("a"),
+        F.split("b", " ").getItem(1).alias("w2"),
+    )
+    cab = ab.groupBy("a", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    ca = cab.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    cb = cab.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
+    tot = cab.agg(F.sum("n_ab").alias("n_total"))
+    lift = (F.col("n_ab").cast("double") * F.col("n_total").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        cab.filter(F.col("n_ab") >= min_count)
+        .join(ca, "a")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "a", "w2").alias("bigram"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            lift.alias("_lift"),
+            F.round(F.log(lift), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("_lift"), "bigram")
+        .limit(k)
+        .drop("_lift")
+    )

@@ -2885,6 +2885,49 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "maybe_present")
 
 
+# ---- PMI collocations (multi-word-expression discovery) ----------------------
+
+_PMI_MIN, _PMI_K = 5, 50
+
+
+@register(
+    "q_pmi_collocations",
+    f"""
+    WITH bg AS (SELECT unnest({_BG_SQL}) AS b
+                FROM documents WHERE len({TOK}) >= 2),
+    ab AS (SELECT split_part(b, ' ', 1) AS a, split_part(b, ' ', 2) AS w2
+           FROM bg),
+    cab AS (SELECT a, w2, count(*) AS n_ab FROM ab GROUP BY a, w2),
+    ca AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cab GROUP BY a),
+    cb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cab GROUP BY w2),
+    tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM cab)
+    SELECT a || ' ' || w2 AS bigram,
+           CAST(n_ab AS BIGINT) AS n_ab, n_a, n_b,
+           round(ln((CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS pmi
+    FROM cab JOIN ca USING (a) JOIN cb USING (w2) CROSS JOIN tot
+    WHERE n_ab >= {_PMI_MIN}
+    ORDER BY (CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) DESC, bigram
+    LIMIT {_PMI_K}
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (Church & Hanks 1990) — the
+    association-strength companion to q_top_ngrams' raw frequencies:
+    surfaces multi-word expressions whose components co-occur far above
+    chance.  One bigram aggregate feeds every marginal (left/right sums
+    over the count table, N as a broadcast 1-row frame — never a second
+    corpus pass); the min-count filter precedes the marginal joins; the
+    global top-50 is TakeOrdered on the integer-ratio lift double
+    (cross-engine deterministic, unlike libm ln, which is only
+    display-rounded)."""
+    from dipper_spark.operators.search import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=_PMI_MIN, k=_PMI_K)
+
+
 # ---- heavy-hitter n-grams per source (boilerplate discovery) ------------------
 
 _TOPNG_K = 5

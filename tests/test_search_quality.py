@@ -1055,3 +1055,33 @@ class TestHyperLogLog:
             hll_registers(df, "t", ["g"], p=10), ["g"], p=10
         ).first().registers_fp
         assert fp(a) == fp(b)
+
+
+class TestPmiCollocations:
+    def test_planted_collocation_outranks_common_pair(self, spark):
+        from dipper_spark.operators.search import pmi_collocations
+
+        # "new york" only ever occur together; filler words pair freely
+        filler = "the of and to in for on at by it"
+        docs = [(i, f"new york {filler}") for i in range(6)] + [
+            (i + 10, " ".join(filler.split()[::-1])) for i in range(6)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = pmi_collocations(df, "text", min_count=3, k=5).collect()
+        assert out[0].bigram == "new york"
+        # perfectly-bound pair: c(ab)=c(a.)=c(.b)=6 -> lift = N/6
+        r = out[0]
+        assert (r.n_ab, r.n_a, r.n_b) == (6, 6, 6)
+        import math
+
+        n_total = 6 * 11 + 6 * 9  # bigrams per doc: len-1
+        assert abs(r.pmi - round(math.log(n_total / 6), 6)) < 1e-9
+
+    def test_min_count_prunes_rare_pairs(self, spark):
+        from dipper_spark.operators.search import pmi_collocations
+
+        df = spark.createDataFrame(
+            [(1, "rare pair"), (2, "a b a b a b a b")], ["doc_id", "text"]
+        )
+        got = {r.bigram for r in pmi_collocations(df, "text", min_count=2, k=10).collect()}
+        assert "rare pair" not in got and "a b" in got
