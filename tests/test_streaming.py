@@ -330,3 +330,61 @@ class TestStreamingHistogramSketch:
             ).collect()
         }
         assert from_sketch == direct
+
+
+class TestStreamingDedup:
+    def test_unwatermarked_stream_dedup_matches_batch_distinct(self, spark, tmp_path):
+        from dipper_spark.streaming.nt_stream import streaming_dedup_triples
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        rows = (
+            [("HP:1", "rdfs:label", "one", True, None, "g")] * 3
+            + [("HP:2", "rdfs:label", "two", True, None, "g")] * 2
+            + [("HP:3", "rdfs:label", "three", True, None, "g")]
+        )
+        df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        df.write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(TRIPLE_SCHEMA).parquet(landing)
+        q = (
+            streaming_dedup_triples(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        # stream dedup == batch distinct (the two-tier contract's tier 1)
+        assert got.count() == df.distinct().count() == 3
+        assert {r.subject for r in got.collect()} == {"HP:1", "HP:2", "HP:3"}
+
+    def test_watermarked_dedup_bounds_state_and_drops_near_dupes(self, spark, tmp_path):
+        from dipper_spark.streaming.nt_stream import streaming_dedup_triples
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        schema = "subject string, predicate string, object string, ts timestamp"
+        rows = [
+            ("HP:1", "rdfs:label", "one", "2024-01-01 10:00:00"),
+            ("HP:1", "rdfs:label", "one", "2024-01-01 10:05:00"),  # dup within delay
+            ("HP:2", "rdfs:label", "two", "2024-01-01 10:10:00"),
+        ]
+        df = spark.createDataFrame(rows, ["subject", "predicate", "object", "ts"]) \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = (
+            streaming_dedup_triples(stream, watermark_col="ts", delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        # the in-watermark duplicate is dropped; state is watermark-bounded
+        assert got.count() == 2
+        assert sorted(r.subject for r in got.collect()) == ["HP:1", "HP:2"]
