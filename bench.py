@@ -117,6 +117,7 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_ivf_refined",
     "q_ann_recall",
+    "q_ann_pq",
     "q_embedding_neardup",
     "q_dup_components",
     # multimodal columns

@@ -610,6 +610,78 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- product-quantization ANN (Jegou et al. 2011) ----------------------------
+
+_PQ_SUB, _PQ_CODES, _PQ_DIM, _PQ_K = 4, 16, 64, 5
+_PQ_SD = _PQ_DIM // _PQ_SUB
+
+
+def _pq_dot(x: str, y: str) -> str:
+    from dipper_spark.functions.vectors import DUCKDB_DOT
+
+    return DUCKDB_DOT.format(x=x, y=y)
+
+
+_PQ_NORM = (
+    "list_transform(embedding, e -> CAST(e AS DOUBLE) "
+    f"/ sqrt({_pq_dot('embedding', 'embedding')}))"
+)
+
+
+@register(
+    "q_ann_pq",
+    f"""
+    WITH nrm AS (SELECT vec_id, {_PQ_NORM} AS x FROM embeddings),
+    sub AS (SELECT unnest([{", ".join(str(s) for s in range(_PQ_SUB))}]) AS s),
+    cb AS (SELECT sub.s, n.vec_id AS code,
+                  n.x[sub.s*{_PQ_SD}+1 : sub.s*{_PQ_SD}+{_PQ_SD}] AS cw
+           FROM sub CROSS JOIN nrm n WHERE n.vec_id < {_PQ_CODES}),
+    sl AS (SELECT n.vec_id, sub.s,
+                  n.x[sub.s*{_PQ_SD}+1 : sub.s*{_PQ_SD}+{_PQ_SD}] AS xs
+           FROM nrm n CROSS JOIN sub),
+    enc AS (SELECT vec_id, s, code FROM (
+        SELECT sl.vec_id, sl.s, c.code,
+               row_number() OVER (PARTITION BY sl.vec_id, sl.s
+                                  ORDER BY {_pq_dot('xs', 'cw')} DESC, c.code)
+                 AS rn
+        FROM sl JOIN cb c ON c.s = sl.s) WHERE rn = 1),
+    recon AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.s)) AS ax
+              FROM enc e JOIN cb c ON c.s = e.s AND c.code = e.code
+              GROUP BY e.vec_id),
+    scored AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                      {_pq_dot('q.x', 'r.ax')} AS ip
+               FROM nrm q JOIN recon r ON r.vec_id != q.vec_id
+               WHERE q.vec_id < {_PQ_K}),
+    top AS (SELECT query_id, neighbor_id, ip,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY ip DESC, neighbor_id)
+                        AS BIGINT) AS rank
+            FROM scored)
+    SELECT t.query_id, t.neighbor_id, round(t.ip, 6) AS approx_ip,
+           round({_pq_dot('q.x', 'n.x')}, 6) AS true_cos, t.rank
+    FROM top t JOIN nrm q ON q.vec_id = t.query_id
+               JOIN nrm n ON n.vec_id = t.neighbor_id
+    WHERE t.rank <= {_PQ_K}
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-5 (Jegou et al. 2011): the corpus compressed
+    to 4 one-byte codes per vector (16x over float32x64 — the technique
+    that fits a 100 TB embedding store in RAM-scale state), queries scored
+    full-precision against the quantized reconstruction.  Codebooks are
+    the deterministic first-16 per-subspace slices (the IVF 'first-k'
+    convention), so the DuckDB oracle reproduces encode, reconstruction,
+    and every ADC score bit-for-bit; true_cos is joined back for the 25
+    result rows only as the quantization-error audit."""
+    from dipper_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb.filter(F.col("vec_id") < _PQ_K), emb,
+        n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_PQ_DIM, k=_PQ_K,
+    )
+
+
 # ---- repetition ratio (intra-doc repeated n-grams) ---------------------------
 
 _REP_SH = _shingles_sql(TOK, 3)

@@ -685,3 +685,68 @@ def test_gumbel_topk_deterministic_and_partition_invariant(spark):
     # weight-proportionality sanity: the heavy weights dominate the draw
     heavy = {r.doc_id for r in df.filter(F.col("w") >= 6).collect()}
     assert len(s1 & heavy) > 50 * len(heavy) / 500
+
+
+class TestProductQuantization:
+    def _toy(self, spark):
+        # 8-dim corpus; first 2 vectors are the per-subspace codebook donors
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_codebook_member_reconstructs_exactly(self, spark):
+        from dipper_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        df = self._toy(spark)
+        cb = pq_codebooks(df, n_sub=2, n_codes=2, dim=8)
+        assert cb.count() == 4  # 2 subspaces x 2 codes, broadcast-sized
+        codes = {
+            (r.vec_id, r.s): r.code
+            for r in pq_encode(df, cb, n_sub=2, dim=8).collect()
+        }
+        # a codebook donor's best codeword in each subspace is itself:
+        # its normalized slice has unit-maximal self inner product
+        for donor in (0, 1):
+            for s in (0, 1):
+                assert codes[(donor, s)] == donor
+
+    def test_adc_scores_match_numpy_replication(self, spark):
+        import numpy as np
+
+        from dipper_spark.operators.similarity import pq_topk
+
+        df = self._toy(spark)
+        n_sub, n_codes, dim, k = 4, 8, 8, 3
+        out = pq_topk(
+            df.filter(F.col("vec_id") < 3), df, n_sub=n_sub, n_codes=n_codes,
+            dim=dim, k=k,
+        ).collect()
+        assert len(out) == 9
+        # independent numpy replication of encode (argmax ip, ties lowest
+        # code) + decode + ADC scoring
+        rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in df.collect()}
+        x = {i: v / np.linalg.norm(v) for i, v in rows.items()}
+        sd = dim // n_sub
+        cw = {(s, j): x[j][s * sd:(s + 1) * sd]
+              for s in range(n_sub) for j in range(n_codes)}
+        def decode(i):
+            parts = []
+            for s in range(n_sub):
+                ips = [float(x[i][s * sd:(s + 1) * sd] @ cw[(s, j)])
+                       for j in range(n_codes)]
+                parts.append(cw[(s, int(np.argmax(ips)))])
+            return np.concatenate(parts)
+        for r in out:
+            assert r.query_id != r.neighbor_id
+            exp_ip = float(x[r.query_id] @ decode(r.neighbor_id))
+            exp_cos = float(x[r.query_id] @ x[r.neighbor_id])
+            assert abs(r.approx_ip - round(exp_ip, 6)) < 1e-6, r
+            assert abs(r.true_cos - round(exp_cos, 6)) < 1e-6, r
+        ranks = sorted((r.query_id, r.rank) for r in out)
+        assert ranks == [(q, j) for q in range(3) for j in (1, 2, 3)]
