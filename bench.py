@@ -31,6 +31,7 @@ HEADLINE = [
     "q_windowed_events",
     "q_rolling_avg",
     "q_event_gaps",
+    "q_key_skew",
     "q_robust_outliers",
     "q_conversion_funnel",
     "q_cohort_retention",

@@ -114,3 +114,66 @@ def hit_miss_counts(matched: DataFrame, missed: DataFrame) -> DataFrame:
         [(n_hit, n_miss, total, (100.0 * n_hit / total) if total else None)],
         "n_hit long, n_miss long, n_total long, hit_pct double",
     )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    group: str | list[str],
+    key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Partition-skew diagnostics for a prospective shuffle key: per group,
+    how concentrated are the rows on their hottest keys?  The pre-flight
+    audit a 100 TB pipeline runs BEFORE keying a join/agg on a column —
+    top1_share near 1.0 means one key owns the stage (salt it; see
+    ``salted_topk_per_group`` / the quota sampler's salting), skew_ratio =
+    max/mean key load predicts the straggler factor under hash
+    partitioning.
+
+    Shape: one (group, key) hash-agg with map-side combine — everything
+    after runs on the COUNT table (keys-sized, not rows-sized).  max/sum/
+    count are plain hash-aggs; the top-N mass uses the salted two-phase
+    top-k because ``group`` is low-cardinality while keys can number in
+    the billions — a naive per-group window would funnel every key through
+    one task's sort.
+
+    Returns (*group, n_rows, n_keys, max_key_rows, top1_share,
+    topn_share, skew_ratio).
+    """
+    from dipper_spark.operators.windows import salted_topk_per_group
+
+    group_cols = [group] if isinstance(group, str) else list(group)
+    counts = df.groupBy(*group_cols, key).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+    )
+    top = (
+        salted_topk_per_group(
+            counts,
+            group_cols,
+            [F.desc("n"), F.col(key)],
+            top_n,
+            salt_on=F.col(key),
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("n").cast("long").alias("_topn_rows"))
+    )
+    return stats.join(top, group_cols).select(
+        *group_cols,
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(F.col("max_key_rows").cast("double") / F.col("n_rows"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.col("_topn_rows").cast("double") / F.col("n_rows"), 6).alias(
+            "topn_share"
+        ),
+        F.round(
+            (F.col("max_key_rows").cast("double") * F.col("n_keys"))
+            / F.col("n_rows"),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -801,6 +801,50 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- shuffle-key skew diagnostics ---------------------------------------------
+
+_SKEW_TOPN = 10
+
+
+@register(
+    "q_key_skew",
+    f"""
+    WITH c AS (SELECT event_type, user_id, count(*) AS n
+               FROM events GROUP BY event_type, user_id),
+    rk AS (SELECT event_type, n,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, user_id) AS rk
+           FROM c),
+    agg AS (SELECT event_type,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(n) AS BIGINT) AS max_key_rows,
+                   CAST(sum(n) FILTER (WHERE rk <= {_SKEW_TOPN}) AS BIGINT)
+                     AS topn_rows
+            FROM rk GROUP BY event_type)
+    SELECT event_type, n_rows, n_keys, max_key_rows,
+           round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top1_share,
+           round(CAST(topn_rows AS DOUBLE) / n_rows, 6) AS topn_share,
+           round((CAST(max_key_rows AS DOUBLE) * n_keys) / n_rows, 6)
+             AS skew_ratio
+    FROM agg
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit per event type: how concentrated is the row
+    mass on the hottest user_id keys — the pre-flight diagnostic a 100 TB
+    pipeline runs before keying a join/agg (top1_share ~ 1 means one key
+    owns the stage: salt it; skew_ratio = max/mean key load predicts the
+    straggler factor under hash partitioning).  Everything downstream of
+    the first hash-agg runs on the keys-sized count table; the top-10 mass
+    is the salted two-phase top-k (event_type is ~4 groups while keys are
+    unbounded at scale)."""
+    from dipper_spark.operators.aggregates import key_skew_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_stats(ev, "event_type", "user_id", top_n=_SKEW_TOPN)
+
+
 # ---- event gap / session-start detection (lag) --------------------------------
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000

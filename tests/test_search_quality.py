@@ -1085,3 +1085,35 @@ class TestPmiCollocations:
         )
         got = {r.bigram for r in pmi_collocations(df, "text", min_count=2, k=10).collect()}
         assert "rare pair" not in got and "a b" in got
+
+
+class TestKeySkew:
+    def test_hand_computed_concentration(self, spark):
+        from dipper_spark.operators.aggregates import key_skew_stats
+
+        # group 'a': key k0 owns 8 of 12 rows; 4 singleton keys
+        rows = [("a", "k0")] * 8 + [("a", f"k{i}") for i in range(1, 5)]
+        # group 'b': perfectly uniform, 3 keys x 2 rows
+        rows += [("b", f"u{i % 3}") for i in range(6)]
+        df = spark.createDataFrame(rows, ["g", "k"])
+        got = {r.g: r for r in key_skew_stats(df, "g", "k", top_n=2).collect()}
+        a = got["a"]
+        assert (a.n_rows, a.n_keys, a.max_key_rows) == (12, 5, 8)
+        assert a.top1_share == round(8 / 12, 6)
+        assert a.topn_share == round(9 / 12, 6)  # top-2 keys: 8 + 1
+        assert a.skew_ratio == round(8 * 5 / 12, 6)  # max / mean
+        b = got["b"]
+        assert b.skew_ratio == 1.0 and b.top1_share == round(2 / 6, 6)
+
+    def test_runs_on_count_table_not_rows(self, spark):
+        from dipper_spark.operators.aggregates import key_skew_stats
+
+        df = spark.createDataFrame([("g", f"k{i % 7}") for i in range(100)], ["g", "k"])
+        plan = (
+            key_skew_stats(df, "g", "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the raw-row frame is reduced by ONE keyed hash-agg; the window
+        # (top-n phase) must sit above aggregated data, and nothing
+        # python-side touches the path
+        assert "Python" not in plan and "CartesianProduct" not in plan
