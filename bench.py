@@ -67,6 +67,7 @@ HEADLINE = [
     "q_curation_funnel",
     "q_unigram_logprob",
     "q_bigram_logprob",
+    "q_kneser_ney",
     "q_ngram_diversity",
     "q_token_entropy",
     "q_source_overlap",

@@ -384,3 +384,82 @@ def pmi_collocations(
         .limit(k)
         .drop("_lift")
     )
+
+
+def kneser_ney_logprob(
+    train: DataFrame,
+    heldout: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999, single discount) trained on ``train`` and scored on
+    ``heldout`` — the real perplexity filter: unlike the closed-corpus
+    :func:`bigram_logprob`, held-out scoring forces unseen-event mass, and
+    KN assigns it by CONTINUATION counts (how many contexts a word
+    completes), the fix for burstiness that plain add-k lacks.
+
+    p_kn(w2|w1) = max(c(w1w2)−d, 0)/c(w1)
+                  + d·N1+(w1,·)/c(w1) · p_cont(w2)
+    p_cont(w2)  = (N1+(·,w2)+1) / (N1+(·,·)+V)      [+1/+V = OOV escape]
+    unseen w1   → p_cont(w2) alone (unigram backoff).
+
+    Every model table is an aggregate of the train bigram count table
+    (type-bounded, never stream-sized); scalars (bigram-type total, vocab)
+    ride a broadcast 1-row frame; held-out bigrams join the model on token
+    keys.  All arithmetic is CAST-to-double with fixed association so a
+    SQL oracle reproduces each probability bit-for-bit.
+    """
+    from dipper_spark.functions.text import tokens
+    from dipper_spark.operators.util import exploded_word_ngrams
+
+    d = float(discount)
+    bg_t = exploded_word_ngrams(train, [], text_col, n=2, out="b")
+    ab = bg_t.select(
+        F.split("b", " ").getItem(0).alias("a"),
+        F.split("b", " ").getItem(1).alias("w2"),
+    )
+    c2 = ab.groupBy("a", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    c1 = c2.groupBy("a").agg(
+        F.sum("n_ab").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    cr = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_rev"))
+    consts = (
+        c2.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+        .crossJoin(
+            train.select(F.explode(tokens(text_col)).alias("t"))
+            .agg((F.countDistinct("t") + 1).cast("long").alias("v_size"))
+        )
+    )
+    bg_h = exploded_word_ngrams(
+        heldout.select(F.col(id_col).alias("id"), F.col(text_col)),
+        ["id"],
+        text_col,
+        n=2,
+        out="b",
+    ).select(
+        "id",
+        F.split("b", " ").getItem(0).alias("a"),
+        F.split("b", " ").getItem(1).alias("w2"),
+    )
+    j = (
+        bg_h.join(c2, ["a", "w2"], "left")
+        .join(c1, "a", "left")
+        .join(cr, "w2", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    pc = (F.coalesce(F.col("n1p_rev"), F.lit(0)) + 1).cast("double") / (
+        F.col("t_types") + F.col("v_size")
+    ).cast("double")
+    seen = F.greatest(
+        F.coalesce(F.col("n_ab"), F.lit(0)).cast("double") - F.lit(d), F.lit(0.0)
+    ) / F.col("c1").cast("double") + F.lit(d) * F.col("n1p_fwd").cast(
+        "double"
+    ) / F.col("c1").cast("double") * pc
+    p = F.when(F.col("c1").isNull(), pc).otherwise(seen)
+    return j.select("id", p.alias("p")).groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum(F.log("p")) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )

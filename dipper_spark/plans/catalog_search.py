@@ -1832,6 +1832,70 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs, "doc_id", "text")
 
 
+# ---- Kneser-Ney held-out LM scoring ------------------------------------------
+
+_KN_D = 0.75
+
+
+@register(
+    "q_kneser_ney",
+    f"""
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+    ho AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    bgt AS (SELECT unnest({_BG_SQL}) AS b FROM tr WHERE len({TOK}) >= 2),
+    ab AS (SELECT split_part(b, ' ', 1) AS a, split_part(b, ' ', 2) AS w2
+           FROM bgt),
+    c2 AS (SELECT a, w2, count(*) AS n_ab FROM ab GROUP BY a, w2),
+    c1 AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1p_fwd FROM c2 GROUP BY a),
+    cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_rev FROM c2 GROUP BY w2),
+    consts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c2) AS t_types,
+                      (SELECT CAST(count(DISTINCT t) AS BIGINT) + 1
+                       FROM (SELECT unnest({TOK}) AS t FROM tr)) AS v_size),
+    bgh AS (SELECT doc_id AS id, split_part(b, ' ', 1) AS a,
+                   split_part(b, ' ', 2) AS w2
+            FROM (SELECT doc_id, unnest({_BG_SQL}) AS b FROM ho
+                  WHERE len({TOK}) >= 2)),
+    scored AS (
+      SELECT h.id,
+             CASE WHEN c1.c1 IS NULL
+                  THEN CAST(coalesce(cr.n1p_rev, 0) + 1 AS DOUBLE)
+                       / CAST(k.t_types + k.v_size AS DOUBLE)
+                  ELSE greatest(CAST(coalesce(c2.n_ab, 0) AS DOUBLE)
+                                - CAST({_KN_D} AS DOUBLE), 0.0)
+                       / CAST(c1.c1 AS DOUBLE)
+                       + CAST({_KN_D} AS DOUBLE)
+                         * CAST(c1.n1p_fwd AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+                         * (CAST(coalesce(cr.n1p_rev, 0) + 1 AS DOUBLE)
+                            / CAST(k.t_types + k.v_size AS DOUBLE))
+             END AS p
+      FROM bgh h LEFT JOIN c2 ON c2.a = h.a AND c2.w2 = h.w2
+                 LEFT JOIN c1 ON c1.a = h.a
+                 LEFT JOIN cr ON cr.w2 = h.w2
+                 CROSS JOIN consts k)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln(p)) / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY id
+    """,
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM trained on 90% of the corpus and
+    scored on the held-out 10% — the real perplexity filter (held-out
+    scoring forces unseen-event mass; KN assigns it by continuation
+    counts, with a +1/+V OOV escape).  All model tables are aggregates of
+    the train bigram count table (type-bounded); every probability is
+    CAST-to-double fixed-association arithmetic, bit-reproduced by the
+    oracle."""
+    from dipper_spark.operators.search import kneser_ney_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_logprob(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id", "text", discount=_KN_D,
+    )
+
+
 # ---- incremental batch-vs-corpus dedup ---------------------------------------
 
 _INC_SPLIT = 0.8

@@ -1117,3 +1117,53 @@ class TestKeySkew:
         # (top-n phase) must sit above aggregated data, and nothing
         # python-side touches the path
         assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+class TestKneserNey:
+    def test_hand_computed_all_three_branches(self, spark):
+        from dipper_spark.operators.search import kneser_ney_logprob
+
+        train = spark.createDataFrame([(1, "a b a b a c")], ["doc_id", "text"])
+        # doc 10: seen bigram + unseen-bigram-with-seen-context (OOV w2)
+        # doc 20: unseen context -> pure continuation backoff
+        heldout = spark.createDataFrame(
+            [(10, "a b z"), (20, "z a")], ["doc_id", "text"]
+        )
+        got = {
+            r.id: r
+            for r in kneser_ney_logprob(train, heldout, "doc_id", "text").collect()
+        }
+        # model: c(ab)=2 c(ba)=2 c(ac)=1; c1(a)=3,N1+(a,.)=2; c1(b)=2,N1+(b,.)=1
+        # T=3 bigram types; V=|{a,b,c}|+1=4; pc(w)=(N1+(.,w)+1)/(T+V)
+        pc_b, pc_z, pc_a = 2 / 7, 1 / 7, 2 / 7
+        p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * pc_b
+        p_bz = 0.0 + 0.75 * 1 / 2 * pc_z
+        assert got[10].n_bigrams == 2
+        assert got[10].avg_logprob == round(
+            (math.log(p_ab) + math.log(p_bz)) / 2, 6
+        )
+        assert got[20].n_bigrams == 1
+        assert got[20].avg_logprob == round(math.log(pc_a), 6)
+
+    def test_seen_mass_plus_backoff_sums_to_one_per_context(self, spark):
+        from dipper_spark.operators.search import kneser_ney_logprob
+
+        # KN is a proper distribution: summing p(w|ctx) over the full vocab
+        # (+OOV escape leftovers) stays <= 1 for every seen context
+        train = spark.createDataFrame(
+            [(1, "x y x z y x w z x y")], ["doc_id", "text"]
+        )
+        vocab = ["x", "y", "z", "w"]
+        probes = spark.createDataFrame(
+            [(100 + i * 10 + j, f"{a} {b}") for i, a in enumerate(vocab)
+             for j, b in enumerate(vocab)],
+            ["doc_id", "text"],
+        )
+        rows = kneser_ney_logprob(train, probes, "doc_id", "text").collect()
+        by_ctx: dict = {}
+        for r in rows:
+            ctx = (r.id - 100) // 10
+            by_ctx.setdefault(ctx, 0.0)
+            by_ctx[ctx] += math.exp(r.avg_logprob)  # n_bigrams == 1 each
+        for ctx, total in by_ctx.items():
+            assert total <= 1.0 + 1e-9, (ctx, total)
