@@ -86,6 +86,7 @@ HEADLINE = [
     "q_zorder_layout",
     "q_label_pca",
     "q_quality_classifier",
+    "q_calibration",
     "q_passage_chunks",
     "q_bm25_topk",
     "q_rrf_fusion",

@@ -177,3 +177,44 @@ def key_skew_stats(
             6,
         ).alias("skew_ratio"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram binning for any scored+labeled frame: equal-width
+    score bins over [lo, hi), per-bin row count and positive fraction — the
+    calibration audit run before trusting a cheap classifier's scores as
+    sampling weights (a well-calibrated scorer's frac_positive tracks the
+    bin midpoint).  One hash-agg over ``n_bins`` groups; every output
+    double is a ratio of exact integers (division of exact doubles —
+    cross-engine deterministic).  Returns (bin, bin_lo, n_rows,
+    n_positive, frac_positive)."""
+    scale = n_bins / (hi - lo)
+    s = F.col(score_col)
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((s - F.lit(lo)) * F.lit(scale)).cast("int")),
+    )
+    return (
+        df.select(bin_.alias("bin"), F.col(label_col).alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_y").cast("long").alias("n_positive"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / F.lit(scale) + F.lit(lo)).alias("bin_lo"),
+            "n_rows",
+            "n_positive",
+            F.round(
+                F.col("n_positive").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("frac_positive"),
+        )
+    )

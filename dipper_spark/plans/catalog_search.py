@@ -1745,6 +1745,56 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(docs, "doc_id", "text", n_buckets=_CLF_BUCKETS)
 
 
+# ---- classifier calibration audit ---------------------------------------------
+
+_CAL_BINS = 10
+
+
+@register(
+    "q_calibration",
+    f"""
+    WITH sc AS (
+      SELECT doc_id,
+             round(list_sum(list_transform({TOK}, t -> {_CLF_W}))
+                   / len({TOK}), 6) AS clf_score,
+             CAST(CASE WHEN {" AND ".join(_RULES_SQL.values())}
+                  THEN 1 ELSE 0 END AS INT) AS passed
+      FROM documents),
+    b AS (SELECT least({_CAL_BINS - 1},
+                       greatest(0, CAST(floor((clf_score - -1.0) * 5.0)
+                                        AS INT))) AS bin,
+                 passed
+          FROM sc)
+    SELECT bin, CAST(bin AS DOUBLE) / 5.0 + -1.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(passed) AS BIGINT) AS n_positive,
+           round(CAST(sum(passed) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS frac_positive
+    FROM b GROUP BY bin
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the hashing-trick classifier against the
+    Gopher-rule gold: 10 equal-width score bins over [-1, 1), per-bin doc
+    count and rule-pass fraction — the audit run before trusting
+    clf_score as a sampling weight (q_dsir_weights' consumer contract).
+    Two map-side scans joined on doc id (a production form fuses both
+    expression sets into one scan); the binning agg touches 10 groups."""
+    from dipper_spark.operators.aggregates import calibration_bins
+    from dipper_spark.operators.search import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = hashed_linear_score(docs, "doc_id", "text", n_buckets=_CLF_BUCKETS).select(
+        "id", "clf_score"
+    )
+    passed = docs.select(
+        F.col("doc_id").alias("id"), quality_rules("text")["passed"].alias("passed")
+    )
+    return calibration_bins(
+        sc.join(passed, "id"), "clf_score", "passed", n_bins=_CAL_BINS
+    )
+
+
 # ---- overlapping passage chunking (RAG prep) ---------------------------------
 
 _PC_W = 8

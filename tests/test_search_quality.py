@@ -1167,3 +1167,27 @@ class TestKneserNey:
             by_ctx[ctx] += math.exp(r.avg_logprob)  # n_bigrams == 1 each
         for ctx, total in by_ctx.items():
             assert total <= 1.0 + 1e-9, (ctx, total)
+
+
+class TestCalibrationBins:
+    def test_hand_computed_bins_and_clamping(self, spark):
+        from dipper_spark.operators.aggregates import calibration_bins
+
+        rows = [
+            (-1.5, 1),   # below lo -> clamped into bin 0
+            (-0.95, 0),  # bin 0
+            (0.05, 1),   # bin 5
+            (0.05, 1),
+            (0.05, 0),
+            (0.999, 1),  # bin 9
+            (1.5, 0),    # above hi -> clamped into bin 9
+        ]
+        df = spark.createDataFrame(rows, ["s", "y"])
+        got = {r.bin: r for r in calibration_bins(df, "s", "y").collect()}
+        assert set(got) == {0, 5, 9}
+        assert (got[0].n_rows, got[0].n_positive) == (2, 1)
+        assert got[0].frac_positive == 0.5
+        assert (got[5].n_rows, got[5].n_positive) == (3, 2)
+        assert got[5].frac_positive == round(2 / 3, 6)
+        assert (got[9].n_rows, got[9].n_positive) == (2, 1)
+        assert got[5].bin_lo == 0.0 and got[0].bin_lo == -1.0
