@@ -606,20 +606,30 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     register state; every double is cross-engine deterministic (2^-rho
     sums are exact in IEEE — see ``hll_estimate``).  100 TB: shuffle is
     sketch-sized (map-side partial max), never stream-sized."""
-    from dipper_spark.functions.text import word_shingles
     from dipper_spark.operators.sketches import hll_estimate, hll_registers
+    from dipper_spark.operators.util import exploded_word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source", F.explode(word_shingles(tokens("text"), 3)).alias("t")
+    # ONE shingle explode (the explode-first codegen'd assembly, ~5x over
+    # the higher-order-transform array form) + ONE distinct: every
+    # downstream frame (exact per-source counts, exact global count, HLL
+    # registers) derives from the distinct (source, shingle) pairs —
+    # registers are duplicate-insensitive (max rho over a set == over the
+    # multiset), so nothing needs the raw stream again.  Eager checkpoint
+    # because three consumers branch off; at 100 TB the staging write is
+    # a parquet temp table instead.
+    pairs = (
+        exploded_word_ngrams(docs, ["source"], "text", n=3, out="t")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    exact = sh.groupBy("source").agg(
-        F.countDistinct("t").cast("long").alias("exact_distinct")
+    exact = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
     ).unionByName(
-        sh.agg(F.countDistinct("t").cast("long").alias("exact_distinct"))
+        pairs.agg(F.countDistinct("t").cast("long").alias("exact_distinct"))
         .select(F.lit("*ALL*").alias("source"), "exact_distinct")
     )
-    reg_src = hll_registers(sh, "t", ["source"], p=_HLL_P)
+    reg_src = hll_registers(pairs, "t", ["source"], p=_HLL_P)
     reg_all = (
         reg_src.groupBy("bucket").agg(F.max("rho").alias("rho"))
         .select(F.lit("*ALL*").alias("source"), "bucket", "rho")
