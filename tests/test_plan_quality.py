@@ -452,3 +452,55 @@ class TestScd2History:
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in final
+
+
+class TestRound9Additions:
+    def test_collapse_runs_is_pure_map(self, spark, sf):
+        # indexed-lambda scrub: scan -> project, zero shuffles, zero joins
+        plan = plan_of(QUERIES["q_collapse_runs"](spark, sf))
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "Python" not in plan
+
+    def test_hll_registers_shuffle_is_sketch_sized(self, spark, sf):
+        # after the distinct-pair stage every agg runs on (source, bucket)
+        # register rows; no sort-merge join anywhere and the estimate join
+        # is broadcast
+        plan = final_plan_of(QUERIES["q_hll_distinct"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final
+        assert "CartesianProduct" not in final
+
+    def test_pmi_collocations_take_ordered(self, spark, sf):
+        # global top-50 must be TakeOrdered; N rides a 1-row broadcast
+        plan = plan_of(QUERIES["q_pmi_collocations"](spark, sf))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_ann_pq_broadcast_shapes(self, spark, sf):
+        # codebooks + query set broadcast; the only nested-loop is the
+        # 5-row query broadcast against the quantized corpus; never a
+        # shuffle join
+        plan = final_plan_of(QUERIES["q_ann_pq"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final
+        assert final.count("BroadcastNestedLoopJoin") <= 1
+        assert "CartesianProduct" not in final
+
+    def test_key_skew_runs_on_count_table(self, spark, sf):
+        # raw rows reduced by one keyed hash-agg before any window/join;
+        # nothing python-side, no cartesian
+        plan = final_plan_of(QUERIES["q_key_skew"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Python" not in final and "CartesianProduct" not in final
+
+    def test_kneser_ney_model_join_shapes(self, spark, sf):
+        # scalars ride a broadcast 1-row frame; no cartesian anywhere
+        plan = final_plan_of(QUERIES["q_kneser_ney"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert "BroadcastNestedLoopJoin" in final  # the 1-row consts frame
+
+    def test_calibration_is_two_map_arms_one_tiny_agg(self, spark, sf):
+        plan = final_plan_of(QUERIES["q_calibration"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Python" not in final and "CartesianProduct" not in final
