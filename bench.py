@@ -87,6 +87,7 @@ HEADLINE = [
     "q_label_pca",
     "q_quality_classifier",
     "q_calibration",
+    "q_rank_corr",
     "q_passage_chunks",
     "q_bm25_topk",
     "q_rrf_fusion",

@@ -218,3 +218,52 @@ def calibration_bins(
             ).alias("frac_positive"),
         )
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    group: str | list[str],
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two per-row signals, per group —
+    the signal-agreement audit (do two quality scorers ORDER the corpus
+    the same way? calibration checks levels; this checks ranks, which is
+    what sampling/filtering actually consumes).
+
+    Tie-aware average ranks: avg_rank = rank() + (n_ties − 1)/2, so every
+    rank is a half-integer, every d² a multiple of 0.25, and the Σd² sum
+    is EXACT in IEEE double (order-independent) — rho = 1 − 6Σd²/(n(n²−1))
+    is then pure deterministic arithmetic an oracle reproduces bit-for-bit.
+    Groups of < 2 rows return NULL (degenerate denominator).
+
+    Shape: both rank windows partition on the SAME group key — one keyed
+    shuffle, two in-partition sorts — then a per-group hash-agg.  Returns
+    (*group, n_rows, rho).
+    """
+    group_cols = [group] if isinstance(group, str) else list(group)
+    half = lambda col: (  # noqa: E731 - local rank helper
+        F.rank().over(Window.partitionBy(*group_cols).orderBy(col))
+        + (F.count(F.lit(1)).over(Window.partitionBy(*group_cols, col)) - 1).cast(
+            "double"
+        )
+        / F.lit(2.0)
+    )
+    ranked = df.select(
+        *group_cols, half(a_col).alias("_ra"), half(b_col).alias("_rb")
+    )
+    d2 = (F.col("_ra") - F.col("_rb")) * (F.col("_ra") - F.col("_rb"))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(d2).alias("_s"),
+    )
+    n_d = F.col("n_rows").cast("double")
+    rho = F.round(
+        F.lit(1.0) - (F.lit(6.0) * F.col("_s")) / (n_d * (n_d * n_d - F.lit(1.0))),
+        6,
+    )
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.when(F.col("n_rows") > 1, rho).alias("rho"),
+    )

@@ -1805,6 +1805,63 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- cross-signal rank agreement ----------------------------------------------
+
+
+@register(
+    "q_rank_corr",
+    f"""
+    WITH sc AS (
+      SELECT source,
+             round(list_sum(list_transform({TOK}, t -> {_CLF_W}))
+                   / len({TOK}), 6) AS a,
+             round(least(len({TOK}) / 100.0, 1.0) * 0.5
+                   + (len(list_distinct({TOK})) / CAST(len({TOK}) AS DOUBLE))
+                     * 0.3
+                   + least(({_lang_hits_sql(LANG_MARKERS["en"])}
+                            / CAST(len({TOK}) AS DOUBLE)) * 10.0, 1.0) * 0.2,
+                   6) AS b
+      FROM documents),
+    r AS (SELECT source,
+                 rank() OVER (PARTITION BY source ORDER BY a)
+                   + CAST(count(*) OVER (PARTITION BY source, a) - 1
+                          AS DOUBLE) / CAST(2 AS DOUBLE) AS ra,
+                 rank() OVER (PARTITION BY source ORDER BY b)
+                   + CAST(count(*) OVER (PARTITION BY source, b) - 1
+                          AS DOUBLE) / CAST(2 AS DOUBLE) AS rb
+          FROM sc)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CASE WHEN count(*) > 1 THEN
+             round(CAST(1 AS DOUBLE)
+                   - (CAST(6 AS DOUBLE) * sum((ra - rb) * (ra - rb)))
+                     / (CAST(count(*) AS DOUBLE)
+                        * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                           - CAST(1 AS DOUBLE))), 6)
+           END AS rho
+    FROM r GROUP BY source
+    """,
+)
+def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank agreement per source between the hashing-trick
+    classifier score and the composite rule score — q_calibration checks
+    LEVELS, this checks ORDERING, which is what top-p filtering and
+    weighted sampling actually consume.  Tie-aware half-integer average
+    ranks make Σd² exact in IEEE double, so rho is bit-reproducible; both
+    rank windows share one source-keyed shuffle."""
+    from dipper_spark.functions.text import quality_score
+    from dipper_spark.operators.aggregates import spearman_rho
+    from dipper_spark.operators.search import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = hashed_linear_score(docs, "doc_id", "text", n_buckets=_CLF_BUCKETS).select(
+        "id", F.col("clf_score").alias("a")
+    )
+    qual = docs.select(
+        F.col("doc_id").alias("id"), "source", quality_score("text").alias("b")
+    )
+    return spearman_rho(qual.join(sc, "id"), "source", "a", "b")
+
+
 # ---- overlapping passage chunking (RAG prep) ---------------------------------
 
 _PC_W = 8

@@ -1191,3 +1191,41 @@ class TestCalibrationBins:
         assert got[5].frac_positive == round(2 / 3, 6)
         assert (got[9].n_rows, got[9].n_positive) == (2, 1)
         assert got[5].bin_lo == 0.0 and got[0].bin_lo == -1.0
+
+
+class TestSpearmanRho:
+    def test_perfect_reverse_and_tied(self, spark):
+        from dipper_spark.operators.aggregates import spearman_rho
+
+        rows = (
+            # group p: b = a (monotone) -> rho = 1
+            [("p", float(i), float(i * 10)) for i in range(5)]
+            # group q: b reversed -> rho = -1
+            + [("q", float(i), float(-i)) for i in range(5)]
+            # group t: a has a 2-way tie; hand-computed tie-aware rho
+            + [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)]
+            # group s: singleton -> NULL
+            + [("s", 1.0, 1.0)]
+        )
+        df = spark.createDataFrame(rows, ["g", "a", "b"])
+        got = {r.g: r for r in spearman_rho(df, "g", "a", "b").collect()}
+        assert got["p"].rho == 1.0
+        assert got["q"].rho == -1.0
+        assert got["s"].rho is None
+        # t: ranks_a = [1.5, 1.5, 3], ranks_b = [1, 2, 3]
+        # d2 = 0.25 + 0.25 + 0 = 0.5 -> rho = 1 - 6*0.5/(3*8) = 0.875
+        assert got["t"].rho == 0.875
+
+    def test_single_group_shuffle(self, spark):
+        from dipper_spark.operators.aggregates import spearman_rho
+
+        df = spark.createDataFrame(
+            [("g", float(i % 7), float((i * 3) % 11)) for i in range(50)],
+            ["g", "a", "b"],
+        )
+        out = spearman_rho(df, "g", "a", "b")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # both rank windows must share one group-keyed exchange (plus the
+        # agg's own); never more than 2 hash exchanges, nothing python-side
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "Python" not in plan
