@@ -122,6 +122,7 @@ HEADLINE = [
     "q_ann_ivf_refined",
     "q_ann_recall",
     "q_ann_pq",
+    "q_matryoshka_recall",
     "q_embedding_neardup",
     "q_dup_components",
     # multimodal columns

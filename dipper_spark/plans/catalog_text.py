@@ -610,6 +610,61 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- matryoshka truncation audit ----------------------------------------------
+
+_MRL_DIM = 16
+_COS_MRL = duckdb_cosine("q.e", "c.e")
+
+
+@register(
+    "q_matryoshka_recall",
+    f"""
+    WITH t AS (SELECT vec_id, embedding[1:{_MRL_DIM}] AS e FROM embeddings),
+    exact AS (SELECT query_id, neighbor_id FROM ({_COSINE_TOPK_SQL})),
+    tr AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS_MRL} DESC, c.vec_id) AS rank
+        FROM t q JOIN t c ON c.vec_id != q.vec_id WHERE q.vec_id < 5)
+      WHERE rank <= 5)
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM exact e LEFT JOIN tr a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al. 2022): recall@5 of
+    cosine search on the FIRST 16 of 64 embedding dims against full-dim
+    exact search — the measurement behind the 4x scan-and-storage cut of
+    prefix-truncated retrieval (truncate -> coarse search -> full-dim
+    rerank).  Pure relational: slice, the same broadcast brute-force
+    top-k on both arms, audit join on two 25-row frames."""
+    from dipper_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sliced = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
+    exact = cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk(
+        sliced.filter(F.col("vec_id") < 5), sliced, k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.count("hit").cast("long").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 # ---- product-quantization ANN (Jegou et al. 2011) ----------------------------
 
 _PQ_SUB, _PQ_CODES, _PQ_DIM, _PQ_K = 4, 16, 64, 5
