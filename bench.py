@@ -77,6 +77,7 @@ HEADLINE = [
     "q_length_percentiles",
     "q_hist_quantiles",
     "q_anonymize",
+    "q_l_diversity",
     "q_label_centroids",
     "q_weighted_sample",
     "q_temperature_sample",

@@ -47,3 +47,20 @@ def k_anonymity_annotate(
     return df.withColumn("group_n", n.cast("long")).withColumn(
         "suppressed", (F.col("group_n") < k).cast("int")
     )
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """Per-quasi-identifier-group l-diversity audit (Machanavajjhala et al.
+    2007): k-anonymity bounds group SIZE, but a group whose sensitive
+    attribute is constant still leaks it — distinct-l-diversity requires
+    ≥ l distinct sensitive values per group.  One hash-agg over the quasi
+    key (count + distinct-count, both map-side partial); the flag is INT
+    for engine-portable hashing.  Returns (*quasi_cols, group_n,
+    l_distinct, diverse)."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        F.countDistinct(sensitive_col).cast("long").alias("l_distinct"),
+        (F.countDistinct(sensitive_col) >= l).cast("int").alias("diverse"),
+    )

@@ -1493,6 +1493,43 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- anonymization / k-anonymity audit ---------------------------------------
 
+_LDIV_L = 3
+
+
+@register(
+    "q_l_diversity",
+    f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_n,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 500.0) AS BIGINT) * 500)
+                AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 500.0)
+                                              AS BIGINT) * 500) >= {_LDIV_L}
+                THEN 1 ELSE 0 END AS INT) AS diverse
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit over the (nation, segment) quasi-pair
+    with the banded account balance as the sensitive attribute —
+    k-anonymity (q_anonymize) bounds group size, but a size-k group with
+    a CONSTANT sensitive value still leaks it; this flags groups with
+    < 3 distinct bands.  One hash-agg, map-side partials."""
+    from dipper_spark.operators.governance import (
+        generalize_numeric,
+        l_diversity_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        generalize_numeric("c_acctbal", 500.0).alias("band"),
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "band", l=_LDIV_L
+    )
+
+
 _ANON_K = 5
 _ANON_SALT = "corpus-v1"
 

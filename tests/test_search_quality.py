@@ -1229,3 +1229,21 @@ class TestSpearmanRho:
         # agg's own); never more than 2 hash exchanges, nothing python-side
         assert plan.count("Exchange hashpartitioning") <= 2
         assert "Python" not in plan
+
+
+class TestLDiversity:
+    def test_constant_sensitive_group_flagged(self, spark):
+        from dipper_spark.operators.governance import l_diversity_report
+
+        rows = (
+            [("US", "auto", 100.0)] * 5            # k=5 but constant band
+            + [("DE", "auto", float(v)) for v in (0, 600, 1200)]  # 3 bands
+        )
+        df = spark.createDataFrame(rows, ["nat", "seg", "band"])
+        got = {(r.nat, r.seg): r for r in
+               l_diversity_report(df, ["nat", "seg"], "band", l=3).collect()}
+        us = got[("US", "auto")]
+        # size-5 group passes k-anonymity yet leaks: 1 distinct value
+        assert (us.group_n, us.l_distinct, us.diverse) == (5, 1, 0)
+        de = got[("DE", "auto")]
+        assert (de.group_n, de.l_distinct, de.diverse) == (3, 3, 1)
