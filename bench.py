@@ -66,6 +66,7 @@ HEADLINE = [
     "q_quality_rules",
     "q_curation_funnel",
     "q_unigram_logprob",
+    "q_worst_window",
     "q_bigram_logprob",
     "q_kneser_ney",
     "q_ngram_diversity",

@@ -463,3 +463,58 @@ def kneser_ney_logprob(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.sum(F.log("p")) / F.count(F.lit(1)), 6).alias("avg_logprob"),
     )
+
+
+def worst_window_logprob(
+    df: DataFrame, id_col: str, text_col: str, window: int = 10
+) -> DataFrame:
+    """Quality LOCALIZATION: per document, the ``window``-token span with
+    the lowest summed unigram log-probability under the corpus's own LM —
+    doc-level scores (:func:`unigram_logprob`) tell you *that* a document
+    is degenerate; this tells you *where* (the spam block, the encoding
+    glitch, the keyword-stuffed footer), feeding span-level cleanup
+    instead of whole-doc rejection.
+
+    Per-token scores are integer MICRO-log-probs (round(ln p · 1e6)):
+    windowed sums of BIGINTs are exact whatever the engine's frame
+    evaluation order (DuckDB's segment-tree windowed aggregation sums
+    pairwise, which is NOT ulp-stable for doubles — integers make the
+    cross-engine question moot).  One token explode, a vocabulary-sized
+    count join, one per-doc ordered window pass, one min-per-doc;
+    documents shorter than ``window`` have no full span and drop out.
+
+    Returns (id, win_start 0-based, win_lp_micro).
+    """
+    from dipper_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    ).withColumn("n", F.size("_toks"))
+    tok = base.select("id", "n", F.posexplode("_toks").alias("pos", "term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    lp = tok.join(freq, "term").crossJoin(F.broadcast(tot)).select(
+        "id",
+        "n",
+        "pos",
+        F.round(F.log(F.col("cnt") / F.col("t")) * 1000000.0)
+        .cast("long")
+        .alias("micro"),
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    cand = lp.select(
+        "id", "pos", "n", F.sum("micro").over(w).alias("win_lp")
+    ).filter(F.col("pos") <= F.col("n") - window)
+    from dipper_spark.operators.windows import topk_per_group
+
+    return topk_per_group(
+        cand, "id", [F.col("win_lp").asc(), F.col("pos").asc()], k=1
+    ).select(
+        "id",
+        F.col("pos").cast("long").alias("win_start"),
+        F.col("win_lp").cast("long").alias("win_lp_micro"),
+    )

@@ -1392,6 +1392,50 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, "doc_id", "text")
 
 
+# ---- worst-window quality localization ----------------------------------------
+
+_WW_W = 10
+
+
+@register(
+    "q_worst_window",
+    f"""
+    WITH base AS (SELECT doc_id AS id, {TOK} AS toks FROM documents),
+    tok AS (SELECT id, len(toks) AS n, generate_subscripts(toks, 1) - 1 AS pos,
+                   unnest(toks) AS term
+            FROM base),
+    freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+    lp AS (SELECT id, n, pos,
+                  CAST(round(ln(cnt / t) * 1000000.0) AS BIGINT) AS micro
+           FROM tok JOIN freq USING (term) CROSS JOIN tot),
+    cand AS (SELECT id, pos,
+                    CAST(sum(micro) OVER (PARTITION BY id ORDER BY pos
+                                          ROWS BETWEEN CURRENT ROW
+                                          AND {_WW_W - 1} FOLLOWING)
+                         AS BIGINT) AS win_lp,
+                    n
+             FROM lp)
+    SELECT id, CAST(pos AS BIGINT) AS win_start, win_lp AS win_lp_micro
+    FROM (SELECT id, pos, win_lp,
+                 row_number() OVER (PARTITION BY id ORDER BY win_lp, pos) AS rn
+          FROM cand WHERE pos <= n - {_WW_W})
+    WHERE rn = 1
+    """,
+)
+def q_worst_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document worst 10-token span by summed unigram log-probability —
+    quality LOCALIZATION (where the spam block / glitch sits), feeding
+    span-level cleanup instead of whole-doc rejection.  Integer micro-
+    log-probs make the windowed sums exact under ANY frame evaluation
+    order (DuckDB's segment-tree windowed aggregates sum pairwise — doubles
+    would be ulp-unstable cross-engine)."""
+    from dipper_spark.operators.search import worst_window_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return worst_window_logprob(docs, "doc_id", "text", window=_WW_W)
+
+
 # ---- per-label embedding centroids -------------------------------------------
 
 

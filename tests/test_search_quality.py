@@ -1247,3 +1247,33 @@ class TestLDiversity:
         assert (us.group_n, us.l_distinct, us.diverse) == (5, 1, 0)
         de = got[("DE", "auto")]
         assert (de.group_n, de.l_distinct, de.diverse) == (3, 3, 1)
+
+
+class TestWorstWindow:
+    def test_planted_rare_block_is_localized(self, spark):
+        from dipper_spark.operators.search import worst_window_logprob
+
+        common = ("the quick brown fox jumps over lazy dogs daily now " * 4).split()
+        rare_block = [f"zxq{i}" for i in range(4)]
+        # doc 1: rare block planted at token offset 20
+        doc1 = " ".join(common[:20] + rare_block + common[20:])
+        # doc 2: all common -> its worst window is still common-ish
+        doc2 = " ".join(common)
+        df = spark.createDataFrame([(1, doc1), (2, doc2)], ["doc_id", "text"])
+        got = {r.id: r for r in
+               worst_window_logprob(df, "doc_id", "text", window=6).collect()}
+        # the minimizing 6-token window must cover all 4 rare tokens:
+        # starts in [18, 20] (window spans start..start+5, block is 20..23)
+        assert 18 <= got[1].win_start <= 20, got[1]
+        assert got[1].win_lp_micro < got[2].win_lp_micro
+
+    def test_short_docs_drop_out(self, spark):
+        from dipper_spark.operators.search import worst_window_logprob
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, " ".join(f"w{i}" for i in range(12)))],
+            ["doc_id", "text"],
+        )
+        out = worst_window_logprob(df, "doc_id", "text", window=10).collect()
+        assert [r.id for r in out] == [2]
+        assert out[0].win_start in (0, 1, 2)  # 12 tokens -> starts 0..2
