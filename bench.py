@@ -97,6 +97,7 @@ HEADLINE = [
     "q_bloom_probe",
     "q_top_ngrams",
     "q_pmi_collocations",
+    "q_keyness",
     "q_pii_scan",
     "q_pii_redact",
     "q_strip_boilerplate",

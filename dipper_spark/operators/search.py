@@ -518,3 +518,83 @@ def worst_window_logprob(
         F.col("pos").cast("long").alias("win_start"),
         F.col("win_lp").cast("long").alias("win_lp_micro"),
     )
+
+
+def chi2_keyness(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Distinctive vocabulary per group by chi-square keyness (the
+    corpus-linguistics keyword statistic, cf. Rayson & Garside 2000 —
+    chi-square rather than log-likelihood G² so the RANKING statistic is
+    pure exact-input arithmetic: products/quotients of integer counts,
+    four contingency terms summed in fixed textual order, no libm in a
+    comparison position; see docs/ORACLE_DETERMINISM.md).
+
+    For each (group, token): the 2×2 contingency of token-vs-rest ×
+    group-vs-rest, χ² = Σ(O−E)²/E, kept only when over-represented
+    (O11 > E11) and c(token, group) ≥ min_count.  Top-k per group via the
+    salted two-phase top-k (groups are few; tokens unbounded at scale).
+
+    All marginals are aggregates of the ONE (group, token) count table;
+    the grand total rides a broadcast 1-row frame.  Returns (group,
+    token, n_obs, chi2 rounded 6, rank).
+    """
+    from dipper_spark.functions.text import tokens
+    from dipper_spark.operators.util import ensure_parallelism
+    from dipper_spark.operators.windows import salted_topk_per_group
+
+    tok = ensure_parallelism(df).select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
+    )
+    cst = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("n_st"))
+    cs = cst.groupBy("grp").agg(F.sum("n_st").cast("long").alias("n_s"))
+    ct = cst.groupBy("t").agg(F.sum("n_st").cast("long").alias("n_t"))
+    tot = cst.agg(F.sum("n_st").cast("long").alias("n"))
+    j = (
+        cst.filter(F.col("n_st") >= min_count)
+        .join(cs, "grp")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_d = F.col("n").cast("double")
+    cs_d = F.col("n_s").cast("double")
+    ct_d = F.col("n_t").cast("double")
+    o11 = F.col("n_st").cast("double")
+    o12 = cs_d - o11
+    o21 = ct_d - o11
+    o22 = n_d - cs_d - ct_d + o11
+    e11 = cs_d * ct_d / n_d
+    e12 = cs_d * (n_d - ct_d) / n_d
+    e21 = (n_d - cs_d) * ct_d / n_d
+    e22 = (n_d - cs_d) * (n_d - ct_d) / n_d
+    chi2 = (
+        (o11 - e11) * (o11 - e11) / e11
+        + (o12 - e12) * (o12 - e12) / e12
+        + (o21 - e21) * (o21 - e21) / e21
+        + (o22 - e22) * (o22 - e22) / e22
+    )
+    scored = j.filter(o11 > e11).select(
+        "grp", "t", F.col("n_st").cast("long").alias("n_obs"), chi2.alias("_chi2")
+    )
+    return (
+        salted_topk_per_group(
+            scored,
+            "grp",
+            [F.desc("_chi2"), F.col("t")],
+            k,
+            salt_on=F.col("t"),
+            rank_col="rank",
+            keep_rank=True,
+        )
+        .select(
+            F.col("grp").alias("group"),
+            F.col("t").alias("token"),
+            "n_obs",
+            F.round("_chi2", 6).alias("chi2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

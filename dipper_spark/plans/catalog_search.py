@@ -3191,6 +3191,64 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "maybe_present")
 
 
+# ---- chi-square keyness (distinctive vocabulary per source) -------------------
+
+_KEY_K, _KEY_MIN = 10, 5
+
+
+@register(
+    "q_keyness",
+    f"""
+    WITH tok AS (SELECT source AS grp, unnest({TOK}) AS t FROM documents),
+    cst AS (SELECT grp, t, count(*) AS n_st FROM tok GROUP BY grp, t),
+    cs AS (SELECT grp, CAST(sum(n_st) AS BIGINT) AS n_s FROM cst GROUP BY grp),
+    ct AS (SELECT t, CAST(sum(n_st) AS BIGINT) AS n_t FROM cst GROUP BY t),
+    tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM cst),
+    sc AS (
+      SELECT grp, t, n_st,
+             (CAST(n_st AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)
+                                     / CAST(n AS DOUBLE)) AS d11,
+             CAST(n_st AS DOUBLE) AS o11,
+             CAST(n_s AS DOUBLE) AS cs_d, CAST(n_t AS DOUBLE) AS ct_d,
+             CAST(n AS DOUBLE) AS n_d
+      FROM cst JOIN cs USING (grp) JOIN ct USING (t) CROSS JOIN tot
+      WHERE n_st >= {_KEY_MIN}),
+    scored AS (
+      SELECT grp, t, n_st,
+             (o11 - cs_d * ct_d / n_d) * (o11 - cs_d * ct_d / n_d)
+               / (cs_d * ct_d / n_d)
+             + ((cs_d - o11) - cs_d * (n_d - ct_d) / n_d)
+               * ((cs_d - o11) - cs_d * (n_d - ct_d) / n_d)
+               / (cs_d * (n_d - ct_d) / n_d)
+             + ((ct_d - o11) - (n_d - cs_d) * ct_d / n_d)
+               * ((ct_d - o11) - (n_d - cs_d) * ct_d / n_d)
+               / ((n_d - cs_d) * ct_d / n_d)
+             + ((n_d - cs_d - ct_d + o11) - (n_d - cs_d) * (n_d - ct_d) / n_d)
+               * ((n_d - cs_d - ct_d + o11) - (n_d - cs_d) * (n_d - ct_d) / n_d)
+               / ((n_d - cs_d) * (n_d - ct_d) / n_d) AS chi2
+      FROM sc WHERE d11 > 0)
+    SELECT grp AS "group", t AS token, CAST(n_st AS BIGINT) AS n_obs,
+           round(chi2, 6) AS chi2, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT grp, t, n_st, chi2,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY chi2 DESC, t) AS rk
+          FROM scored)
+    WHERE rk <= {_KEY_K}
+    """,
+)
+def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive tokens per source by chi-square keyness — the
+    'what makes this source different' report feeding mixture design and
+    contamination triage.  Chi-square (not G²) so the ranking statistic
+    is exact-input arithmetic with no libm in a comparison position; all
+    marginals are aggregates of one (source, token) count table; salted
+    two-phase top-k."""
+    from dipper_spark.operators.search import chi2_keyness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_keyness(docs, "source", "text", k=_KEY_K, min_count=_KEY_MIN)
+
+
 # ---- PMI collocations (multi-word-expression discovery) ----------------------
 
 _PMI_MIN, _PMI_K = 5, 50

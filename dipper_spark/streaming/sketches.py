@@ -77,3 +77,27 @@ def histogram_counts_to_quantiles(
         for name, p in probs.items()
     ]
     return cum.groupBy("grp").agg(F.max("total").cast("long").alias("n_total"), *aggs)
+
+
+def streaming_token_count_min(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Maintain a count-min sketch of the token stream over a document
+    stream — the online heavy-hitter counter.  ``count_min_build`` is a
+    pure counter aggregation (d × width cells), so the SAME operator runs
+    identically over a stream (``outputMode("complete")``: state is the
+    sketch itself, ≤ depth·width rows however much text flows) or a batch
+    frame, and micro-batch merging IS the sketch merge (addition).
+    Point queries read off the counter table with the batch-side
+    ``count_min_estimate`` — never re-scanning history.
+
+    Batch/stream equivalence is pytest-pinned, mirroring the histogram
+    sketch above."""
+    from dipper_spark.functions.text import tokens
+    from dipper_spark.operators.sketches import count_min_build
+
+    tok = docs.select(F.explode(tokens(text_col)).alias("t"))
+    return count_min_build(tok, "t", depth=depth, width=width)

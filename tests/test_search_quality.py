@@ -1277,3 +1277,22 @@ class TestWorstWindow:
         out = worst_window_logprob(df, "doc_id", "text", window=10).collect()
         assert [r.id for r in out] == [2]
         assert out[0].win_start in (0, 1, 2)  # 12 tokens -> starts 0..2
+
+
+class TestChi2Keyness:
+    def test_planted_marker_token_tops_its_source(self, spark):
+        from dipper_spark.operators.search import chi2_keyness
+
+        shared = "the of and to in " * 4
+        rows = [(i, "s1", shared + "alpha alpha alpha") for i in range(5)] + [
+            (i + 10, "s2", shared + "beta beta beta") for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        got = chi2_keyness(df, "source", "text", k=3, min_count=5).collect()
+        top = {r.group: r.token for r in got if r.rank == 1}
+        # each source's most distinctive token is its planted marker
+        assert top == {"s1": "alpha", "s2": "beta"}
+        # shared function words are never over-represented in either
+        assert all(r.token not in {"the", "of", "and", "to", "in"} for r in got)
+        # chi2 of a perfectly-separating marker: hand check it is large
+        assert all(r.chi2 > 10 for r in got if r.rank == 1)

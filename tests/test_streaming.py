@@ -388,3 +388,46 @@ class TestStreamingDedup:
         # the in-watermark duplicate is dropped; state is watermark-bounded
         assert got.count() == 2
         assert sorted(r.subject for r in got.collect()) == ["HP:1", "HP:2"]
+
+
+class TestStreamingCountMin:
+    def test_streamed_sketch_equals_batch_and_never_undercounts(
+        self, spark, tables, tmp_path
+    ):
+        from dipper_spark.operators.sketches import count_min_estimate
+        from dipper_spark.streaming.sketches import streaming_token_count_min
+
+        docs = tables["documents"].select("doc_id", "text")
+        src_dir = str(tmp_path / "docs_cms")
+        docs.repartition(3).write.parquet(src_dir)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src_dir)
+        q = (
+            streaming_token_count_min(stream)
+            .writeStream.format("memory")
+            .queryName("cms_sketch")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.d, r.bucket): r.c
+            for r in spark.sql("select * from cms_sketch").collect()
+        }
+        batch = {
+            (r.d, r.bucket): r.c
+            for r in streaming_token_count_min(docs).collect()
+        }
+        # micro-batch merge = addition: bit-identical counter matrix
+        assert streamed == batch and len(streamed) > 0
+        # point estimates off the STREAMED sketch never undercount
+        tok = docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+        exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_n")).limit(20)
+        est = count_min_estimate(
+            spark.sql("select * from cms_sketch"), exact, "t", 4, 256
+        )
+        for r in est.collect():
+            assert r.est_n >= r.exact_n, r
