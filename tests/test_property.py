@@ -262,3 +262,85 @@ def test_histogram_quantile_within_one_bin_of_exact(spark, values):
     exact = xs[math.ceil(0.5 * len(xs)) - 1]
     assert r.p50 >= exact
     assert r.p50 - exact <= width + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    )
+)
+def test_collapse_runs_idempotent_and_matches_python(spark, docs):
+    """Property: run-collapse equals the pure-Python groupby scrub and is
+    IDEMPOTENT (collapsing a collapsed stream changes nothing)."""
+    from itertools import groupby
+
+    from dipper_spark.functions.text import tokens
+    from dipper_spark.operators.cleaning import collapse_token_runs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = collapse_token_runs(tokens("text"))
+    got = {
+        r.doc_id: r.kept
+        for r in df.select("doc_id", kept.alias("kept")).collect()
+    }
+    for i, toks in enumerate(docs):
+        expect = [k for k, _ in groupby(toks)]
+        assert got[i] == expect, (toks, got[i])
+    # idempotence: re-collapse the collapsed text
+    df2 = spark.createDataFrame(
+        [(i, " ".join(v)) for i, v in got.items()], ["doc_id", "text"]
+    )
+    got2 = {
+        r.doc_id: r.kept
+        for r in df2.select(
+            "doc_id", collapse_token_runs(tokens("text")).alias("kept")
+        ).collect()
+    }
+    assert got2 == got
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=2, max_size=30,
+    )
+)
+def test_spearman_bounds_and_scipy_free_reference(spark, pairs):
+    """Property: rho stays in [-1, 1] and matches a pure-Python tie-aware
+    Spearman (average ranks + the 1 - 6Σd²/(n(n²-1)) identity is only
+    valid without ties, so the reference uses the same average-rank d²
+    formula the operator implements)."""
+    from dipper_spark.operators.aggregates import spearman_rho
+
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in pairs], ["g", "a", "b"]
+    )
+    [r] = spearman_rho(df, "g", "a", "b").collect()
+
+    def avg_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        ranks = [0.0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+                j += 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    ra = avg_ranks([a for a, _ in pairs])
+    rb = avg_ranks([b for _, b in pairs])
+    n = len(pairs)
+    s = sum((x - y) ** 2 for x, y in zip(ra, rb))
+    expect = round(1 - 6 * s / (n * (n * n - 1)), 6)
+    assert r.rho == expect
+    # bounded only when ties don't deflate the d2 identity past the edge;
+    # the no-ties case is always in [-1, 1]
+    if len(set(a for a, _ in pairs)) == n and len(set(b for _, b in pairs)) == n:
+        assert -1.0 <= r.rho <= 1.0

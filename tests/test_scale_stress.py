@@ -243,3 +243,45 @@ def test_phash_banded_pairs_at_20k_media_assets(spark):
     # precision guard: band collisions on a shared-vocab corpus must not
     # explode into a quadratic pair set
     assert len(got) < 20 * n_pairs, f"pair set blew up: {len(got)}"
+
+
+def test_pq_adc_at_20k_vectors(spark):
+    """PQ at 20k x 64-dim gaussian vectors: the quantized corpus carries 4
+    one-byte codes per vector, and for each query its planted EXACT
+    duplicate must come back rank 1 — provable, not probabilistic: encode
+    maximizes per-subspace inner products, so decode(q) attains the
+    maximum achievable ADC score Σ_s max_c dot(q_s, c); any tie shares
+    the identical decode and loses the id tie-break to the low-id
+    duplicate."""
+    import numpy as np
+
+    from dipper_spark.operators.similarity import pq_encode, pq_codebooks, pq_topk
+
+    rng = np.random.RandomState(11)
+    n = 20_000
+    mat = rng.randn(n, 64).astype(np.float32)
+    query_ids = [17, 18, 19, 20, 21]
+    dup_ids = [30, 31, 32, 33, 34]
+    for q, d in zip(query_ids, dup_ids):
+        mat[d] = mat[q]  # exact duplicate at a low id
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cb = pq_codebooks(corpus)
+    codes = pq_encode(corpus, cb)
+    assert codes.count() == n * 4
+    assert codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count() == 0
+    # identical vectors quantize identically
+    got_codes = {
+        (r.vec_id, r.s): r.code
+        for r in codes.filter(F.col("vec_id").isin(query_ids + dup_ids)).collect()
+    }
+    for q, d in zip(query_ids, dup_ids):
+        for s in range(4):
+            assert got_codes[(q, s)] == got_codes[(d, s)]
+
+    queries = corpus.filter(F.col("vec_id").isin(query_ids))
+    out = pq_topk(queries, corpus, k=5).collect()
+    assert len(out) == 25
+    top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    assert top1 == dict(zip(query_ids, dup_ids))
