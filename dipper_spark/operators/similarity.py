@@ -737,3 +737,84 @@ def pq_topk(
         F.round(dot("qx", "nx"), 6).alias("true_cos"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """The composed production ANN stack (FAISS's IVF+PQ architecture,
+    Jegou et al. 2011 §IV): a coarse quantizer restricts the search to
+    the query's IVF bucket, a product quantizer compresses what gets
+    scanned inside it — scan cost drops ~n_centroids-fold AND each
+    scanned vector is 4 bytes of codes, which is how a 100 TB embedding
+    store becomes searchable on a RAM-scale cluster.
+
+    Deterministic throughout (first-k centroids + first-k per-subspace
+    codebooks, exact-double cosine assignment, order-deterministic ADC
+    via decode-dot), so a SQL oracle reproduces bucket membership, codes,
+    and every score.  No residual encoding (codes quantize the vectors
+    themselves, the IVFADC-without-residual variant) — residuals would
+    need per-bucket codebooks, breaking the shared-broadcast-codebook
+    economics this formulation keeps.
+
+    Returns (query_id, neighbor_id, bucket, approx_ip, rank).
+    """
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        "vec_id", "embedding"
+    )
+    assigned = assign_buckets(corpus, cents).select("vec_id", "bucket")
+    cb = pq_codebooks(corpus, n_sub, n_codes, dim)
+    codes = pq_encode(corpus, cb, n_sub, dim)
+    recon = (
+        codes.join(F.broadcast(cb), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("s", "sub"))),
+                    lambda t: t["sub"],
+                )
+            ).alias("ax")
+        )
+    )
+    quantized = assigned.join(recon, "vec_id")
+    qa = (
+        assign_buckets(queries, cents)
+        .select(F.col("vec_id").alias("query_id"), "embedding", "bucket")
+        .select(
+            "query_id", _l2_normalize("embedding").alias("qx"), "bucket"
+        )
+    )
+    from dipper_spark.functions.vectors import dot
+
+    scored = (
+        F.broadcast(qa)
+        .join(quantized, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            dot("qx", "ax").alias("ip"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        "query_id",
+        [F.col("ip").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("ip", 6).alias("approx_ip"),
+        F.col("rank").cast("long").alias("rank"),
+    )

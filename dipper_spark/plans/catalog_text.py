@@ -683,10 +683,9 @@ _PQ_NORM = (
 )
 
 
-@register(
-    "q_ann_pq",
-    f"""
-    WITH nrm AS (SELECT vec_id, {_PQ_NORM} AS x FROM embeddings),
+#: shared PQ pipeline CTEs (normalize -> codebooks -> encode -> decode);
+#: composed by both q_ann_pq and the IVF+PQ stack below
+_PQ_CTES = f"""nrm AS (SELECT vec_id, {_PQ_NORM} AS x FROM embeddings),
     sub AS (SELECT unnest([{", ".join(str(s) for s in range(_PQ_SUB))}]) AS s),
     cb AS (SELECT sub.s, n.vec_id AS code,
                   n.x[sub.s*{_PQ_SD}+1 : sub.s*{_PQ_SD}+{_PQ_SD}] AS cw
@@ -702,7 +701,13 @@ _PQ_NORM = (
         FROM sl JOIN cb c ON c.s = sl.s) WHERE rn = 1),
     recon AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.s)) AS ax
               FROM enc e JOIN cb c ON c.s = e.s AND c.code = e.code
-              GROUP BY e.vec_id),
+              GROUP BY e.vec_id)"""
+
+
+@register(
+    "q_ann_pq",
+    f"""
+    WITH {_PQ_CTES},
     scored AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
                       {_pq_dot('q.x', 'r.ax')} AS ip
                FROM nrm q JOIN recon r ON r.vec_id != q.vec_id
@@ -734,6 +739,57 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb.filter(F.col("vec_id") < _PQ_K), emb,
         n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_PQ_DIM, k=_PQ_K,
+    )
+
+
+# ---- composed IVF + PQ stack (the FAISS IVFADC architecture) ------------------
+
+
+@register(
+    "q_ann_ivfpq",
+    f"""
+    WITH {_PQ_CTES},
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_EC} DESC, cent.cid) AS rn
+        FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+    qa AS (SELECT a.vec_id AS query_id, n.x AS qx, a.bucket
+           FROM assign a JOIN nrm n ON n.vec_id = a.vec_id
+           WHERE a.vec_id < {_PQ_K}),
+    quant AS (SELECT a.vec_id, a.bucket, r.ax
+              FROM assign a JOIN recon r ON r.vec_id = a.vec_id),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket,
+                      {_pq_dot('q.qx', 'c.ax')} AS ip
+               FROM qa q JOIN quant c
+                 ON c.bucket = q.bucket AND c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket,
+           round(ip, 6) AS approx_ip, rank
+    FROM (SELECT query_id, neighbor_id, bucket, ip,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ip DESC, neighbor_id)
+                      AS BIGINT) AS rank
+          FROM scored)
+    WHERE rank <= {_PQ_K}
+    """,
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN stack (FAISS IVF+PQ): the coarse
+    quantizer restricts each query's scan to its IVF bucket
+    (~1/16 of the corpus), the product quantizer compresses what gets
+    scanned inside it to 4 one-byte codes — the two multiplicative
+    savings that make a 100 TB embedding store searchable.  Deterministic
+    end-to-end (first-k centroids + codebooks), so the oracle reproduces
+    bucket membership, codes, and every ADC score."""
+    from dipper_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < _PQ_K), emb,
+        n_centroids=16, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_PQ_DIM, k=_PQ_K,
     )
 
 

@@ -750,3 +750,34 @@ class TestProductQuantization:
             assert abs(r.true_cos - round(exp_cos, 6)) < 1e-6, r
         ranks = sorted((r.query_id, r.rank) for r in out)
         assert ranks == [(q, j) for q in range(3) for j in (1, 2, 3)]
+
+
+def test_ivfpq_searches_only_query_bucket(spark):
+    """IVF+PQ composition: results only ever come from the query's coarse
+    bucket, and an exact duplicate in that bucket is rank 1 (it attains
+    the maximal ADC score — see test_pq_adc_at_20k_vectors)."""
+    import numpy as np
+
+    from dipper_spark.operators.similarity import assign_buckets, ivfpq_topk
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(400, 8).astype(np.float32)
+    mat[50] = mat[17]  # duplicate of query 17 at id 50
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivfpq_topk(
+        corpus.filter(F.col("vec_id") == 17), corpus,
+        n_centroids=8, n_sub=2, n_codes=8, dim=8, k=3,
+    ).collect()
+    assert len(out) == 3
+    cents = corpus.filter(F.col("vec_id") < 8)
+    buckets = {
+        r.vec_id: r.bucket for r in assign_buckets(corpus, cents).collect()
+    }
+    for r in out:
+        assert r.query_id == 17
+        assert buckets[r.neighbor_id] == buckets[17] == r.bucket
+    # the exact duplicate shares the bucket (same vector) and wins rank 1
+    assert out[0].rank == 1 and out[0].neighbor_id == 50

@@ -40,6 +40,14 @@ DOC_QUERIES = [
     "q_dup_components",
     "q_substring_spans",
     "q_media_patch_dedup",
+    # round-9 additions: sketch, LM, localization, keyness, collocation,
+    # and the PQ-ADC search — the new members of the heavy family
+    "q_hll_distinct",
+    "q_worst_window",
+    "q_kneser_ney",
+    "q_keyness",
+    "q_pmi_collocations",
+    "q_ann_pq",
 ]
 
 
