@@ -101,3 +101,29 @@ def streaming_token_count_min(
 
     tok = docs.select(F.explode(tokens(text_col)).alias("t"))
     return count_min_build(tok, "t", depth=depth, width=width)
+
+
+def streaming_token_hll(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    p: int = 10,
+) -> DataFrame:
+    """Maintain per-group HyperLogLog registers over a document stream —
+    the online distinct counter.  ``hll_registers`` is a grouped MAX over
+    (group, bucket) cells, so the same operator runs identically on a
+    stream (``outputMode("complete")``: state is the register table,
+    ≤ groups × 2^p rows forever) or a batch frame; micro-batch merging IS
+    the HLL merge (per-bucket max).  Estimates read off the counter table
+    with the batch-side ``hll_estimate`` — history is never re-scanned.
+
+    Completes the streaming sketch family (histogram → quantiles,
+    count-min → heavy hitters, HLL → cardinality); batch/stream register
+    equality is pytest-pinned."""
+    from dipper_spark.functions.text import tokens
+    from dipper_spark.operators.sketches import hll_registers
+
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
+    )
+    return hll_registers(tok, "t", ["grp"], p=p)

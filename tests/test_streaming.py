@@ -431,3 +431,54 @@ class TestStreamingCountMin:
         )
         for r in est.collect():
             assert r.est_n >= r.exact_n, r
+
+
+class TestStreamingHll:
+    def test_streamed_registers_equal_batch_and_estimate_agrees(
+        self, spark, tables, tmp_path
+    ):
+        from dipper_spark.operators.sketches import hll_estimate
+        from dipper_spark.streaming.sketches import streaming_token_hll
+
+        docs = tables["documents"].select("source", "text")
+        src_dir = str(tmp_path / "docs_hll")
+        docs.repartition(3).write.parquet(src_dir)
+        stream = spark.readStream.schema("source string, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src_dir)
+        q = (
+            streaming_token_hll(stream)
+            .writeStream.format("memory")
+            .queryName("hll_regs")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.grp, r.bucket): r.rho
+            for r in spark.sql("select * from hll_regs").collect()
+        }
+        batch = {
+            (r.grp, r.bucket): r.rho
+            for r in streaming_token_hll(docs).collect()
+        }
+        # micro-batch merge = per-bucket max: identical register tables
+        assert streamed == batch and len(streamed) > 0
+        # cardinality estimates read off the STREAMED registers track the
+        # exact distinct-token counts
+        est = {
+            r.grp: r.estimate
+            for r in hll_estimate(
+                spark.sql("select * from hll_regs"), ["grp"]
+            ).collect()
+        }
+        exact = {
+            r.source: r.n
+            for r in docs.select(
+                "source", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+            ).groupBy("source").agg(F.countDistinct("t").alias("n")).collect()
+        }
+        for g, e in est.items():
+            assert abs(e - exact[g]) / exact[g] < 0.15, (g, e, exact[g])
