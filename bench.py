@@ -32,6 +32,7 @@ HEADLINE = [
     "q_rolling_avg",
     "q_event_gaps",
     "q_key_skew",
+    "q_selfjoin_size",
     "q_robust_outliers",
     "q_conversion_funnel",
     "q_cohort_retention",

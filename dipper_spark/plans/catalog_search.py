@@ -811,6 +811,64 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- self-join size via CMS second moment -------------------------------------
+
+_F2_D, _F2_W = 4, 256
+
+
+@register(
+    "q_selfjoin_size",
+    f"""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    exact AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_f2 FROM c),
+    ds AS (SELECT unnest([{", ".join(str(i) for i in range(_F2_D))}]) AS d),
+    cms AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(d || ':' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {_F2_W} AS bucket,
+             count(*) AS cnt
+      FROM events CROSS JOIN ds GROUP BY 1, 2),
+    est AS (SELECT CAST(min(s) AS BIGINT) AS est_f2
+            FROM (SELECT d, sum(cnt * cnt) AS s FROM cms GROUP BY d))
+    SELECT e.exact_f2, a.est_f2,
+           round(CAST(a.est_f2 AS DOUBLE) / CAST(e.exact_f2 AS DOUBLE), 6)
+             AS blowup
+    FROM exact e CROSS JOIN est a
+    """,
+)
+def q_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (second frequency moment Σc²) of events.user_id,
+    estimated from the count-min sketch's inner product with itself (the
+    AMS/CMS F2 estimate, an upper bound — collisions only add) next to
+    the exact value — the pre-flight that PREDICTS a self-join's output
+    volume from sketch-sized state before paying for the shuffle
+    (q_key_skew's companion: skew tells you the straggler, F2 tells you
+    the pair volume).  All integer arithmetic; at 100 TB the Σc² sums
+    move to DOUBLE (BIGINT overflows past ~3e9-row hot keys) with the
+    same plan."""
+    from dipper_spark.operators.sketches import count_min_build
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    exact = c.agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_f2"))
+    cms = count_min_build(
+        ev.select(F.col("user_id").cast("string").alias("k")), "k",
+        depth=_F2_D, width=_F2_W,
+    )
+    est = (
+        cms.groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+        .agg(F.min("s").cast("long").alias("est_f2"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_f2",
+        "est_f2",
+        F.round(
+            F.col("est_f2").cast("double") / F.col("exact_f2").cast("double"), 6
+        ).alias("blowup"),
+    )
+
+
 # ---- shuffle-key skew diagnostics ---------------------------------------------
 
 _SKEW_TOPN = 10

@@ -1296,3 +1296,26 @@ class TestChi2Keyness:
         assert all(r.token not in {"the", "of", "and", "to", "in"} for r in got)
         # chi2 of a perfectly-separating marker: hand check it is large
         assert all(r.chi2 > 10 for r in got if r.rank == 1)
+
+
+class TestSelfJoinSizeF2:
+    def test_upper_bound_and_tightness_without_collisions(self, spark):
+        from dipper_spark.operators.sketches import count_min_build
+
+        # 5 keys with counts 1..5: exact F2 = 55; width 256 >> 5 keys means
+        # collisions are improbable -> the CMS inner product is EXACT
+        rows = [(f"k{i}",) for i in range(1, 6) for _ in range(i)]
+        df = spark.createDataFrame(rows, ["k"])
+        cms = count_min_build(df, "k", depth=3, width=256)
+        per_d = {
+            r.d: r.s
+            for r in cms.groupBy("d").agg(F.sum(F.col("c") * F.col("c")).alias("s")).collect()
+        }
+        assert min(per_d.values()) == 55
+        # width 2 forces collisions: estimate must only ever grow
+        tight = count_min_build(df, "k", depth=3, width=2)
+        per_d2 = [
+            r.s
+            for r in tight.groupBy("d").agg(F.sum(F.col("c") * F.col("c")).alias("s")).collect()
+        ]
+        assert min(per_d2) >= 55
