@@ -482,3 +482,31 @@ class TestStreamingHll:
         }
         for g, e in est.items():
             assert abs(e - exact[g]) / exact[g] < 0.15, (g, e, exact[g])
+
+
+class TestNativeSessionWindowEquivalence:
+    def test_session_window_matches_islands_sessionizer(self, spark, tables):
+        """Spark's built-in session_window must partition events into the
+        SAME sessions as the catalog's gaps-and-islands form
+        (q_session_ids) at the same 30-minute gap — the native operator
+        is the drop-in replacement when a plain tumbling-state session is
+        enough, the islands form stays for when the session id must be a
+        deterministic running sequence."""
+        from dipper_spark.plans import QUERIES
+
+        ev = tables["events"].select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        native = (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.sort_array(F.collect_list("event_id")).alias("members"))
+        )
+        native_sessions = {
+            tuple(r.members) for r in native.collect()
+        }
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+        islands = QUERIES["q_session_ids"](spark, sf)
+        grouped = (
+            islands.groupBy("user_id", "session_seq")
+            .agg(F.sort_array(F.collect_list("event_id")).alias("members"))
+        )
+        island_sessions = {tuple(r.members) for r in grouped.collect()}
+        assert native_sessions == island_sessions and len(native_sessions) > 0
