@@ -127,6 +127,7 @@ HEADLINE = [
     "q_ann_recall",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_ann_ivfpq_recall",
     "q_matryoshka_recall",
     "q_embedding_neardup",
     "q_dup_components",

@@ -745,9 +745,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- composed IVF + PQ stack (the FAISS IVFADC architecture) ------------------
 
 
-@register(
-    "q_ann_ivfpq",
-    f"""
+_ANN_IVFPQ_SQL = f"""
     WITH {_PQ_CTES},
     cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
              WHERE vec_id < 16),
@@ -774,8 +772,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS BIGINT) AS rank
           FROM scored)
     WHERE rank <= {_PQ_K}
-    """,
-)
+    """
+
+
+@register("q_ann_ivfpq", _ANN_IVFPQ_SQL)
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed production ANN stack (FAISS IVF+PQ): the coarse
     quantizer restricts each query's scan to its IVF bucket
@@ -790,6 +790,48 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb.filter(F.col("vec_id") < _PQ_K), emb,
         n_centroids=16, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_PQ_DIM, k=_PQ_K,
+    )
+
+
+@register(
+    "q_ann_ivfpq_recall",
+    f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_COSINE_TOPK_SQL})),
+    approx AS (SELECT query_id, neighbor_id FROM ({_ANN_IVFPQ_SQL}))
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF+PQ stack against brute-force exact —
+    the end-to-end accuracy price of BOTH approximations at once (bucket
+    truncation x quantization error), completing the audit trio
+    (q_ann_recall: IVF alone; q_matryoshka_recall: truncation alone).
+    Both sides are bounded top-k outputs, so the audit join is trivial
+    however large the corpus."""
+    from dipper_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(q, emb, n_centroids=16, n_sub=_PQ_SUB,
+                        n_codes=_PQ_CODES, dim=_PQ_DIM, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.count("hit").cast("long").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "recall"
+            ),
+        )
     )
 
 
