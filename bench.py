@@ -85,6 +85,7 @@ HEADLINE = [
     "q_temperature_sample",
     "q_epoch_shuffle",
     "q_snapshot_diff",
+    "q_drift_psi",
     "q_novelty_rate",
     "q_zorder_layout",
     "q_label_pca",
@@ -116,6 +117,7 @@ HEADLINE = [
     "q_jaccard_pruned",
     "q_containment",
     "q_minhash_lsh",
+    "q_source_dup_matrix",
     "q_lsh_recall",
     "q_simhash",
     "q_simhash_pairs",

@@ -427,6 +427,55 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- cross-source duplication matrix ------------------------------------------
+
+
+@register(
+    "q_source_dup_matrix",
+    f"""
+    WITH prs AS (SELECT id_1, id_2 FROM ({_minhash_sql(threshold=0.5)})),
+    d AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS src_a,
+           greatest(a.source, b.source) AS src_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM prs JOIN d a ON a.doc_id = prs.id_1
+             JOIN d b ON b.doc_id = prs.id_2
+    GROUP BY src_a, src_b
+    """,
+)
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication flow matrix: MinHash-LSH near-dup pairs
+    (the production banded path) attributed to their (source, source)
+    cell — the 'who copies from whom' report that decides whether two
+    sources should be mixed, deduped against each other, or one dropped
+    entirely.  Pair sources canonicalize with least/greatest so the
+    matrix is upper-triangular; the attribution joins touch only the
+    pair list (bounded by dup volume, not corpus size)."""
+    from dipper_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", 3, num_perm=8, rows_per_band=2, threshold=0.5
+    ).select("id_1", "id_2")
+    d = docs.select("doc_id", "source")
+    return (
+        pairs.join(d.withColumnRenamed("source", "s1"), pairs.id_1 == d.doc_id)
+        .drop("doc_id")
+        .join(
+            d.withColumnRenamed("source", "s2").withColumnRenamed(
+                "doc_id", "doc_id2"
+            ),
+            F.col("id_2") == F.col("doc_id2"),
+        )
+        .select(
+            F.least("s1", "s2").alias("src_a"),
+            F.greatest("s1", "s2").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 # ---- dedup-signal agreement report ---------------------------------------------
 
 
@@ -1941,6 +1990,87 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return calibration_bins(
         sc.join(passed, "id"), "clf_score", "passed", n_bins=_CAL_BINS
+    )
+
+
+# ---- population-stability drift (PSI) ------------------------------------------
+
+_PSI_BINS = 10
+
+
+@register(
+    "q_drift_psi",
+    f"""
+    WITH sc AS (
+      SELECT doc_id % 2 AS half,
+             least({_PSI_BINS - 1},
+                   greatest(0, CAST(floor(
+                     round(least(len({TOK}) / 100.0, 1.0) * 0.5
+                           + (len(list_distinct({TOK}))
+                              / CAST(len({TOK}) AS DOUBLE)) * 0.3
+                           + least(({_lang_hits_sql(LANG_MARKERS["en"])}
+                                    / CAST(len({TOK}) AS DOUBLE)) * 10.0,
+                                   1.0) * 0.2,
+                           6) * {_PSI_BINS}.0) AS INT))) AS bin
+      FROM documents),
+    c AS (SELECT bin,
+                 count(*) FILTER (WHERE half = 0) AS n_a,
+                 count(*) FILTER (WHERE half = 1) AS n_b
+          FROM sc GROUP BY bin),
+    tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                   CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+    SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(round((CAST(n_a + 1 AS DOUBLE)
+                       / CAST(ta + {_PSI_BINS} AS DOUBLE)
+                       - CAST(n_b + 1 AS DOUBLE)
+                         / CAST(tb + {_PSI_BINS} AS DOUBLE))
+                      * ln((CAST(n_a + 1 AS DOUBLE)
+                            / CAST(ta + {_PSI_BINS} AS DOUBLE))
+                           / (CAST(n_b + 1 AS DOUBLE)
+                              / CAST(tb + {_PSI_BINS} AS DOUBLE)))
+                      * 1000000000.0) AS BIGINT) AS psi_term_nano
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index between two corpus halves (doc_id
+    parity plays the snapshot pair) over quality-score deciles — the
+    standard drift monitor for 'did the distribution my filters see
+    change between ingests'.  Laplace +1 smoothing keeps both marginals
+    positive; each bin's PSI term is rendered as an exact NANO-unit
+    BIGINT so the total (Σ terms, the headline PSI) is an exact integer
+    sum on any engine — the ln sits in a value position only (see
+    docs/ORACLE_DETERMINISM.md)."""
+    from dipper_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(quality_score("text") * F.lit(float(_PSI_BINS))).cast(
+                    "int"
+                ),
+            ),
+        ).alias("bin"),
+    )
+    c = sc.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + _PSI_BINS).cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + _PSI_BINS).cast("double")
+    term = (pa - pb) * F.log(pa / pb)
+    return c.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(term * 1000000000.0).cast("long").alias("psi_term_nano"),
     )
 
 

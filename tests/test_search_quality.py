@@ -1319,3 +1319,33 @@ class TestSelfJoinSizeF2:
             for r in tight.groupBy("d").agg(F.sum(F.col("c") * F.col("c")).alias("s")).collect()
         ]
         assert min(per_d2) >= 55
+
+
+class TestDriftPsi:
+    def test_identical_halves_zero_and_shift_positive(self, spark):
+        from dipper_spark.plans import QUERIES  # noqa: F401 - registry import
+
+        from dipper_spark.plans.catalog_search import q_drift_psi
+
+        import tempfile, os
+        # synth corpus: even/odd halves identical -> every term ~0
+        filler = "the of and to in for on at by it is was"
+        same = [(i, filler, "en", "s", len(filler)) for i in range(40)]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                same, ["doc_id", "text", "lang", "source", "n_chars"]
+            ).write.parquet(os.path.join(d, "documents.parquet"))
+            rows = q_drift_psi(spark, d).collect()
+            assert sum(r.psi_term_nano for r in rows) == 0
+        # shifted: odd half gets much longer docs (higher quality score)
+        shifted = [
+            (i, filler if i % 2 == 0 else " ".join([filler] * 12), "en", "s", 1)
+            for i in range(40)
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                shifted, ["doc_id", "text", "lang", "source", "n_chars"]
+            ).write.parquet(os.path.join(d, "documents.parquet"))
+            rows = q_drift_psi(spark, d).collect()
+            total = sum(r.psi_term_nano for r in rows) / 1e9
+            assert total > 0.25  # industry "significant shift" threshold
