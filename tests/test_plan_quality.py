@@ -504,3 +504,28 @@ class TestRound9Additions:
         plan = final_plan_of(QUERIES["q_calibration"](spark, sf))
         final = plan.split("== Initial Plan ==")[0]
         assert "Python" not in final and "CartesianProduct" not in final
+
+
+class TestRound9LateAdditions:
+    def test_ivfpq_no_shuffle_joins(self, spark, sf):
+        # centroids, codebooks, and the query set all broadcast; the
+        # quantized corpus is the only big frame
+        plan = final_plan_of(QUERIES["q_ann_ivfpq"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final
+        assert "CartesianProduct" not in final
+
+    def test_source_dup_matrix_attribution_stays_pair_sized(self, spark, sf):
+        # the (source, source) attribution joins ride the bounded pair
+        # list; nothing python-side, no cartesian
+        plan = final_plan_of(QUERIES["q_source_dup_matrix"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Python" not in final and "CartesianProduct" not in final
+
+    def test_drift_psi_two_aggs_one_broadcast(self, spark, sf):
+        # decile counts then a broadcast 1-row totals frame — never a
+        # shuffle join of the bin table
+        plan = final_plan_of(QUERIES["q_drift_psi"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" in final  # the 1-row totals
+        assert "SortMergeJoin" not in final and "CartesianProduct" not in final
