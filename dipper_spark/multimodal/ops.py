@@ -293,7 +293,12 @@ def phash_media(media: DataFrame, n_cells: int = 64) -> DataFrame:
                 sums = np.bincount(cell, weights=arr, minlength=n_cells)
                 cnts = np.bincount(cell, minlength=n_cells)
                 v = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
-                coeffs = np.round((v @ basis)[1:], 2)
+                # floor(x*100 + 0.5)/100: round-half-UP at 2 decimals — the
+                # same rule the DuckDB oracle applies.  np.round would use
+                # banker's rounding while DuckDB round() is half-away-from-
+                # zero: a coefficient landing exactly on a .xx5 boundary
+                # would flip a hash bit between engines.
+                coeffs = np.floor((v @ basis)[1:] * 100.0 + 0.5) / 100.0
                 m = np.median(coeffs)
                 bits = coeffs > m
                 hashes.append(int(sum(1 << i for i in np.nonzero(bits)[0])))

@@ -231,11 +231,17 @@ def spearman_rho(
     the same way? calibration checks levels; this checks ranks, which is
     what sampling/filtering actually consumes).
 
-    Tie-aware average ranks: avg_rank = rank() + (n_ties − 1)/2, so every
-    rank is a half-integer, every d² a multiple of 0.25, and the Σd² sum
-    is EXACT in IEEE double (order-independent) — rho = 1 − 6Σd²/(n(n²−1))
-    is then pure deterministic arithmetic an oracle reproduces bit-for-bit.
-    Groups of < 2 rows return NULL (degenerate denominator).
+    TRUE tie-aware Spearman = Pearson correlation of the average ranks
+    (NOT the 1 − 6Σd²/(n(n²−1)) shortcut, which is only exact when there
+    are no ties).  Average ranks avg_rank = rank() + (n_ties − 1)/2 are
+    half-integers, so every sum the computational Pearson form needs
+    (Σra, Σrb, Σra², Σrb², Σra·rb) is a sum of quarter-integers — EXACT
+    in IEEE double at any partition order — and the final
+    (nΣab − ΣaΣb) / sqrt((nΣa² − (Σa)²)(nΣb² − (Σb)²)) is deterministic
+    arithmetic an oracle reproduces bit-for-bit (sqrt is correctly
+    rounded in IEEE 754).  Groups of < 2 rows return NULL; so does a
+    group where either signal is CONSTANT (variance 0 → rho undefined —
+    previously the shortcut silently reported a finite value here).
 
     Shape: both rank windows partition on the SAME group key — one keyed
     shuffle, two in-partition sorts — then a per-group hash-agg.  Returns
@@ -252,18 +258,24 @@ def spearman_rho(
     ranked = df.select(
         *group_cols, half(a_col).alias("_ra"), half(b_col).alias("_rb")
     )
-    d2 = (F.col("_ra") - F.col("_rb")) * (F.col("_ra") - F.col("_rb"))
+    ra, rb = F.col("_ra"), F.col("_rb")
     agg = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(d2).alias("_s"),
+        F.sum(ra).alias("_sa"),
+        F.sum(rb).alias("_sb"),
+        F.sum(ra * ra).alias("_saa"),
+        F.sum(rb * rb).alias("_sbb"),
+        F.sum(ra * rb).alias("_sab"),
     )
     n_d = F.col("n_rows").cast("double")
-    rho = F.round(
-        F.lit(1.0) - (F.lit(6.0) * F.col("_s")) / (n_d * (n_d * n_d - F.lit(1.0))),
-        6,
-    )
+    var_a = n_d * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    var_b = n_d * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    cov = n_d * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    rho = F.round(cov / F.sqrt(var_a * var_b), 6)
     return agg.select(
         *group_cols,
         "n_rows",
-        F.when(F.col("n_rows") > 1, rho).alias("rho"),
+        F.when(
+            (F.col("n_rows") > 1) & (var_a > 0) & (var_b > 0), rho
+        ).alias("rho"),
     )

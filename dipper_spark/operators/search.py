@@ -559,6 +559,12 @@ def chi2_keyness(
         .join(cs, "grp")
         .join(ct, "t")
         .crossJoin(F.broadcast(tot))
+        # degenerate-input guard: with a single group (n_s == n) or a single
+        # distinct token (n_t == n) the e12/e21/e22 denominators are 0 and
+        # chi2 would be NaN — which sorts ABOVE real values in DESC order and
+        # silently corrupts the top-k.  Such tokens/groups carry no keyness
+        # signal (there is no "rest" to contrast against): drop them.
+        .filter((F.col("n_s") < F.col("n")) & (F.col("n_t") < F.col("n")))
     )
     n_d = F.col("n").cast("double")
     cs_d = F.col("n_s").cast("double")

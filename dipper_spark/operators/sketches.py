@@ -236,7 +236,11 @@ def hll_registers(
     """
     it = F.col(item) if isinstance(item, str) else item
     wbits = 32 - p
-    hashed = df.select(
+    # NULL items never count toward COUNT(DISTINCT ...) — and unhandled they
+    # would forge a register: md5(NULL) -> _h NULL -> bucket NULL while
+    # _bit_length's CASE falls through to ELSE 0, yielding the maximal rho
+    # and inflating n_present/s_present in hll_estimate.
+    hashed = df.filter(it.isNotNull()).select(
         *groups,
         F.conv(F.substring(F.md5(it), 1, 8), 16, 10).cast("long").alias("_h"),
     )

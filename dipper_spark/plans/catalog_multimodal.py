@@ -157,11 +157,14 @@ _PH_CELLS = 64  # 1-D resample windows = DCT length; hash is _PH_CELLS-1 bits
       CROSS JOIN (SELECT unnest(range(0, {_PH_CELLS})) AS cell) g
       LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.cell = g.cell),
     coef AS (
-      -- DCT-II, DC dropped; round 2 so the median threshold is
-      -- reproducible across engines
+      -- DCT-II, DC dropped; floor(x*100 + 0.5)/100 = round-half-UP at 2
+      -- decimals, the ONE rule both engines implement identically (numpy
+      -- round is banker's, DuckDB round is half-away-from-zero — a .xx5
+      -- coefficient would flip a bit between them)
       SELECT doc_id, uu.u AS u,
-             round(CAST(sum(v * cos(pi() * (2 * cell + 1) * uu.u
-                                    / {2 * _PH_CELLS})) AS DOUBLE), 2) AS y
+             floor(CAST(sum(v * cos(pi() * (2 * cell + 1) * uu.u
+                                    / {2 * _PH_CELLS})) AS DOUBLE)
+                   * 100 + 0.5) / 100 AS y
       FROM grid, unnest(range(1, {_PH_CELLS})) AS uu(u)
       GROUP BY 1, 2),
     med AS (SELECT doc_id, median(y) AS m FROM coef GROUP BY 1)

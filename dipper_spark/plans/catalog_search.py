@@ -2100,12 +2100,17 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS DOUBLE) / CAST(2 AS DOUBLE) AS rb
           FROM sc)
     SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-           CASE WHEN count(*) > 1 THEN
-             round(CAST(1 AS DOUBLE)
-                   - (CAST(6 AS DOUBLE) * sum((ra - rb) * (ra - rb)))
-                     / (CAST(count(*) AS DOUBLE)
-                        * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
-                           - CAST(1 AS DOUBLE))), 6)
+           CASE WHEN count(*) > 1
+                     AND CAST(count(*) AS DOUBLE) * sum(ra * ra)
+                         - sum(ra) * sum(ra) > 0
+                     AND CAST(count(*) AS DOUBLE) * sum(rb * rb)
+                         - sum(rb) * sum(rb) > 0 THEN
+             round((CAST(count(*) AS DOUBLE) * sum(ra * rb)
+                     - sum(ra) * sum(rb))
+                   / sqrt((CAST(count(*) AS DOUBLE) * sum(ra * ra)
+                            - sum(ra) * sum(ra))
+                          * (CAST(count(*) AS DOUBLE) * sum(rb * rb)
+                             - sum(rb) * sum(rb))), 6)
            END AS rho
     FROM r GROUP BY source
     """,
@@ -2114,9 +2119,10 @@ def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank agreement per source between the hashing-trick
     classifier score and the composite rule score — q_calibration checks
     LEVELS, this checks ORDERING, which is what top-p filtering and
-    weighted sampling actually consume.  Tie-aware half-integer average
-    ranks make Σd² exact in IEEE double, so rho is bit-reproducible; both
-    rank windows share one source-keyed shuffle."""
+    weighted sampling actually consume.  TRUE Spearman under ties =
+    Pearson on half-integer average ranks (every moment sum is a sum of
+    quarter-integers, exact in IEEE double), so rho is bit-reproducible;
+    both rank windows share one source-keyed shuffle."""
     from dipper_spark.functions.text import quality_score
     from dipper_spark.operators.aggregates import spearman_rho
     from dipper_spark.operators.search import hashed_linear_score
@@ -3400,7 +3406,7 @@ _KEY_K, _KEY_MIN = 10, 5
              CAST(n_s AS DOUBLE) AS cs_d, CAST(n_t AS DOUBLE) AS ct_d,
              CAST(n AS DOUBLE) AS n_d
       FROM cst JOIN cs USING (grp) JOIN ct USING (t) CROSS JOIN tot
-      WHERE n_st >= {_KEY_MIN}),
+      WHERE n_st >= {_KEY_MIN} AND n_s < n AND n_t < n),
     scored AS (
       SELECT grp, t, n_st,
              (o11 - cs_d * ct_d / n_d) * (o11 - cs_d * ct_d / n_d)

@@ -310,10 +310,10 @@ def test_collapse_runs_idempotent_and_matches_python(spark, docs):
     )
 )
 def test_spearman_bounds_and_scipy_free_reference(spark, pairs):
-    """Property: rho stays in [-1, 1] and matches a pure-Python tie-aware
-    Spearman (average ranks + the 1 - 6Σd²/(n(n²-1)) identity is only
-    valid without ties, so the reference uses the same average-rank d²
-    formula the operator implements)."""
+    """Property: rho matches a pure-Python TRUE tie-aware Spearman
+    (Pearson correlation of average ranks — not the 1 - 6Σd²/(n(n²-1))
+    shortcut, which is only valid without ties), is always in [-1, 1],
+    and is NULL when either column is constant (variance 0)."""
     from dipper_spark.operators.aggregates import spearman_rho
 
     df = spark.createDataFrame(
@@ -337,10 +337,18 @@ def test_spearman_bounds_and_scipy_free_reference(spark, pairs):
     ra = avg_ranks([a for a, _ in pairs])
     rb = avg_ranks([b for _, b in pairs])
     n = len(pairs)
-    s = sum((x - y) ** 2 for x, y in zip(ra, rb))
-    expect = round(1 - 6 * s / (n * (n * n - 1)), 6)
-    assert r.rho == expect
-    # bounded only when ties don't deflate the d2 identity past the edge;
-    # the no-ties case is always in [-1, 1]
-    if len(set(a for a, _ in pairs)) == n and len(set(b for _, b in pairs)) == n:
+    sa, sb = sum(ra), sum(rb)
+    saa = sum(x * x for x in ra)
+    sbb = sum(x * x for x in rb)
+    sab = sum(x * y for x, y in zip(ra, rb))
+    var_a = n * saa - sa * sa
+    var_b = n * sbb - sb * sb
+    if var_a <= 0 or var_b <= 0:
+        assert r.rho is None
+    else:
+        import math
+
+        expect = round((n * sab - sa * sb) / math.sqrt(var_a * var_b), 6)
+        assert r.rho == expect
+        # Pearson-on-ranks is ALWAYS bounded, ties or not
         assert -1.0 <= r.rho <= 1.0

@@ -1056,6 +1056,25 @@ class TestHyperLogLog:
         ).first().registers_fp
         assert fp(a) == fp(b)
 
+    def test_null_items_do_not_forge_a_register(self, spark):
+        """NULL never counts toward COUNT(DISTINCT x); unfiltered it would
+        hash to a NULL bucket with the maximal rho (md5(NULL) -> NULL ->
+        _bit_length CASE falls to ELSE 0) and inflate the estimate."""
+        from pyspark.sql import functions as F
+
+        from dipper_spark.operators.sketches import hll_registers
+
+        clean = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(50)], ["g", "t"]
+        )
+        dirty = clean.unionAll(
+            clean.limit(5).select("g", F.lit(None).cast("string").alias("t"))
+        )
+        reg_c = {(r.bucket, r.rho) for r in hll_registers(clean, "t", ["g"]).collect()}
+        reg_d = {(r.bucket, r.rho) for r in hll_registers(dirty, "t", ["g"]).collect()}
+        assert reg_c == reg_d
+        assert not any(b is None for b, _ in reg_d)
+
 
 class TestPmiCollocations:
     def test_planted_collocation_outranks_common_pair(self, spark):
@@ -1206,15 +1225,21 @@ class TestSpearmanRho:
             + [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)]
             # group s: singleton -> NULL
             + [("s", 1.0, 1.0)]
+            # group c: constant a (variance 0) -> NULL, not a fake 0.5
+            + [("c", 1.0, 1.0), ("c", 1.0, 2.0), ("c", 1.0, 3.0)]
         )
         df = spark.createDataFrame(rows, ["g", "a", "b"])
         got = {r.g: r for r in spearman_rho(df, "g", "a", "b").collect()}
         assert got["p"].rho == 1.0
         assert got["q"].rho == -1.0
         assert got["s"].rho is None
-        # t: ranks_a = [1.5, 1.5, 3], ranks_b = [1, 2, 3]
-        # d2 = 0.25 + 0.25 + 0 = 0.5 -> rho = 1 - 6*0.5/(3*8) = 0.875
-        assert got["t"].rho == 0.875
+        assert got["c"].rho is None
+        # t: ranks_a = [1.5, 1.5, 3], ranks_b = [1, 2, 3]; TRUE Spearman is
+        # Pearson on the ranks: cov = 1.5, var_a = 1.5, var_b = 2
+        # -> rho = 1.5 / sqrt(3) = 0.866025 (the d2 shortcut said 0.875)
+        import math
+
+        assert got["t"].rho == round(1.5 / math.sqrt(3.0), 6)
 
     def test_single_group_shuffle(self, spark):
         from dipper_spark.operators.aggregates import spearman_rho
@@ -1296,6 +1321,29 @@ class TestChi2Keyness:
         assert all(r.token not in {"the", "of", "and", "to", "in"} for r in got)
         # chi2 of a perfectly-separating marker: hand check it is large
         assert all(r.chi2 > 10 for r in got if r.rank == 1)
+
+    def test_degenerate_single_group_returns_empty_not_nan(self, spark):
+        """One group means n_s == n: e21/e22 are zero and chi2 would be NaN
+        — which sorts ABOVE real values under DESC and corrupts the top-k.
+        The guard drops those rows; result is empty, never NaN-ranked."""
+        from dipper_spark.operators.search import chi2_keyness
+
+        df = spark.createDataFrame(
+            [(i, "only", "alpha beta gamma alpha beta alpha " * 3)
+             for i in range(5)],
+            ["doc_id", "source", "text"],
+        )
+        assert chi2_keyness(df, "source", "text", k=3, min_count=2).count() == 0
+
+    def test_degenerate_single_token_returns_empty_not_nan(self, spark):
+        """One distinct token means n_t == n for it: e12/e22 are zero."""
+        from dipper_spark.operators.search import chi2_keyness
+
+        df = spark.createDataFrame(
+            [(1, "s1", "word word word"), (2, "s2", "word word")],
+            ["doc_id", "source", "text"],
+        )
+        assert chi2_keyness(df, "source", "text", k=3, min_count=2).count() == 0
 
 
 class TestSelfJoinSizeF2:
