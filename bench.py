@@ -32,6 +32,8 @@ HEADLINE = [
     "q_rolling_avg",
     "q_event_gaps",
     "q_key_skew",
+    "q_salted_agg",
+    "q_skew_join",
     "q_selfjoin_size",
     "q_robust_outliers",
     "q_conversion_funnel",

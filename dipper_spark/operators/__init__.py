@@ -49,6 +49,12 @@ from dipper_spark.operators.sketches import (
     count_min_estimate,
     linear_counting,
 )
+from dipper_spark.operators.skew import (
+    detect_hot_keys,
+    salted_aggregate,
+    salted_count_distinct,
+    skew_join,
+)
 from dipper_spark.operators.windows import topk_per_group
 from dipper_spark.operators.setops import except_diff, intersect_all, union_dedup
 
@@ -92,6 +98,10 @@ __all__ = [
     "semi_join",
     "group_zscore",
     "interval_rollup",
+    "detect_hot_keys",
+    "salted_aggregate",
+    "salted_count_distinct",
+    "skew_join",
     "topk_per_group",
     "except_diff",
     "intersect_all",
