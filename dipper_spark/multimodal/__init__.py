@@ -28,6 +28,8 @@ from dipper_spark.multimodal.ops import (
     media_stats,
     phash_media,
     phash_pairs,
+    spectral_hash_media,
+    spectral_pairs,
     resize_image,
     sample_frames,
 )
@@ -40,6 +42,8 @@ __all__ = [
     "media_stats",
     "phash_media",
     "phash_pairs",
+    "spectral_hash_media",
+    "spectral_pairs",
     "resize_image",
     "sample_frames",
 ]

@@ -259,7 +259,8 @@ def phash_media(media: DataFrame, n_cells: int = 64) -> DataFrame:
     remaining ``n_cells - 1`` coefficients at their median, pack to a
     63-bit key.  Like image pHash, this is robust to amplitude noise and
     global re-quantization, NOT to translation/cropping (a byte shift is
-    a phase shift; shift-invariant variants need magnitude spectra).
+    a phase shift; ``spectral_hash_media`` is the magnitude-spectrum
+    companion that drops phase and catches shifted duplicates).
 
     Runs through the production decode path (``decode_media`` — codec
     stubbed to the deterministic byte-reverse here) then one Arrow
@@ -350,6 +351,100 @@ def phash_pairs(
         .select("id_1", "id_2", F.bit_count(F.expr("h_1 ^ h_2")).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("shash", LongType()),
+    ]
+)
+
+
+def spectral_hash_media(media: DataFrame, n_cells: int = 64) -> DataFrame:
+    """SHIFT-invariant perceptual fingerprint over the decoded buffer —
+    closes the translation blindspot ``phash_media`` documents: a byte
+    shift is a phase shift, so the DCT-sign hash scrambles, but the DFT
+    MAGNITUDE spectrum drops phase entirely.  A cyclic shift of the
+    pooled cells multiplies X_u by a unit phasor and leaves |X_u|
+    unchanged — a shifted/rotated duplicate (cropped lead-in, re-muxed
+    container padding) keeps the same key.
+
+    Pipeline: mean-pool decoded bytes onto ``n_cells`` windows (same
+    "resize" as phash), POWER spectrum P_u = Re² + Im² of the real DFT
+    for u = 1..n_cells/2 (DC dropped; real-signal symmetry makes the
+    upper half redundant — squares, never sqrt, so the arithmetic stays
+    polynomial in cos/sin terms), floor(x·100+0.5)/100 rounding, median
+    threshold, pack to an (n_cells/2)-bit key.  Same Arrow ``mapInPandas``
+    shape as phash — two (cells × freqs) matmuls per batch, no per-row
+    Python; only the 8-byte key shuffles.  The DuckDB oracle
+    (q_media_spectrum) recomputes the exact key relationally.
+
+    Trade: magnitude-only keys collide more than phase-aware ones
+    (different content can share a spectrum envelope), so this is the
+    RECALL channel for shifted near-dups — pair candidates still go
+    through a verify (``phash_pairs``-style banding + exact check).
+    """
+    import numpy as np
+
+    n_freq = n_cells // 2
+    ang = (
+        2.0
+        * np.pi
+        * np.arange(n_cells)[:, None]
+        * np.arange(1, n_freq + 1)[None, :]
+        / n_cells
+    )
+    basis_c, basis_s = np.cos(ang), np.sin(ang)  # (cell, freq)
+
+    def spectral_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf["decoded"]:
+                if b is None or len(b) == 0:
+                    hashes.append(0)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                n = len(arr)
+                cell = (np.arange(n) * n_cells) // n
+                sums = np.bincount(cell, weights=arr, minlength=n_cells)
+                cnts = np.bincount(cell, minlength=n_cells)
+                v = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+                power = (v @ basis_c) ** 2 + (v @ basis_s) ** 2
+                # round-half-UP at 2 decimals, the cross-engine rule (see
+                # phash_media): numpy round is banker's, DuckDB round is
+                # half-away-from-zero
+                power = np.floor(power * 100.0 + 0.5) / 100.0
+                m = np.median(power)
+                bits = power > m
+                hashes.append(int(sum(1 << i for i in np.nonzero(bits)[0])))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "shash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return decode_media(media).mapInPandas(spectral_batches, schema=SPECTRAL_SCHEMA)
+
+
+def spectral_pairs(
+    shashes: DataFrame,
+    bands: int = 4,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded near-dup pair search over ``spectral_hash_media`` output —
+    the same pigeonhole discipline as ``phash_pairs`` sized for the
+    32-bit magnitude key (4 bands × 8 bits covers hamming ≤ 3)."""
+    return phash_pairs(
+        shashes.select("doc_id", F.col("shash").alias("phash")),
+        bands=bands,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
     )
 
 

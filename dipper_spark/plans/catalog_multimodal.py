@@ -192,6 +192,62 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_media(media, n_cells=_PH_CELLS)
 
 
+@register(
+    "q_media_spectrum",
+    f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n, u.j AS j,
+             ord(array_extract(regexp_split_to_array(text, ''), u.j + 1)) AS byte
+      FROM documents, unnest(range(0, length(text))) AS u(j)),
+    cells AS (
+      -- decoded position i = n-1-j (the stub decode is a byte reverse);
+      -- mean-pool onto {_PH_CELLS} equal windows (same resize as phash)
+      SELECT doc_id, ((n - 1 - j) * {_PH_CELLS}) // n AS cell,
+             avg(CAST(byte AS DOUBLE)) AS v
+      FROM b GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, g.cell, coalesce(c.v, 0.0) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, {_PH_CELLS})) AS cell) g
+      LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.cell = g.cell),
+    pw AS (
+      -- real-DFT POWER spectrum Re^2 + Im^2 for u = 1..{_PH_CELLS // 2}
+      -- (DC dropped, upper half redundant by real-signal symmetry);
+      -- floor(x*100+0.5)/100 = the cross-engine round-half-UP rule
+      SELECT doc_id, uu.u AS u,
+             floor((power(CAST(sum(v * cos(2 * pi() * cell * uu.u
+                                           / {_PH_CELLS})) AS DOUBLE), 2)
+                    + power(CAST(sum(v * sin(2 * pi() * cell * uu.u
+                                             / {_PH_CELLS})) AS DOUBLE), 2))
+                   * 100 + 0.5) / 100 AS y
+      FROM grid, unnest(range(1, {_PH_CELLS // 2 + 1})) AS uu(u)
+      GROUP BY 1, 2),
+    med AS (SELECT doc_id, median(y) AS m FROM pw GROUP BY 1)
+    SELECT pw.doc_id,
+           {MODALITY_SQL.replace('doc_id', 'pw.doc_id')} AS modality,
+           CAST(sum(CASE WHEN y > m
+                         THEN CAST(1 AS BIGINT) << CAST(u - 1 AS INT)
+                         ELSE 0 END) AS BIGINT) AS shash
+    FROM pw JOIN med USING (doc_id) GROUP BY 1, 2
+    """,
+)
+def q_media_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-invariant perceptual fingerprint per media asset: DFT
+    magnitude (power) spectrum of the pooled decoded buffer, median
+    threshold, 32-bit key — closes the translation blindspot
+    q_media_phash self-documents (the DCT-sign hash is a phase hash; a
+    byte shift scrambles it, while |X_u| is unchanged under cyclic
+    shifts).  The golden in tests/test_multimodal.py shows a rotated
+    duplicate that q_media_phash misses and this key catches.  The
+    oracle recomputes the EXACT key relationally — pooling via grouped
+    avg, Re/Im as cos/sin product sums, power() squares (no sqrt),
+    round-half-up at 2 decimals, median threshold, integer bit pack."""
+    from dipper_spark.multimodal.ops import spectral_hash_media
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return spectral_hash_media(media, n_cells=_PH_CELLS)
+
+
 _PATCH_B, _PATCH_MIN, _PATCH_CAP = 32, 2, 20
 _PATCH_N = f"CAST(ceil(octet_length(encode(text)) / {_PATCH_B}.0) AS BIGINT)"
 

@@ -263,3 +263,62 @@ class TestPerceptualHash:
             .toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestSpectralHash:
+    """spectral_hash_media: the magnitude-spectrum companion that closes
+    phash_media's self-documented translation blindspot — a shifted
+    (cyclically rotated) duplicate keeps |X_u| bit-for-bit while the
+    DCT-sign hash scrambles."""
+
+    @staticmethod
+    def _rotated_media(spark):
+        import random
+
+        rng = random.Random(77)
+        # 128 printable ascii bytes -> 64 pooled cells of exactly 2 bytes;
+        # rotating by 2 bytes rotates the pooled cell vector by 1 cell, so
+        # the DFT magnitude is unchanged by construction
+        base = "".join(chr(rng.randrange(33, 127)) for _ in range(128))
+        rot = base[2:] + base[:2]
+        other = "".join(chr(rng.randrange(33, 127)) for _ in range(128))
+        # doc_ids 0 and 3: both % 3 == 0 -> same modality.  NB the
+        # unrelated control must be fresh content, NOT reversed(base):
+        # time reversal is itself phase-only (X_rev = conj(X)·phasor), so
+        # a reversed copy shares the magnitude key BY DESIGN.
+        docs = spark.createDataFrame(
+            [(0, base), (3, rot), (6, other)], ["doc_id", "text"]
+        )
+        return attach_media(docs)
+
+    def test_rotated_dup_caught_where_phash_misses(self, spark):
+        from dipper_spark.multimodal import phash_media, spectral_hash_media
+
+        media = self._rotated_media(spark)
+        ph = {r.doc_id: r.phash for r in phash_media(media).collect()}
+        sh = {r.doc_id: r.shash for r in spectral_hash_media(media).collect()}
+        # the phase-aware DCT hash scrambles under the shift...
+        assert bin(ph[0] ^ ph[3]).count("1") > 3
+        # ...the magnitude key is EXACTLY preserved
+        assert sh[0] == sh[3]
+        # and magnitude is not degenerate: reversed content differs
+        assert sh[0] != sh[6]
+
+    def test_spectral_pairs_band_search(self, spark):
+        from dipper_spark.multimodal import spectral_hash_media, spectral_pairs
+
+        media = self._rotated_media(spark)
+        pairs = spectral_pairs(spectral_hash_media(media), max_hamming=3).collect()
+        assert [(r.id_1, r.id_2, r.hamming) for r in pairs] == [(0, 3, 0)]
+
+    def test_determinism_and_key_range(self, spark):
+        from dipper_spark.multimodal import spectral_hash_media
+
+        media = self._rotated_media(spark)
+        h1 = {r.doc_id: r.shash for r in spectral_hash_media(media).collect()}
+        h2 = {
+            r.doc_id: r.shash
+            for r in spectral_hash_media(media.repartition(5)).collect()
+        }
+        assert h1 == h2
+        assert all(0 <= v < 1 << 32 for v in h1.values())
