@@ -52,6 +52,8 @@ HEADLINE = [
     "q_sequence_pack",
     "q_bpe_vocab",
     "q_bpe_encode",
+    "q_unigram_tokenizer",
+    "q_unigram_encode",
     "q_ngram_jaccard",
     "q_doc_fingerprint",
     "q_count_min",

@@ -2924,7 +2924,7 @@ def _bpe_sql(n_merges: int) -> str:
     applying the merge greedy-left-to-right — the DuckDB mirror of the
     Spark ``aggregate`` fold in operators/bpe.py."""
     ctes = [
-        f"w AS (SELECT word, count(*) AS freq FROM "
+        f"w AS MATERIALIZED (SELECT word, count(*) AS freq FROM "
         f"(SELECT unnest({TOK}) AS word FROM documents) GROUP BY word)",
         "s0 AS (SELECT word, freq, "
         "list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms FROM w)",
@@ -3036,6 +3036,146 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _, vocab = bpe_train(docs, "text", n_merges=_BPE_MERGES)
     return bpe_encode(docs, "doc_id", "text", vocab)
+
+
+# ---- unigram-LM (SentencePiece-style) tokenizer: Viterbi-EM, CTE-unrolled ----
+
+_UNI_P, _UNI_V, _UNI_L, _UNI_EM = 4, 40, 12, 2
+
+
+def _unigram_ctes() -> str:
+    """Unroll ``_UNI_EM`` Viterbi-EM rounds as CTEs (the fourth iterative
+    oracle after Lloyd's/PageRank/BPE): seed substring counts -> top-V
+    multi-char + all single-char pieces -> integer micro-log scores
+    floor(ln(c/T)*1e6+0.5) -> a full Viterbi DP unrolled over positions
+    1..{L} (candidates = piece-table joins on substring(word, i-d+1, d);
+    argmax per word via row_number over (sc DESC, np, seg) — the same
+    composite total order the Spark struct-min implements) -> E-counts ->
+    re-estimated model (single chars floored at 1: coverage)."""
+    P, V, L, EM = _UNI_P, _UNI_V, _UNI_L, _UNI_EM
+    ctes = [
+        f"w AS MATERIALIZED (SELECT word, count(*) AS freq FROM "
+        f"(SELECT unnest({TOK}) AS word FROM documents) "
+        f"WHERE length(word) <= {L} GROUP BY word)",
+        f"c0 AS MATERIALIZED (SELECT piece, sum(freq) AS c FROM "
+        f"(SELECT substring(word, u.i, v.d) AS piece, freq "
+        f" FROM w, unnest(range(1, length(word) + 1)) AS u(i), "
+        f"      unnest(range(1, {P + 1})) AS v(d) "
+        f" WHERE u.i + v.d - 1 <= length(word)) GROUP BY piece)",
+        f"sel0 AS MATERIALIZED (SELECT piece, c FROM "
+        f"(SELECT piece, c FROM c0 WHERE length(piece) >= 2 "
+        f" ORDER BY c DESC, piece LIMIT {V}) "
+        f"UNION ALL SELECT piece, c FROM c0 WHERE length(piece) = 1)",
+        "m0 AS MATERIALIZED (SELECT piece, c, CAST(floor(ln(CAST(c AS DOUBLE) / t.t) "
+        "* 1000000 + 0.5) AS BIGINT) AS s FROM sel0 CROSS JOIN "
+        "(SELECT CAST(sum(c) AS DOUBLE) AS t FROM sel0) t)",
+    ]
+    for k in range(1, EM + 1):
+        ctes.append(
+            f"d{k}_0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS sc, "
+            f"0 AS np, '' AS seg FROM w)"
+        )
+        for i in range(1, L + 1):
+            cands = " UNION ALL ".join(
+                f"SELECT p.word, p.freq, p.sc + m.s AS sc, p.np + 1 AS np, "
+                f"CASE WHEN p.seg = '' THEN m.piece "
+                f"ELSE p.seg || ' ' || m.piece END AS seg "
+                f"FROM d{k}_{i - d} p JOIN m{k - 1} m "
+                f"ON substring(p.word, {i - d + 1}, {d}) = m.piece "
+                f"WHERE length(p.word) >= {i}"
+                for d in range(1, min(P, i) + 1)
+            )
+            ctes.append(
+                f"d{k}_{i} AS MATERIALIZED (SELECT word, freq, sc, np, seg FROM "
+                f"(SELECT word, freq, sc, np, seg, row_number() OVER "
+                f"(PARTITION BY word ORDER BY sc DESC, np, seg) AS rk "
+                f"FROM ({cands})) WHERE rk = 1)"
+            )
+        segs_union = " UNION ALL ".join(
+            f"SELECT word, freq, np, seg FROM d{k}_{i} WHERE length(word) = {i}"
+            for i in range(1, L + 1)
+        )
+        ctes.append(f"segs{k} AS MATERIALIZED ({segs_union})")
+        ctes.append(
+            f"e{k} AS MATERIALIZED (SELECT piece, sum(freq) AS e FROM "
+            f"(SELECT freq, unnest(string_split(seg, ' ')) AS piece "
+            f" FROM segs{k}) GROUP BY piece)"
+        )
+        ctes.append(
+            f"mb{k} AS MATERIALIZED (SELECT piece, c FROM "
+            f"(SELECT m.piece, CASE WHEN length(m.piece) = 1 "
+            f"THEN greatest(coalesce(e.e, 0), 1) ELSE e.e END AS c "
+            f"FROM m{k - 1} m LEFT JOIN e{k} e USING (piece)) "
+            f"WHERE c IS NOT NULL AND c >= 1)"
+        )
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT piece, c, CAST(floor(ln(CAST(c AS DOUBLE) / t.t) "
+            f"* 1000000 + 0.5) AS BIGINT) AS s FROM mb{k} CROSS JOIN "
+            f"(SELECT CAST(sum(c) AS DOUBLE) AS t FROM mb{k}) t)"
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+@register(
+    "q_unigram_tokenizer",
+    _unigram_ctes()
+    + f"""
+    SELECT piece, CAST(c AS BIGINT) AS n_count, s AS score_micro
+    FROM m{_UNI_EM}
+    """,
+)
+def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, hard-EM/Viterbi form),
+    2 EM rounds — the second TRAINED tokenizer next to BPE, bit-reproduced
+    by a fully CTE-unrolled oracle: integer micro-log scores
+    floor(ln(c/T)*1e6+0.5) keep every Viterbi comparison on exact integer
+    sums under the (score desc, n_pieces asc, segmentation asc) total
+    order; single-char pieces are floored at count 1 (the SentencePiece
+    coverage guarantee).  Corpus touched once (word-frequency groupBy);
+    every DP step is a vocab-sized groupBy-argmin."""
+    from dipper_spark.operators.unigram import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, _ = unigram_train(
+        docs, "text", piece_max_len=_UNI_P, top_pieces=_UNI_V,
+        em_iters=_UNI_EM, word_max_len=_UNI_L,
+    )
+    return model
+
+
+@register(
+    "q_unigram_encode",
+    _unigram_ctes()
+    + f""",
+    docw AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS word
+      FROM (SELECT doc_id, {TOK} AS t FROM documents) d,
+           unnest(range(1, len(t) + 1)) AS u(i))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(np, length(word))) AS BIGINT) AS n_tokens,
+           md5(string_agg(
+                 coalesce(seg, array_to_string(string_split(word, ''), ' ')),
+                 ' ' ORDER BY pos))
+             AS enc_fingerprint
+    FROM docw LEFT JOIN segs{_UNI_EM} USING (word)
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained unigram segmenter — the apply
+    half, sharing q_bpe_encode's broadcast word→segmentation join shape
+    (the Viterbi fold ran once per distinct word at training; the corpus
+    scan never carries it).  OOV / over-length words fall back to the
+    character split on both engines; the order-sensitive md5 fingerprint
+    proves the encoded STREAM matches, not just its length."""
+    from dipper_spark.operators.unigram import unigram_encode, unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, segs = unigram_train(
+        docs, "text", piece_max_len=_UNI_P, top_pieces=_UNI_V,
+        em_iters=_UNI_EM, word_max_len=_UNI_L,
+    )
+    return unigram_encode(docs, "doc_id", "text", segs)
 
 
 # ---- capstone dedup decision: clusters -> surviving representative -----------

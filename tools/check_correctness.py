@@ -76,9 +76,13 @@ def main() -> int:
     spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+        # partial-SF dirs (the sf1.0 scale set has only documents/
+        # embeddings) register what exists; queries touching an absent
+        # table fail loudly at execution, which is the right behavior
+        if os.path.exists(f"{args.sf}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            )
 
     qs = e.queries()
     oracles = e.oracle_sql()
