@@ -146,6 +146,15 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         if not args.no_axioms:
             graph = add_property_axioms(graph, props)
         out = union_graphs(graph, meta)
+        if not args.parse_only:
+            # The sink issues several actions (prefix/size profile, range
+            # sampling, partition fetches); without this checkpoint each
+            # one re-executes the meta-stats and axiom-join union arms —
+            # the residual fixed cost docs/ETL_WRITE_OVERHEAD.md measured
+            # at ~0.8 s/action on fixture graphs.  One eager checkpoint
+            # runs them once; every sink action then scans cached
+            # partitions.
+            out = out.localCheckpoint(eager=True)
         timings["transform"] = round(time.time() - t0, 3)
 
         if args.parse_only:

@@ -144,13 +144,15 @@ def write_nt(
     lines.write.mode("overwrite").text(path)
 
 
-def used_prefixes(df: DataFrame, curie_map: CurieMap) -> list[str]:
-    """Prefixes actually referenced by the graph (reference accumulates
-    ``self.prefixes`` per node at RDFGraph.py:175-177 and binds only those at
-    serialize time)."""
+def graph_profile(df: DataFrame, curie_map: CurieMap) -> tuple[list[str], int]:
+    """(used prefixes, triple count) in ONE job — the streaming sinks need
+    both (prefix header + partition sizing), and issuing them as separate
+    actions re-executes the graph's un-checkpointed union arms twice
+    (docs/ETL_WRITE_OVERHEAD.md).  Every candidate term rides a single
+    exploded 4-slot array, so the row count is exactly 4× the triple
+    count (explode keeps null ELEMENTS; only the conditional slots are
+    null) and one global agg returns both numbers."""
     pfx = F.split(F.col("t"), ":").getItem(0)
-    # one scan, not a 4-way union of scans: every candidate term rides a
-    # single exploded array (nulls dropped for the conditional slots)
     terms = df.select(
         F.explode(
             F.array(
@@ -160,12 +162,27 @@ def used_prefixes(df: DataFrame, curie_map: CurieMap) -> list[str]:
                 F.col("datatype"),
             )
         ).alias("t")
-    ).filter(F.col("t").isNotNull())
-    rows = (
-        terms.filter(~F.col("t").startswith("_") & ~F.lower(pfx).isin("http", "https", "ftp"))
-        .select(pfx.alias("p")).distinct().collect()
     )
-    return sorted(p["p"] for p in rows if p["p"] in curie_map.mapping)
+    row = terms.agg(
+        F.count(F.lit(1)).alias("n4"),
+        F.collect_set(
+            F.when(
+                F.col("t").isNotNull()
+                & ~F.col("t").startswith("_")
+                & ~F.lower(pfx).isin("http", "https", "ftp"),
+                pfx,
+            )
+        ).alias("ps"),
+    ).collect()[0]
+    prefixes = sorted(p for p in row.ps if p in curie_map.mapping)
+    return prefixes, int(row.n4) // 4
+
+
+def used_prefixes(df: DataFrame, curie_map: CurieMap) -> list[str]:
+    """Prefixes actually referenced by the graph (reference accumulates
+    ``self.prefixes`` per node at RDFGraph.py:175-177 and binds only those at
+    serialize time)."""
+    return graph_profile(df, curie_map)[0]
 
 
 def _ttl_term(term: str, is_literal: bool, datatype: str | None, cm: CurieMap) -> str:
@@ -182,7 +199,7 @@ def _ttl_term(term: str, is_literal: bool, datatype: str | None, cm: CurieMap) -
     return term if prefix in cm.mapping else f"<{term}>"
 
 
-def _subject_grouped(df: DataFrame) -> DataFrame:
+def _subject_grouped(df: DataFrame, n_rows: int | None = None) -> DataFrame:
     """Dedup + subject-range-partition + in-partition sort for the
     streaming (toLocalIterator) serializers, with the partition count
     sized to the GRAPH, not the core count: toLocalIterator fetches ONE
@@ -193,13 +210,17 @@ def _subject_grouped(df: DataFrame) -> DataFrame:
     item #6).  One count() job up front (cheap: the ETL graph is
     localCheckpoint-ed upstream) buys a matched partition count; the
     streaming serializers are the documented small-graph sinks (write_nt
-    is the 100 TB path), so the count never scans big data."""
+    is the 100 TB path), so the count never scans big data.  Callers that
+    already know the (pre-dedup) size — iter_turtle gets it for free from
+    ``graph_profile`` — pass ``n_rows`` and skip the count job entirely
+    (an upper bound is fine: the count only sizes partitions)."""
     deduped = df.dropDuplicates(["subject", "predicate", "object"])
+    n = deduped.count() if n_rows is None else n_rows
     n_parts = max(
         1,
         min(
             df.sparkSession.sparkContext.defaultParallelism,
-            deduped.count() // 100_000 + 1,
+            n // 100_000 + 1,
         ),
     )
     return deduped.repartitionByRange(n_parts, "subject").sortWithinPartitions(
@@ -221,11 +242,10 @@ def iter_turtle(df: DataFrame, curie_map: CurieMap | None = None):
     path (distributed file write, no driver funnel).
     """
     cm = curie_map or CurieMap()
-    yield "".join(
-        f"@prefix {p}: <{cm.mapping[p]}> .\n" for p in used_prefixes(df, cm)
-    )
+    prefixes, n_rows = graph_profile(df, cm)
+    yield "".join(f"@prefix {p}: <{cm.mapping[p]}> .\n" for p in prefixes)
     yield "\n"
-    grouped = _subject_grouped(df)
+    grouped = _subject_grouped(df, n_rows=n_rows)
     first = True
     cur_subj: str | None = None
     cur_pred: str | None = None
