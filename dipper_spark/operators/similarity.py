@@ -747,6 +747,7 @@ def ivfpq_topk(
     n_codes: int = 16,
     dim: int = 64,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """The composed production ANN stack (FAISS's IVF+PQ architecture,
     Jegou et al. 2011 §IV): a coarse quantizer restricts the search to
@@ -784,13 +785,36 @@ def ivfpq_topk(
         )
     )
     quantized = assigned.join(recon, "vec_id")
-    qa = (
-        assign_buckets(queries, cents)
-        .select(F.col("vec_id").alias("query_id"), "embedding", "bucket")
-        .select(
-            "query_id", _l2_normalize("embedding").alias("qx"), "bucket"
+    if nprobe <= 1:
+        qa = (
+            assign_buckets(queries, cents)
+            .select(F.col("vec_id").alias("query_id"), "embedding", "bucket")
+            .select(
+                "query_id", _l2_normalize("embedding").alias("qx"), "bucket"
+            )
         )
-    )
+    else:
+        # multi-probe: each query fans out to its nprobe closest coarse
+        # buckets — same recall/throughput knob as ivf_topk, same
+        # (cos desc, bucket asc) deterministic centroid ranking
+        c = F.broadcast(
+            cents.select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_emb"),
+            )
+        )
+        q_scored = queries.join(c, F.lit(True)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cent_id").alias("bucket"),
+            cosine("embedding", "cent_emb").alias("cent_cos"),
+        )
+        qa = topk_per_group(
+            q_scored,
+            "query_id",
+            [F.col("cent_cos").desc(), F.col("bucket").asc()],
+            k=nprobe,
+        ).select("query_id", _l2_normalize("q_emb").alias("qx"), "bucket")
     from dipper_spark.functions.vectors import dot
 
     scored = (
@@ -816,5 +840,73 @@ def ivfpq_topk(
         "neighbor_id",
         F.col("bucket").cast("long").alias("bucket"),
         F.round("ip", 6).alias("approx_ip"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def ivfpq_refine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF+PQ with an EXACT re-rank stage — FAISS's refine discipline
+    (IndexRefineFlat over IVFADC): the ADC scan produces a ``shortlist``
+    of candidates per query, then the ORIGINAL vectors of just those
+    candidates are fetched and scored exactly, and the true top-k is
+    taken from the refined scores.
+
+    Why it exists, measured (BENCH_ANN_r10.json / docs/ANN_TRADEOFF.md):
+    on unstructured unit vectors the 4x4-bit ADC scores are quantization-
+    limited — recall@5 sits at ~0.12 REGARDLESS of nprobe, because extra
+    probed buckets only add candidates the coarse codes cannot rank.  The
+    refine stage converts that noisy shortlist into exact ranks at the
+    cost of ``shortlist`` full-precision dot products per query — the
+    candidate-generation/verify split every other 100 TB family in this
+    repo uses (LSH banding -> exact Jaccard; pigeonhole -> exact
+    Hamming).
+
+    The shortlist join touches ``queries x shortlist`` rows of the
+    corpus — at 100 TB that is the point: full vectors are read for a
+    few dozen ids per query instead of the whole probed bucket.
+
+    Returns (query_id, neighbor_id, cos_sim, rank) — same contract as
+    :func:`cosine_topk`, so recall audits swap in directly.
+    """
+    cand = ivfpq_topk(
+        queries, corpus, n_centroids=n_centroids, n_sub=n_sub,
+        n_codes=n_codes, dim=dim, k=shortlist, nprobe=nprobe,
+    ).select("query_id", "neighbor_id")
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    refined = (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim")
+        )
+    )
+    return topk_per_group(
+        refined,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
     )

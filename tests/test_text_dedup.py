@@ -781,3 +781,43 @@ def test_ivfpq_searches_only_query_bucket(spark):
         assert buckets[r.neighbor_id] == buckets[17] == r.bucket
     # the exact duplicate shares the bucket (same vector) and wins rank 1
     assert out[0].rank == 1 and out[0].neighbor_id == 50
+
+
+def test_ivfpq_multiprobe_and_refine(spark):
+    """nprobe fans a query out to its n closest coarse buckets (candidate
+    set grows monotonically), and the refine stage re-ranks the ADC
+    shortlist with EXACT cosine — an exact duplicate that ADC's coarse
+    codes might misrank is always rank 1 with cos_sim 1.0 after refine
+    (the FAISS IndexRefineFlat discipline; measured recall curve in
+    docs/ANN_TRADEOFF.md)."""
+    import numpy as np
+
+    from dipper_spark.operators.similarity import (
+        ivfpq_refine_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(400, 8).astype(np.float32)
+    mat[60] = mat[23]  # exact duplicate of query 23
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    q = corpus.filter(F.col("vec_id") == 23)
+
+    b1 = {r.bucket for r in ivfpq_topk(q, corpus, n_centroids=8, n_sub=2,
+                                       n_codes=8, dim=8, k=20, nprobe=1).collect()}
+    b3 = {r.bucket for r in ivfpq_topk(q, corpus, n_centroids=8, n_sub=2,
+                                       n_codes=8, dim=8, k=20, nprobe=3).collect()}
+    assert b1 <= b3 and len(b3) >= 2  # multi-probe actually probes more
+
+    out = ivfpq_refine_topk(
+        q, corpus, n_centroids=8, n_sub=2, n_codes=8, dim=8,
+        k=3, nprobe=2, shortlist=30,
+    ).collect()
+    assert out[0].rank == 1 and out[0].neighbor_id == 60
+    assert out[0].cos_sim == 1.0  # exact score, not an ADC approximation
+    # refined ranks are by EXACT cosine: strictly non-increasing
+    sims = [r.cos_sim for r in sorted(out, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""ANN operating curve (round-9 verdict item #7): recall@5 and wall time
+at nprobe ∈ {1, 2, 4, 8} for IVF (2 Lloyd iterations) and IVF+PQ, so the
+catalog's production nprobe=2 choice is MEASURED, not asserted.
+
+Ground truth is the exact brute-force cosine top-5 (cosine_topk) for the
+same query set; recall@5 = |approx ∩ exact| / 5 averaged over queries.
+Wall time is min-of-2 per configuration after a warm-up search (the
+bench.py steady-state discipline), measured on the full search pipeline
+(index build + probe + top-k), since that is what a batch ANN job pays.
+
+Writes BENCH_ANN_r10.json; the analysis lives in docs/ANN_TRADEOFF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_QUERIES = 50
+K = 5
+NPROBES = [1, 2, 4, 8]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dipper_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivfpq_refine_topk,
+        ivfpq_topk,
+    )
+    from dipper_spark.session import get_spark, load_table
+
+    spark = get_spark("bench-ann")
+    emb = load_table(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).localCheckpoint(eager=True)
+    n_corpus = emb.count()
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=K).select("query_id", "neighbor_id").collect()
+    }
+
+    def recall_of(rows) -> float:
+        hit = sum(1 for r in rows if (r.query_id, r.neighbor_id) in exact)
+        return round(hit / len(exact), 4)
+
+    out: dict = {"sf_dir": SF_DIR, "n_corpus": n_corpus, "n_queries": N_QUERIES,
+                 "k": K, "configs": {}}
+    for engine in ("ivf", "ivfpq", "ivfpq_refine", "ivfpq_refine_scaled"):
+        for nprobe in NPROBES:
+            def build():
+                if engine == "ivf":
+                    return ivf_topk(
+                        queries, emb, n_centroids=16, k=K,
+                        refine_iters=2, nprobe=nprobe,
+                    )
+                if engine == "ivfpq":
+                    return ivfpq_topk(
+                        queries, emb, n_centroids=16, k=K, nprobe=nprobe
+                    )
+                # fixed vs probe-proportional shortlist: the ADC codes are
+                # too coarse to pick 50 winners out of nprobe x bucket
+                # candidates, so the shortlist must grow with the probe
+                # volume for refine to keep its capture rate
+                short = 50 if engine == "ivfpq_refine" else 50 * nprobe
+                return ivfpq_refine_topk(
+                    queries, emb, n_centroids=16, k=K,
+                    nprobe=nprobe, shortlist=short,
+                )
+
+            build().count()  # warm-up
+            times, rows = [], None
+            for _ in range(2):
+                t0 = time.time()
+                rows = build().select("query_id", "neighbor_id").collect()
+                times.append(time.time() - t0)
+            cfg = f"{engine}@nprobe={nprobe}"
+            out["configs"][cfg] = {
+                "recall_at_5": recall_of(rows),
+                "sec": round(min(times), 3),
+                "n_result_rows": len(rows),
+            }
+            print(cfg, out["configs"][cfg], flush=True)
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "BENCH_ANN_r10.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"done": True}))
+
+
+if __name__ == "__main__":
+    main()
