@@ -835,6 +835,75 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- IVF+PQ with exact refine (FAISS IndexRefineFlat discipline) -------------
+
+_REFINE_NPROBE, _REFINE_SHORT = 2, 20
+_COS_REF = duckdb_cosine("q.embedding", "c.embedding")
+
+
+@register(
+    "q_ann_ivfpq_refine",
+    f"""
+    WITH {_PQ_CTES},
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_EC} DESC, cent.cid) AS rn
+        FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+    qa AS (
+      SELECT query_id, qx, bucket FROM (
+        SELECT e.vec_id AS query_id, n.x AS qx, cent.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_EC} DESC, cent.cid) AS rn
+        FROM embeddings e CROSS JOIN cent
+        JOIN nrm n ON n.vec_id = e.vec_id
+        WHERE e.vec_id < {_PQ_K}) WHERE rn <= {_REFINE_NPROBE}),
+    quant AS (SELECT a.vec_id, a.bucket, r.ax
+              FROM assign a JOIN recon r ON r.vec_id = a.vec_id),
+    shortl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_pq_dot('q.qx', 'c.ax')} DESC,
+                                           c.vec_id) AS rn
+        FROM qa q JOIN quant c
+          ON c.bucket = q.bucket AND c.vec_id != q.query_id)
+      WHERE rn <= {_REFINE_SHORT}),
+    ref AS (SELECT s.query_id, s.neighbor_id, {_COS_REF} AS cs
+            FROM shortl s JOIN embeddings q ON q.vec_id = s.query_id
+                          JOIN embeddings c ON c.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank
+    FROM (SELECT query_id, neighbor_id, cs,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cs DESC, neighbor_id)
+                      AS BIGINT) AS rank
+          FROM ref)
+    WHERE rank <= {_PQ_K}
+    """,
+)
+def q_ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with multi-probe (nprobe=2) and an EXACT re-rank over the
+    20-candidate ADC shortlist — the FAISS IndexRefineFlat discipline,
+    and the configuration the measured operating curve prescribes
+    (docs/ANN_TRADEOFF.md: raw ADC is quantization-limited at ~0.12
+    recall REGARDLESS of nprobe; the refine stage converts the noisy
+    shortlist into exact ranks at ``shortlist`` full-precision dot
+    products per query).  Same generate/verify split as LSH→exact
+    Jaccard: codes generate, full vectors verify — only shortlist-sized
+    row sets ever touch float32 payloads."""
+    from dipper_spark.operators.similarity import ivfpq_refine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_refine_topk(
+        emb.filter(F.col("vec_id") < _PQ_K), emb,
+        n_centroids=16, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_PQ_DIM,
+        k=_PQ_K, nprobe=_REFINE_NPROBE, shortlist=_REFINE_SHORT,
+    )
+
+
 # ---- repetition ratio (intra-doc repeated n-grams) ---------------------------
 
 _REP_SH = _shingles_sql(TOK, 3)
