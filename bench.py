@@ -54,6 +54,8 @@ HEADLINE = [
     "q_bpe_encode",
     "q_unigram_tokenizer",
     "q_unigram_encode",
+    "q_media_spectrum",
+    "q_ann_ivfpq_refine",
     "q_ngram_jaccard",
     "q_doc_fingerprint",
     "q_count_min",

@@ -63,7 +63,14 @@ def detect_hot_keys(
     if MORE than ``max_keys`` keys are "hot" the distribution is not skewed
     but merely heavy, and salting everything (hot_keys=None) is the answer.
     """
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    # NULL keys are excluded: a null join key never matches (no skew risk
+    # in a join), and isin(None) comparisons are null-valued — a None in
+    # the hot list would silently match nothing downstream
+    counts = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     tot = counts.agg(
         F.sum("_n").alias("_rows"), F.count(F.lit(1)).alias("_keys")
     )

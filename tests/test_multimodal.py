@@ -322,3 +322,19 @@ class TestSpectralHash:
         }
         assert h1 == h2
         assert all(0 <= v < 1 << 32 for v in h1.values())
+
+    def test_spectral_only_hashes_shuffle_never_blobs(self, spark):
+        from dipper_spark.multimodal import spectral_hash_media, spectral_pairs
+
+        plan = (
+            spectral_pairs(spectral_hash_media(self._rotated_media(spark)))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        # the binary payload never crosses a shuffle: every Exchange in
+        # the pair search carries only the id + 8-byte key columns
+        for section in plan.split("Exchange")[1:]:
+            first_line = section.splitlines()[0]
+            assert "media" not in first_line, first_line

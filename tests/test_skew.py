@@ -269,3 +269,13 @@ class TestSkewJoin:
                 zipf, self._dim(spark), "key", "dkey",
                 salt_on="row_id", how="full",
             )
+
+
+class TestDetectHotKeysNulls:
+    def test_null_keys_never_enter_the_hot_list(self, spark):
+        from dipper_spark.operators.skew import detect_hot_keys
+
+        rows = [(i, "hot") for i in range(50)] + [(100 + i, None) for i in range(200)]
+        df = spark.createDataFrame(rows, ["row_id", "key"])
+        got = detect_hot_keys(df, "key", straggler_threshold=0.0)
+        assert None not in got and got == ["hot"]

@@ -688,3 +688,78 @@ class TestCheckpointRecovery:
             for r in streaming_token_count_min(docs).collect()
         }
         assert streamed == batch and len(streamed) > 0
+
+    def test_sessionizer_state_survives_restart(self, spark, tmp_path):
+        """applyInPandasWithState recovery: a session OPEN at shutdown
+        (events seen, timeout not yet fired) must keep accumulating after
+        the restart — the closed session combines pre-stop and
+        post-restart events, proving the GroupState came back from the
+        checkpoint rather than restarting at zero."""
+        import datetime
+
+        from dipper_spark.streaming import sessionize_events
+
+        src = str(tmp_path / "ev_sess_rec")
+        ckpt = str(tmp_path / "ckpt_sess_rec")
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+        def write(n, offset):
+            spark.createDataFrame(
+                [(t0 + datetime.timedelta(seconds=offset + i), 7, 1.0)
+                 for i in range(n)],
+                "ts timestamp, user_id long, value double",
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        out = str(tmp_path / "sess_rec_out")
+
+        def start(gap_ms):
+            # parquet sink: the memory sink is not fault-tolerant in
+            # append mode and refuses checkpoint recovery
+            stream = spark.readStream.schema(
+                "ts timestamp, user_id long, value double"
+            ).parquet(src)
+            return (
+                sessionize_events(stream, gap_ms=gap_ms)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        def read_out():
+            try:
+                return spark.read.parquet(out).collect()
+            except Exception:
+                return []  # sink dir not created until first commit
+
+        write(3, 0)
+        q1 = start(gap_ms=600_000)  # huge gap: session stays open
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p and p["numInputRows"] > 0:
+                break
+            time.sleep(0.5)
+        q1.stop()
+        q1.awaitTermination(60)
+        assert read_out() == []  # nothing closed before the stop
+
+        write(2, 10)
+        q2 = start(gap_ms=2000)  # short gap: closes soon after update
+        try:
+            deadline = time.time() + 120
+            rows = []
+            while time.time() < deadline:
+                rows = read_out()
+                if rows:
+                    break
+                time.sleep(2)
+        finally:
+            q2.stop()
+        assert rows, "recovered session never closed"
+        [r] = rows
+        # 3 pre-stop + 2 post-restart events, one combined session
+        assert r.user_id == 7 and r.n_events == 5 and r.total_value == 5.0
+        assert r.session_start == t0
+        assert r.session_end == t0 + datetime.timedelta(seconds=11)
