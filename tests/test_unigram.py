@@ -90,3 +90,17 @@ class TestUnigramEncode:
         )
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan
+
+    def test_map_literal_and_join_paths_bit_identical(self, spark):
+        """The dictionary-sized map-literal DP and the large-vocab
+        broadcast-join DP are two physical strategies for ONE definition:
+        model and segmentations must match row for row (map_lookup_max=0
+        forces the join path)."""
+        from dipper_spark.operators.unigram import unigram_train
+
+        texts = [(i, f"abab{'x' * (i % 3)} cdcd abab zq") for i in range(15)]
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        m_fast, s_fast = unigram_train(df, "text")
+        m_join, s_join = unigram_train(df, "text", map_lookup_max=0)
+        assert sorted(map(tuple, m_fast.collect())) == sorted(map(tuple, m_join.collect()))
+        assert sorted(map(tuple, s_fast.collect())) == sorted(map(tuple, s_join.collect()))
