@@ -48,6 +48,14 @@ DOC_QUERIES = [
     "q_keyness",
     "q_pmi_collocations",
     "q_ann_pq",
+    # round-10 additions: the salted skew-mitigation join, the unigram
+    # tokenizer trainer (vocab-bounded EM: should be near-flat), the
+    # shift-invariant spectral hash (map-side mapInPandas: linear), and
+    # the IVFPQ exact-refine search (shortlist-bounded)
+    "q_skew_join",
+    "q_unigram_tokenizer",
+    "q_media_spectrum",
+    "q_ann_ivfpq_refine",
 ]
 
 
