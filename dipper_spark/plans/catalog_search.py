@@ -3178,6 +3178,79 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode(docs, "doc_id", "text", segs)
 
 
+# ---- tokenizer evaluation: compression of the two TRAINED tokenizers ---------
+
+
+@register(
+    "q_tokenizer_compression",
+    f"""
+    WITH b AS (SELECT doc_id, n_tokens FROM ({_bpe_encode_sql(_BPE_MERGES)})),
+    u AS (SELECT doc_id, n_tokens FROM ({_unigram_ctes()},
+      docw AS (
+        SELECT doc_id, u.i AS pos, t[u.i] AS word
+        FROM (SELECT doc_id, {{TOK}} AS t FROM documents) d,
+             unnest(range(1, len(t) + 1)) AS u(i))
+      SELECT doc_id,
+             CAST(sum(coalesce(np, length(word))) AS BIGINT) AS n_tokens
+      FROM docw LEFT JOIN segs{_UNI_EM} USING (word)
+      GROUP BY doc_id)),
+    sz AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+           FROM documents)
+    SELECT tokenizer,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(nb) AS BIGINT)       AS total_bytes,
+           round(CAST(sum(nb) AS DOUBLE) / sum(n_tokens), 6)
+             AS bytes_per_token
+    FROM (SELECT 'bpe' AS tokenizer, b.doc_id, n_tokens, nb
+          FROM b JOIN sz ON sz.doc_id = b.doc_id
+          UNION ALL
+          SELECT 'unigram', u.doc_id, n_tokens, nb
+          FROM u JOIN sz ON sz.doc_id = u.doc_id)
+    GROUP BY tokenizer
+    """.replace("{TOK}", TOK),
+)
+def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer evaluation capstone: bytes-per-token compression of BOTH
+    trained tokenizers (3-merge BPE vs 2-round unigram-LM) over the same
+    corpus — THE metric tokenizer selection actually optimizes (fewer
+    tokens per byte = more content per context window).  Reuses each
+    trainer end-to-end; the corpus-sized work is the two encode passes
+    (broadcast word→segmentation joins), the report is 2 rows.  The
+    oracle nests both full CTE-unrolled training chains as derived
+    tables (DuckDB allows WITH inside a subquery), so the number is
+    pinned from raw text to final ratio."""
+    from dipper_spark.operators.bpe import bpe_encode, bpe_train
+    from dipper_spark.operators.unigram import unigram_encode, unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    _, segs = unigram_train(
+        docs, "text", piece_max_len=_UNI_P, top_pieces=_UNI_V,
+        em_iters=_UNI_EM, word_max_len=_UNI_L,
+    )
+    sz = docs.select("doc_id", F.octet_length("text").cast("long").alias("nb"))
+
+    def report(enc: DataFrame, name: str) -> DataFrame:
+        return (
+            enc.select("doc_id", "n_tokens")
+            .join(sz, "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum("nb").cast("long").alias("total_bytes"),
+                F.round(
+                    F.sum("nb").cast("double") / F.sum("n_tokens"), 6
+                ).alias("bytes_per_token"),
+            )
+            .select(F.lit(name).alias("tokenizer"), "*")
+        )
+
+    bpe = report(bpe_encode(docs, "doc_id", "text", vocab), "bpe")
+    uni = report(unigram_encode(docs, "doc_id", "text", segs), "unigram")
+    return bpe.unionByName(uni)
+
+
 # ---- capstone dedup decision: clusters -> surviving representative -----------
 
 

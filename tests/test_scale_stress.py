@@ -285,3 +285,77 @@ def test_pq_adc_at_20k_vectors(spark):
     assert len(out) == 25
     top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
     assert top1 == dict(zip(query_ids, dup_ids))
+
+
+def test_salted_agg_and_skew_join_under_mega_hot_key(spark):
+    """Skew mitigation at volume: 500k rows where ONE key owns 80% of the
+    mass (straggler factor ~8x over 10 keys).  The salted two-phase
+    aggregate and the hot-key replicate join must stay row-identical to
+    the plain forms, and the salt must actually spread the hot key's rows
+    across cells (no cell > ~2/n_salts of the hot mass)."""
+    from dipper_spark.operators.skew import (
+        detect_hot_keys,
+        salted_aggregate,
+        skew_join,
+        _salt_col,
+    )
+
+    n = 500_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("row_id"),
+            F.when(F.col("id") % 10 < 8, F.lit("mega"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 100).cast("string")))
+            .alias("key"),
+            (F.col("id") % 97).cast("double").alias("val"),
+        )
+        .repartition(32)
+    )
+    hot = detect_hot_keys(df, "key", straggler_threshold=3.0)
+    assert hot == ["mega"]
+
+    got = {
+        r.key: (r.n_rows, round(r.total, 2))
+        for r in salted_aggregate(
+            df, "key", {"n_rows": ("count", None), "total": ("sum", "val")},
+            salt_on="row_id", n_salts=32,
+        ).collect()
+    }
+    want = {
+        r.key: (r.n_rows, round(r.total, 2))
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"), F.sum("val").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+    # the hot key's 400k rows spread: every cell well under the unsalted 400k
+    cells = (
+        df.filter(F.col("key") == "mega")
+        .withColumn("_salt", _salt_col("row_id", 32))
+        .groupBy("_salt").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    assert len(cells) == 32
+    assert max(r.c for r in cells) < 2 * (n * 8 // 10) // 32
+
+    dim = spark.createDataFrame(
+        [("mega", "M")]
+        + [(f"k{i}", f"D{i}") for i in range(100) if i % 10 >= 8],
+        ["dkey", "label"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = skew_join(
+            df, dim, "key", "dkey", salt_on="row_id", hot_keys=hot, n_salts=32
+        )
+        agg = {
+            r.label: r.c
+            for r in joined.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert agg["M"] == n * 8 // 10
+    assert sum(agg.values()) == n
