@@ -242,6 +242,12 @@ class TestTurtle:
         )
         cm = CurieMap()
         assert used_prefixes(df, cm) == ["HP", "owl", "rdf", "rdfs"]
+        # graph_profile folds the prefix scan and the sizing count into
+        # ONE action (docs/ETL_WRITE_OVERHEAD.md round 10): same prefixes,
+        # exact triple count (explode keeps null ELEMENTS, so rows = 4n)
+        from dipper_spark.io import graph_profile
+
+        assert graph_profile(df, cm) == (["HP", "owl", "rdf", "rdfs"], 3)
         ttl = render_turtle(df, cm)
         assert "@prefix HP: <http://purl.obolibrary.org/obo/HP_> ." in ttl
         assert "@prefix OMIM" not in ttl
