@@ -878,6 +878,9 @@ def ivfpq_refine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank) — same contract as
     :func:`cosine_topk`, so recall audits swap in directly.
     """
+    # a shortlist narrower than k would silently under-return: the refine
+    # can only rank what the ADC stage surfaces
+    shortlist = max(shortlist, k)
     cand = ivfpq_topk(
         queries, corpus, n_centroids=n_centroids, n_sub=n_sub,
         n_codes=n_codes, dim=dim, k=shortlist, nprobe=nprobe,

@@ -170,8 +170,14 @@ def salted_count_distinct(
         .groupBy(*key_cols, "_salt")
         .agg(F.count_distinct(F.col(value)).alias("_d"))
     )
-    return per_cell.groupBy(*key_cols).agg(
+    summed = per_cell.groupBy(*key_cols).agg(
         F.sum("_d").cast("long").alias(out_col)
+    )
+    # a key whose values are ALL NULL has no cells — but COUNT(DISTINCT)
+    # reports it with 0, so restore it from the key universe
+    universe = df.select(*key_cols).distinct()
+    return universe.join(summed, key_cols, "left").select(
+        *key_cols, F.coalesce(out_col, F.lit(0)).cast("long").alias(out_col)
     )
 
 

@@ -154,6 +154,18 @@ class TestSaltedCountDistinct:
         [r] = salted_count_distinct(df, "key", "v", n_salts=4).collect()
         assert r.n_distinct == 2
 
+    def test_all_null_group_reports_zero_like_count_distinct(self, spark):
+        """COUNT(DISTINCT v) on an all-NULL group is 0, not an absent row
+        — the salted form must keep the key in the universe."""
+        from dipper_spark.operators.skew import salted_count_distinct
+
+        df = spark.createDataFrame(
+            [("g", "a"), ("h", None), ("h", None)], ["key", "v"]
+        )
+        got = {r.key: r.n_distinct
+               for r in salted_count_distinct(df, "key", "v", n_salts=4).collect()}
+        assert got == {"g": 1, "h": 0}
+
     def test_salt_cells_partition_the_distinct_set(self, spark, zipf):
         """Equal values always share a cell, so per-cell distinct counts are
         disjoint — the sum is exact by partitioning, not by luck."""
