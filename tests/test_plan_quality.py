@@ -529,3 +529,53 @@ class TestRound9LateAdditions:
         final = plan.split("== Initial Plan ==")[0]
         assert "BroadcastNestedLoopJoin" in final  # the 1-row totals
         assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+
+
+class TestRound10Additions:
+    def test_salted_agg_every_exchange_is_sketch_or_key_sized(self, spark, sf):
+        """Two exchanges for the two-phase agg (partial over (key,salt),
+        final over key), the expanded two-level count-distinct, the key
+        universe, and a broadcast recombination join — no window, no
+        python, nothing row-sized past the first aggregation."""
+        plan = final_plan_of(QUERIES["q_salted_agg"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" not in final and "Python" not in final
+        assert "CartesianProduct" not in final
+        assert "BroadcastHashJoin" in final  # key-sized recombination
+
+    def test_skew_join_fixture_dim_broadcasts_salt_inert(self, spark, sf):
+        """At fixture scale Catalyst broadcasts the 5-row language dim —
+        a broadcast join has no skew problem, so the salt must be inert
+        overhead-wise: ONE exchange at most (the profile agg), never a
+        sort-merge join or nested loop.  The salted-shuffle shape under a
+        non-broadcastable dim is locked in tests/test_skew.py."""
+        plan = final_plan_of(QUERIES["q_skew_join"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "SortMergeJoin" not in final
+        assert "BroadcastNestedLoopJoin" not in final
+        assert final.count("Exchange hashpartitioning") <= 1
+
+    def test_media_spectrum_is_one_map_stage(self, spark, sf):
+        """Decode -> pool -> DFT power -> threshold is a single
+        mapInPandas pass: ZERO exchanges, the blob never shuffles."""
+        plan = final_plan_of(QUERIES["q_media_spectrum"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 0
+        assert "MapInPandas" in final
+        assert "CartesianProduct" not in final
+
+    def test_ivfpq_refine_no_cartesian_no_python(self, spark, sf):
+        """The refine arm joins shortlist-sized candidate rows back to
+        full vectors — equi-joins only, all JVM-side."""
+        plan = final_plan_of(QUERIES["q_ann_ivfpq_refine"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final and "Python" not in final
+
+    def test_tokenizer_compression_report_is_broadcast_joined(self, spark, sf):
+        """Both encode arms ride broadcast word->segmentation joins; the
+        2-row report never shuffles the corpus twice per tokenizer."""
+        plan = final_plan_of(QUERIES["q_tokenizer_compression"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "CartesianProduct" not in final
