@@ -46,6 +46,21 @@ from pyspark.sql import functions as F
 _AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
 
 
+def _tmp_name(base: str, *frames: DataFrame) -> str:
+    """A working-column name guaranteed absent from every input frame.
+
+    The salted operators inject scratch columns; silently overwriting a
+    user column named ``_salt`` would break the advertised row-for-row
+    identity, so probe and suffix until the name is free.
+    """
+    taken = {c for df in frames for c in df.columns}
+    name, i = base, 0
+    while name in taken:
+        i += 1
+        name = f"{base}_{i}"
+    return name
+
+
 def detect_hot_keys(
     df: DataFrame,
     key: str,
@@ -138,9 +153,10 @@ def salted_aggregate(
                 (F.sum(f"_ps_{name}") / F.sum(f"_pc_{name}")).alias(name)
             )
 
+    salt = _tmp_name("_salt", df)
     phase1 = (
-        df.withColumn("_salt", _salt_col(salt_on, n_salts))
-        .groupBy(*key_cols, "_salt")
+        df.withColumn(salt, _salt_col(salt_on, n_salts))
+        .groupBy(*key_cols, salt)
         .agg(*partial_exprs)
     )
     return phase1.groupBy(*key_cols).agg(*final_exprs)
@@ -164,21 +180,32 @@ def salted_count_distinct(
     values.  NULL values are excluded, matching COUNT(DISTINCT ...).
     """
     key_cols = [keys] if isinstance(keys, str) else list(keys)
+    salt = _tmp_name("_salt", df)
+    d = _tmp_name("_d", df)
     per_cell = (
         df.filter(F.col(value).isNotNull())
-        .withColumn("_salt", _salt_col(value, n_salts))
-        .groupBy(*key_cols, "_salt")
-        .agg(F.count_distinct(F.col(value)).alias("_d"))
+        .withColumn(salt, _salt_col(value, n_salts))
+        .groupBy(*key_cols, salt)
+        .agg(F.count_distinct(F.col(value)).alias(d))
     )
     summed = per_cell.groupBy(*key_cols).agg(
-        F.sum("_d").cast("long").alias(out_col)
+        F.sum(d).cast("long").alias(out_col)
     )
     # a key whose values are ALL NULL has no cells — but COUNT(DISTINCT)
-    # reports it with 0, so restore it from the key universe
+    # reports it with 0, so restore exactly the MISSING keys from the key
+    # universe.  left_anti with null-safe key equality (not a plain left
+    # equality join) so a NULL group key restores correctly too: under
+    # null-unsafe '=' a NULL key never matches its own summed row and
+    # would coalesce its real count to 0.
     universe = df.select(*key_cols).distinct()
-    return universe.join(summed, key_cols, "left").select(
-        *key_cols, F.coalesce(out_col, F.lit(0)).cast("long").alias(out_col)
+    anti_cond = None
+    for k in key_cols:
+        c = universe[k].eqNullSafe(summed[k])
+        anti_cond = c if anti_cond is None else (anti_cond & c)
+    missing = universe.join(summed, anti_cond, "left_anti").select(
+        *key_cols, F.lit(0).cast("long").alias(out_col)
     )
+    return summed.unionByName(missing)
 
 
 def skew_join(
@@ -230,16 +257,18 @@ def skew_join(
         d_salts = F.when(
             is_hot_d, F.sequence(F.lit(0), F.lit(n_salts - 1))
         ).otherwise(F.array(F.lit(0)))
-    salted_fact = fact.withColumn("_salt", f_salt.cast("int"))
+    salt = _tmp_name("_salt", fact, dim)
+    salts = _tmp_name("_salts", fact, dim)
+    salted_fact = fact.withColumn(salt, f_salt.cast("int"))
     # explode must sit top-level in its projection (Spark rejects
     # generators nested in expressions), hence the two-step withColumn
     salted_dim = (
-        dim.withColumn("_salts", d_salts)
-        .withColumn("_salt", F.explode("_salts"))
-        .drop("_salts")
+        dim.withColumn(salts, d_salts)
+        .withColumn(salt, F.explode(salts))
+        .drop(salts)
     )
     cond = (salted_fact[fact_key] == salted_dim[dim_key]) & (
-        salted_fact["_salt"] == salted_dim["_salt"]
+        salted_fact[salt] == salted_dim[salt]
     )
     out = salted_fact.join(salted_dim, cond, how)
-    return out.drop(salted_fact["_salt"]).drop(salted_dim["_salt"])
+    return out.drop(salted_fact[salt]).drop(salted_dim[salt])

@@ -166,6 +166,35 @@ class TestSaltedCountDistinct:
                for r in salted_count_distinct(df, "key", "v", n_salts=4).collect()}
         assert got == {"g": 1, "h": 0}
 
+    def test_null_group_key_matches_count_distinct(self, spark):
+        """A NULL group KEY must report its real distinct count — the
+        restore path must be null-safe (ADVICE r10: a null-unsafe left
+        equality join coalesced the NULL key's count to 0)."""
+        from dipper_spark.operators.skew import salted_count_distinct
+
+        df = spark.createDataFrame(
+            [(None, "a"), (None, "b"), ("g", "a"), (None, None)],
+            ["key", "v"],
+        )
+        got = {r.key: r.n_distinct
+               for r in salted_count_distinct(df, "key", "v", n_salts=4).collect()}
+        want = {r.key: r.n
+                for r in df.groupBy("key")
+                .agg(F.count_distinct("v").alias("n")).collect()}
+        assert got == want == {None: 2, "g": 1}
+
+    def test_all_null_values_under_null_key(self, spark):
+        """NULL key whose values are ALL NULL: restored with 0 like
+        COUNT(DISTINCT)."""
+        from dipper_spark.operators.skew import salted_count_distinct
+
+        df = spark.createDataFrame(
+            [(None, None), ("g", "a")], ["key", "v"]
+        )
+        got = {r.key: r.n_distinct
+               for r in salted_count_distinct(df, "key", "v", n_salts=4).collect()}
+        assert got == {None: 0, "g": 1}
+
     def test_salt_cells_partition_the_distinct_set(self, spark, zipf):
         """Equal values always share a cell, so per-cell distinct counts are
         disjoint — the sum is exact by partitioning, not by luck."""
@@ -291,3 +320,57 @@ class TestDetectHotKeysNulls:
         df = spark.createDataFrame(rows, ["row_id", "key"])
         got = detect_hot_keys(df, "key", straggler_threshold=0.0)
         assert None not in got and got == ["hot"]
+
+
+class TestReservedColumnCollision:
+    """ADVICE r10: a user column literally named ``_salt``/``_salts`` must
+    survive the salted operators untouched — scratch names are generated
+    collision-free, not hard-coded."""
+
+    def test_skew_join_preserves_user_salt_column(self, spark, no_broadcast):
+        from dipper_spark.operators.skew import skew_join
+
+        fact = spark.createDataFrame(
+            [("hot", i, f"u{i}") for i in range(20)]
+            + [("cold", 99, "u99")],
+            ["key", "_salt", "row_id"],
+        )
+        dim = spark.createDataFrame(
+            [("hot", "H", -1), ("cold", "C", -2)], ["dkey", "label", "_salts"]
+        )
+        got = skew_join(
+            fact, dim, "key", "dkey", salt_on="row_id",
+            hot_keys=["hot"], n_salts=4,
+        )
+        plain = fact.join(dim, fact["key"] == dim["dkey"], "inner")
+        assert "_salt" in got.columns and "_salts" in got.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_salted_aggregate_with_user_salt_column(self, spark):
+        from dipper_spark.operators.skew import salted_aggregate
+
+        df = spark.createDataFrame(
+            [("g", 1, 10.0), ("g", 2, 20.0), ("h", 3, 5.0)],
+            ["key", "_salt", "x"],
+        )
+        got = {
+            (r.key): (r.n, r.s)
+            for r in salted_aggregate(
+                df, "key",
+                {"n": ("count", None), "s": ("sum", "x")},
+                salt_on="_salt", n_salts=4,
+            ).collect()
+        }
+        assert got == {"g": (2, 30.0), "h": (1, 5.0)}
+
+    def test_salted_count_distinct_with_user_salt_column(self, spark):
+        from dipper_spark.operators.skew import salted_count_distinct
+
+        df = spark.createDataFrame(
+            [("g", "a", 0), ("g", "b", 1), ("g", "a", 2)],
+            ["key", "v", "_salt"],
+        )
+        [r] = salted_count_distinct(df, "key", "v", n_salts=4).collect()
+        assert r.n_distinct == 2
