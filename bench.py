@@ -146,6 +146,32 @@ HEADLINE = [
     "q_media_frames",
     "q_media_patch_dedup",
     "q_media_phash",
+    # tokenizer capstones through the model store (round 11): cold run
+    # trains + saves, warm run loads — min-of-2 reports the steady state
+    "q_unigram_encode_stored",
+    "q_tokenizer_compression",
+    # the remaining catalog micro-queries (scans/filters/set-ops): cheap,
+    # but included so the bench covers 100% of the catalog — no silent
+    # exclusions (round-10 verdict nit b)
+    "q_anti_join",
+    "q_composite_key_join",
+    "q_date_functions",
+    "q_dedup_triples",
+    "q_dispatch_case",
+    "q_except_diff",
+    "q_lang_id",
+    "q_limit_topn",
+    "q_one_to_one",
+    "q_pairwise_self_join",
+    "q_predicate_histogram",
+    "q_qualifier_filter",
+    "q_scalar_strings",
+    "q_score_threshold",
+    "q_test_id_subset",
+    "q_text_quality",
+    "q_token_count",
+    "q_union_dedup",
+    "q_void_stats",
 ]
 
 

@@ -3143,8 +3143,7 @@ def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model
 
 
-@register(
-    "q_unigram_encode",
+_UNI_ENCODE_SQL = (
     _unigram_ctes()
     + f""",
     docw AS (
@@ -3159,8 +3158,58 @@ def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS enc_fingerprint
     FROM docw LEFT JOIN segs{_UNI_EM} USING (word)
     GROUP BY doc_id
-    """,
+    """
 )
+
+def _stored_unigram_segs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Train-once / apply-many: the unigram segmenter via the model store
+    (io/model_store.py).  Cold call trains + saves; warm calls load the
+    parquet artifact — the dataflow a real pipeline runs (train on one
+    corpus snapshot, encode every later shard)."""
+    from dipper_spark.io.model_store import get_or_train, input_fingerprint
+    from dipper_spark.operators.unigram import unigram_train
+
+    params = {
+        "trainer": "unigram_train/v1",
+        "piece_max_len": _UNI_P,
+        "top_pieces": _UNI_V,
+        "em_iters": _UNI_EM,
+        "word_max_len": _UNI_L,
+    }
+
+    def trainer():
+        model, segs = unigram_train(
+            docs, "text", piece_max_len=_UNI_P, top_pieces=_UNI_V,
+            em_iters=_UNI_EM, word_max_len=_UNI_L,
+        )
+        return {"model": model, "segs": segs}
+
+    art = get_or_train(
+        spark, "unigram_docs", params, trainer,
+        kind="tokenizer/unigram", data_fingerprint=input_fingerprint(docs),
+    )
+    return art.table("segs")
+
+
+def _stored_bpe_vocab(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Stored-model path for the BPE vocabulary (see _stored_unigram_segs)."""
+    from dipper_spark.io.model_store import get_or_train, input_fingerprint
+    from dipper_spark.operators.bpe import bpe_train
+
+    params = {"trainer": "bpe_train/v1", "n_merges": _BPE_MERGES}
+
+    def trainer():
+        merges, vocab = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+        return {"merges": merges, "vocab": vocab}
+
+    art = get_or_train(
+        spark, "bpe_docs", params, trainer,
+        kind="tokenizer/bpe", data_fingerprint=input_fingerprint(docs),
+    )
+    return art.table("vocab")
+
+
+@register("q_unigram_encode", _UNI_ENCODE_SQL)
 def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus with the trained unigram segmenter — the apply
     half, sharing q_bpe_encode's broadcast word→segmentation join shape
@@ -3176,6 +3225,22 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         em_iters=_UNI_EM, word_max_len=_UNI_L,
     )
     return unigram_encode(docs, "doc_id", "text", segs)
+
+
+@register("q_unigram_encode_stored", _UNI_ENCODE_SQL)
+def q_unigram_encode_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_unigram_encode through the MODEL STORE: the segmenter is trained
+    once, saved as a versioned parquet artifact (io/model_store.py), and
+    every later call loads + broadcasts the stored table — the
+    train-once / apply-many dataflow a 100 TB pipeline actually runs
+    (dipper's staged-artifact discipline, reference OMIM.py:256-260,
+    applied to trained models).  Same oracle as q_unigram_encode: the
+    stored artifact must encode bit-identically (order-sensitive md5
+    stream fingerprints) to in-session training, or the gate goes red."""
+    from dipper_spark.operators.unigram import unigram_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_encode(docs, "doc_id", "text", _stored_unigram_segs(spark, docs))
 
 
 # ---- tokenizer evaluation: compression of the two TRAINED tokenizers ---------
@@ -3219,16 +3284,18 @@ def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast word→segmentation joins), the report is 2 rows.  The
     oracle nests both full CTE-unrolled training chains as derived
     tables (DuckDB allows WITH inside a subquery), so the number is
-    pinned from raw text to final ratio."""
-    from dipper_spark.operators.bpe import bpe_encode, bpe_train
-    from dipper_spark.operators.unigram import unigram_encode, unigram_train
+    pinned from raw text to final ratio.
+
+    Both tokenizers ride the MODEL STORE (get_or_train): cold run trains
+    + saves, warm runs load the parquet artifacts — so steady-state cost
+    is the two encode passes, with the full training chain still pinned
+    by the oracle (a stale or wrong stored artifact goes red)."""
+    from dipper_spark.operators.bpe import bpe_encode
+    from dipper_spark.operators.unigram import unigram_encode
 
     docs = load_table(spark, sf_dir, "documents")
-    _, vocab = bpe_train(docs, "text", n_merges=_BPE_MERGES)
-    _, segs = unigram_train(
-        docs, "text", piece_max_len=_UNI_P, top_pieces=_UNI_V,
-        em_iters=_UNI_EM, word_max_len=_UNI_L,
-    )
+    vocab = _stored_bpe_vocab(spark, docs)
+    segs = _stored_unigram_segs(spark, docs)
     sz = docs.select("doc_id", F.octet_length("text").cast("long").alias("nb"))
 
     def report(enc: DataFrame, name: str) -> DataFrame:
