@@ -853,13 +853,21 @@ def ivfpq_refine_topk(
     dim: int = 64,
     k: int = 5,
     nprobe: int = 1,
-    shortlist: int = 50,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """IVF+PQ with an EXACT re-rank stage — FAISS's refine discipline
     (IndexRefineFlat over IVFADC): the ADC scan produces a ``shortlist``
     of candidates per query, then the ORIGINAL vectors of just those
     candidates are fetched and scored exactly, and the true top-k is
     taken from the refined scores.
+
+    ``shortlist=None`` (default) scales it as ``50 * nprobe`` — the
+    configuration the measured operating curve prescribes
+    (docs/ANN_TRADEOFF.md finding #4: a FIXED shortlist stays flat as
+    nprobe grows because picking 50 of nprobe·bucket candidates with
+    4-bit scores loses what the extra probes bought; at 50·nprobe the
+    refined stack tracks the exact-in-bucket IVF curve at ~85-88%
+    capture).  Pass an int to pin it.
 
     Why it exists, measured (BENCH_ANN_r10.json / docs/ANN_TRADEOFF.md):
     on unstructured unit vectors the 4x4-bit ADC scores are quantization-
@@ -878,6 +886,8 @@ def ivfpq_refine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank) — same contract as
     :func:`cosine_topk`, so recall audits swap in directly.
     """
+    if shortlist is None:
+        shortlist = 50 * nprobe
     # a shortlist narrower than k would silently under-return: the refine
     # can only rank what the ADC stage surfaces
     shortlist = max(shortlist, k)

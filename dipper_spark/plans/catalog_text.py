@@ -837,7 +837,11 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- IVF+PQ with exact refine (FAISS IndexRefineFlat discipline) -------------
 
-_REFINE_NPROBE, _REFINE_SHORT = 2, 20
+# shortlist = 50·nprobe: the measured-best scaled configuration from the
+# operating curve (docs/ANN_TRADEOFF.md finding #4) — the catalog runs what
+# the measurement prescribes, and ivfpq_refine_topk defaults to the same
+_REFINE_NPROBE = 2
+_REFINE_SHORT = 50 * _REFINE_NPROBE
 _COS_REF = duckdb_cosine("q.embedding", "c.embedding")
 
 
@@ -885,15 +889,16 @@ _COS_REF = duckdb_cosine("q.embedding", "c.embedding")
     """,
 )
 def q_ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ with multi-probe (nprobe=2) and an EXACT re-rank over the
-    20-candidate ADC shortlist — the FAISS IndexRefineFlat discipline,
-    and the configuration the measured operating curve prescribes
-    (docs/ANN_TRADEOFF.md: raw ADC is quantization-limited at ~0.12
-    recall REGARDLESS of nprobe; the refine stage converts the noisy
-    shortlist into exact ranks at ``shortlist`` full-precision dot
-    products per query).  Same generate/verify split as LSH→exact
-    Jaccard: codes generate, full vectors verify — only shortlist-sized
-    row sets ever touch float32 payloads."""
+    """IVF+PQ with multi-probe (nprobe=2) and an EXACT re-rank over a
+    SCALED 50·nprobe ADC shortlist — the FAISS IndexRefineFlat
+    discipline at the configuration the measured operating curve
+    prescribes (docs/ANN_TRADEOFF.md: raw ADC is quantization-limited at
+    ~0.12 recall REGARDLESS of nprobe; a FIXED shortlist stays flat as
+    nprobe grows; at 50·nprobe the refined stack tracks the
+    exact-in-bucket IVF curve — 0.488 vs fixed-50's 0.404 at nprobe=2).
+    Same generate/verify split as LSH→exact Jaccard: codes generate,
+    full vectors verify — only shortlist-sized row sets ever touch
+    float32 payloads."""
     from dipper_spark.operators.similarity import ivfpq_refine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -821,3 +821,28 @@ def test_ivfpq_multiprobe_and_refine(spark):
     # refined ranks are by EXACT cosine: strictly non-increasing
     sims = [r.cos_sim for r in sorted(out, key=lambda r: r.rank)]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_refine_default_shortlist_scales_with_nprobe(spark):
+    """shortlist=None implements the measured operating curve's finding #4
+    (docs/ANN_TRADEOFF.md): the default is 50·nprobe, bit-identical to
+    passing it explicitly — a fixed shortlist stays flat as nprobe grows."""
+    import numpy as np
+
+    from dipper_spark.operators.similarity import ivfpq_refine_topk
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(300, 8).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    q = corpus.filter(F.col("vec_id") < 3)
+    kw = dict(n_centroids=8, n_sub=2, n_codes=8, dim=8, k=5, nprobe=3)
+    default = ivfpq_refine_topk(q, corpus, **kw).collect()
+    explicit = ivfpq_refine_topk(q, corpus, shortlist=150, **kw).collect()
+    narrower = ivfpq_refine_topk(q, corpus, shortlist=50, **kw).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, explicit))
+    assert sorted(map(tuple, default)) != sorted(map(tuple, narrower)) or len(
+        default
+    ) == len(narrower)  # 150-candidate pool differs unless corpus saturates
