@@ -208,6 +208,99 @@ def salted_count_distinct(
     return summed.unionByName(missing)
 
 
+def _plain_agg_exprs(aggs: dict) -> list:
+    """The un-salted GROUP BY expression list for a ``salted_aggregate``
+    spec — so the guarded dispatcher's two branches share one contract."""
+    out = []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            out.append(F.count(F.lit(1)).cast("long").alias(name))
+        elif fn == "avg":
+            out.append(F.avg(col).alias(name))
+        else:
+            out.append(getattr(F, fn)(col).alias(name))
+    return out
+
+
+def guarded_aggregate(
+    df: DataFrame,
+    keys: str | list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    salt_on: Column | str,
+    straggler_threshold: float = 4.0,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Runtime-guarded aggregation: run the q_key_skew straggler
+    prediction first, and take :func:`salted_aggregate` ONLY when some
+    group's predicted reducer load exceeds ``straggler_threshold`` × the
+    mean — otherwise the plain ``groupBy().agg()`` plan, completely
+    untouched (no salt column, no extra exchange).  Both branches are
+    row-for-row identical, so the guard is a pure plan decision.
+
+    The trigger pass is one count-per-key aggregation over ``df`` — the
+    same scan q_key_skew already runs as a pre-flight; at 100 TB you pay
+    it exactly when you suspect skew, and it is map-side-combined so its
+    shuffle is keys-sized.  NULL group keys participate in the trigger
+    here (unlike the join trigger): a massive NULL group straggles an
+    aggregation just like any hot key, and salting handles it.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_rows"), F.count(F.lit(1)).alias("_keys")
+    )
+    factor = F.col("_n") * F.col("_keys") / F.col("_rows")
+    any_hot = (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(factor > F.lit(float(straggler_threshold)))
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not any_hot:
+        return df.groupBy(*key_cols).agg(*_plain_agg_exprs(aggs))
+    return salted_aggregate(df, key_cols, aggs, salt_on, n_salts=n_salts)
+
+
+def guarded_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_on: Column | str,
+    straggler_threshold: float = 4.0,
+    n_salts: int = 16,
+    how: str = "inner",
+    max_hot_keys: int = 1000,
+) -> DataFrame:
+    """Runtime-guarded join: :func:`detect_hot_keys` predicts the
+    stragglers, and the join takes :func:`skew_join` ONLY when the hot
+    list is non-empty — otherwise the plain
+    ``fact.join(dim, fact_key == dim_key, how)`` plan, completely
+    untouched (Catalyst still free to broadcast, no salt column, no dim
+    replication).  Both branches are row-for-row identical; the guard
+    only decides the physical shape.
+
+    This is the act-on-it wiring of the skew story: q_key_skew predicts,
+    the guard triggers, salting mitigates — the shape dipper's star
+    flows would need on a cluster when a promiscuous key (MGI.py:308-313
+    probe dicts) concentrates a stage onto one reducer.  The detect pass
+    costs one keys-sized count aggregation over the fact — pay it on
+    joins you suspect; hot lists are bounded driver artifacts (cap
+    ``max_hot_keys``).
+    """
+    hot = detect_hot_keys(
+        fact, fact_key, straggler_threshold=straggler_threshold,
+        max_keys=max_hot_keys,
+    )
+    if not hot:
+        return fact.join(dim, fact[fact_key] == dim[dim_key], how)
+    return skew_join(
+        fact, dim, fact_key, dim_key, salt_on,
+        hot_keys=hot, n_salts=n_salts, how=how,
+    )
+
+
 def skew_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -1081,6 +1081,69 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_guarded_join",
+    """
+    WITH prof AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS mean_chars,
+             round(CAST(max(n_chars) AS DOUBLE), 2)            AS max_chars
+      FROM documents GROUP BY lang)
+    SELECT doc_id, lang, lang_docs,
+           round(CAST(n_chars AS DOUBLE) / mean_chars, 6) AS rel_len,
+           round(CAST(n_chars AS DOUBLE) / max_chars, 6)  AS frac_of_max
+    FROM documents JOIN prof USING (lang)
+    """,
+)
+def q_guarded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew story fully WIRED: predict → trigger → mitigate, with the
+    dispatch made at runtime by the guarded wrappers (operators/skew.py).
+    The per-language profile is computed by guarded_aggregate and the
+    corpus enrichment by guarded_join; both run the q_key_skew straggler
+    prediction first and switch to their salted form only when a key
+    exceeds the threshold — here 'en' owns ~44% of the corpus (factor
+    ~2.1× the mean reducer load at every SF), so BOTH guards engage and
+    the salted plans run; on a uniform key the plain plans are untouched
+    (proven plan-level in tests/test_skew.py).  The oracle is the plain
+    GROUP BY + join SQL — the guard must be a pure plan decision, so
+    whichever branch fires, the rows must hash identically."""
+    from dipper_spark.operators.skew import guarded_aggregate, guarded_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = guarded_aggregate(
+        docs.select(F.col("lang").alias("p_lang"), "n_chars", "doc_id"),
+        "p_lang",
+        {
+            "lang_docs": ("count", None),
+            "mean_chars": ("avg", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+        },
+        salt_on="doc_id",
+        straggler_threshold=_HOT_LANG_THRESHOLD,
+        n_salts=_SALT_N,
+    )
+    joined = guarded_join(
+        docs,
+        prof,
+        "lang",
+        "p_lang",
+        salt_on="doc_id",
+        straggler_threshold=_HOT_LANG_THRESHOLD,
+        n_salts=_SALT_N,
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        "lang_docs",
+        F.round(
+            F.col("n_chars").cast("double") / F.round(F.col("mean_chars"), 2), 6
+        ).alias("rel_len"),
+        F.round(
+            F.col("n_chars").cast("double") / F.round(F.col("max_chars"), 2), 6
+        ).alias("frac_of_max"),
+    )
+
+
 # ---- event gap / session-start detection (lag) --------------------------------
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000

@@ -579,3 +579,32 @@ class TestRound10Additions:
         final = plan.split("== Initial Plan ==")[0]
         assert "BroadcastHashJoin" in final
         assert "CartesianProduct" not in final
+
+
+class TestRound11Additions:
+    def test_guarded_join_engages_salted_on_the_zipfian_lang(self, spark, sf):
+        """'en' owns ~44% of the corpus, so BOTH runtime guards must fire:
+        the profile agg takes the two-phase salted shape and the
+        enrichment join carries the hot-dim replication explode.  At
+        fixture scale the replica dim still broadcasts (a broadcast join
+        has no skew problem — salt inert); the salted-shuffle shape under
+        a non-broadcastable dim is locked in tests/test_skew.py."""
+        plan = final_plan_of(QUERIES["q_guarded_join"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Generate explode" in final  # guarded_join took the salted arm
+        assert "Python" not in final
+        assert "CartesianProduct" not in final
+        assert "BroadcastNestedLoopJoin" not in final
+
+    def test_unigram_encode_stored_is_encode_only(self, spark, sf):
+        """The stored-model variant must not retrain: the plan is the
+        broadcast word->segmentation join over a PARQUET SCAN of the
+        stored artifact — no Viterbi DP stages, no EM exchanges.  The
+        artifact table appears as a FileScan of the model store path."""
+        plan = final_plan_of(QUERIES["q_unigram_encode_stored"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "Python" not in final and "CartesianProduct" not in final
+        # encode is one corpus scan + one model scan + one aggregation:
+        # the train-time DP (dozens of exchanges) must be absent
+        assert final.count("Exchange hashpartitioning") <= 2

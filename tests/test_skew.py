@@ -322,6 +322,104 @@ class TestDetectHotKeysNulls:
         assert None not in got and got == ["hot"]
 
 
+class TestGuardedDispatch:
+    """The runtime guard (guarded_join / guarded_aggregate): salted plan
+    ENGAGES on a planted Zipfian key, plain plan UNTOUCHED on uniform
+    data — plan-level locks, plus row equality on both branches."""
+
+    def _uniform(self, spark):
+        return spark.createDataFrame(
+            [(i, f"k{i % 10}", float(i)) for i in range(100)],
+            ["row_id", "key", "val"],
+        )
+
+    def _dim_for(self, spark, fact):
+        keys = [r.key for r in fact.select("key").distinct().collect()]
+        return spark.createDataFrame(
+            [(k, f"L-{k}") for k in keys], ["dkey", "label"]
+        )
+
+    def test_join_engages_on_zipf(self, spark, zipf, no_broadcast):
+        from dipper_spark.operators.skew import guarded_join
+
+        dim = self._dim_for(spark, zipf)
+        out = guarded_join(
+            zipf, dim, "key", "dkey", salt_on="row_id",
+            straggler_threshold=4.0, n_salts=8,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Generate explode" in plan  # hot dim rows replicated: salted
+        plain = zipf.join(dim, zipf["key"] == dim["dkey"], "inner")
+        assert _sorted_rows(out) == _sorted_rows(plain)
+
+    def test_join_plain_on_uniform(self, spark, no_broadcast):
+        from dipper_spark.operators.skew import guarded_join
+
+        fact = self._uniform(spark)
+        dim = self._dim_for(spark, fact)
+        out = guarded_join(
+            fact, dim, "key", "dkey", salt_on="row_id",
+            straggler_threshold=4.0, n_salts=8,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # genuinely the plain join: no salt, no replication, no extra project
+        assert "Generate" not in plan and "explode" not in plan
+        plain = fact.join(dim, fact["key"] == dim["dkey"], "inner")
+        assert _sorted_rows(out) == _sorted_rows(plain)
+
+    def test_agg_engages_on_zipf(self, spark, zipf):
+        from dipper_spark.operators.skew import guarded_aggregate
+
+        out = guarded_aggregate(
+            zipf, "key",
+            {"n": ("count", None), "s": ("sum", "val"), "m": ("avg", "val")},
+            salt_on="row_id", straggler_threshold=4.0, n_salts=8,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 2  # two-phase salted
+        want = zipf.groupBy("key").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val").alias("s"),
+            F.avg("val").alias("m"),
+        )
+        assert _sorted_rows(out) == _sorted_rows(want)
+
+    def test_agg_plain_on_uniform(self, spark):
+        from dipper_spark.operators.skew import guarded_aggregate
+
+        df = self._uniform(spark)
+        out = guarded_aggregate(
+            df, "key", {"n": ("count", None), "s": ("sum", "val")},
+            salt_on="row_id", straggler_threshold=4.0, n_salts=8,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1  # single-phase plain
+        want = df.groupBy("key").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val").alias("s"),
+        )
+        assert _sorted_rows(out) == _sorted_rows(want)
+
+    def test_agg_trigger_counts_null_group(self, spark):
+        """A massive NULL group straggles an aggregation like any hot key:
+        the aggregate trigger must see it (the join trigger rightly skips
+        NULLs — they never match a join)."""
+        from dipper_spark.operators.skew import guarded_aggregate
+
+        rows = [(i, None, 1.0) for i in range(200)] + [
+            (1000 + k, f"k{k}", 1.0) for k in range(8)
+        ]
+        df = spark.createDataFrame(rows, ["row_id", "key", "val"])
+        out = guarded_aggregate(
+            df, "key", {"n": ("count", None)},
+            salt_on="row_id", straggler_threshold=4.0, n_salts=8,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 2  # engaged
+        got = {r.key: r.n for r in out.collect()}
+        assert got[None] == 200 and all(got[f"k{k}"] == 1 for k in range(8))
+
+
 class TestReservedColumnCollision:
     """ADVICE r10: a user column literally named ``_salt``/``_salts`` must
     survive the salted operators untouched — scratch names are generated
