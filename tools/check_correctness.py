@@ -62,6 +62,31 @@ def value_hash(columns: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def compare_results(
+    scols: list[str], srows: list[tuple], ocols: list[str], orows: list[tuple]
+) -> list[str]:
+    """THE gate comparison: rowcount, sorted column names, then the
+    order-insensitive value hash.  Returns the problem list (empty =
+    green).  Exposed as a function so tests/test_gate_sensitivity.py can
+    seed deliberate faults and prove the gate goes red — the detection
+    power is tested, not asserted."""
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+    if not problems:
+        sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+        if sh != oh:
+            problems.append("value-hash mismatch")
+            sset = {tuple(map(canon_cell, r)) for r in srows}
+            oset = {tuple(map(canon_cell, r)) for r in orows}
+            only_s = list(sset - oset)[:3]
+            only_o = list(oset - sset)[:3]
+            problems.append(f"spark-only={only_s} oracle-only={only_o}")
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -102,21 +127,7 @@ def main() -> int:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
-            problems = []
-            if len(srows) != len(orows):
-                problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-            if sorted(scols) != sorted(ocols):
-                problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
-            if not problems:
-                sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
-                if sh != oh:
-                    problems.append("value-hash mismatch")
-                    # show a diff sample
-                    sset = {tuple(map(canon_cell, r)) for r in srows}
-                    oset = {tuple(map(canon_cell, r)) for r in orows}
-                    only_s = list(sset - oset)[:3]
-                    only_o = list(oset - sset)[:3]
-                    problems.append(f"spark-only={only_s} oracle-only={only_o}")
+            problems = compare_results(scols, srows, ocols, orows)
             status = "PASS" if not problems else "FAIL"
             if status == "PASS":
                 n_pass += 1
