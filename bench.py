@@ -150,6 +150,13 @@ HEADLINE = [
     # trains + saves, warm run loads — min-of-2 reports the steady state
     "q_unigram_encode_stored",
     "q_tokenizer_compression",
+    # runtime-guarded skew dispatch (round 11)
+    "q_guarded_join",
+    # trained quality classifier: in-session GD (honest training cost),
+    # stored-model apply + eval (steady state)
+    "q_classifier_train",
+    "q_classifier_apply_stored",
+    "q_classifier_eval",
     # the remaining catalog micro-queries (scans/filters/set-ops): cheap,
     # but included so the bench covers 100% of the catalog — no silent
     # exclusions (round-10 verdict nit b)

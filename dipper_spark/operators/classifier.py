@@ -1,0 +1,315 @@
+"""Trained linear text classifier — the supervised step up from the
+fixed-hash scorer in :func:`operators.search.hashed_linear_score`
+(fastText/CCNet-shape quality & language filters).
+
+A 100 TB curation pipeline does not ship hand-tuned weights: it TRAINS a
+cheap linear model on a labeled slice (CCNet trains fastText on
+Wikipedia-vs-crawl; FineWeb-Edu distills an LLM judge into a linear
+head), stores the weight vector, and scores every shard at scan speed.
+Here the teacher is the repo's own Gopher-style rule conjunction
+(:func:`functions.text.quality_rules` — the q_calibration label), so the
+trained model distills five hard thresholds into one calibrated score.
+
+Features per document (the standard cheap-quality-feature set):
+
+- ``n_buckets`` hashed bag-of-words buckets — token ``t`` maps to bucket
+  ``md5(t) % n_buckets``, value ``cnt_b / n_tokens``;
+- dense pseudo-buckets: BIAS (-1, value 1), REL_LEN (-2,
+  ``least(n,100)/100``), ALPHA (-3, alphabetic-token fraction), STOP
+  (-4, English-stopword fraction), WORDLEN (-5, mean token chars / 10);
+- every feature value is stored as an integer MICRO-FEATURE
+  ``fx = floor(numer * SCALE / denom + 0.5)`` where numer/denom are
+  exact BIGINTs (token counts, char counts), so the grain table is pure
+  integers.
+
+**Model**: linear, squared loss, full-batch gradient descent, targets
+mapped to ±1 (``ys = 2y - 1``) so the decision threshold is 0 and the
+first gradient step already points along the class-mean difference.  No
+transcendental functions — a logistic's ``exp`` is libm-specific and
+would break bit-parity with the DuckDB oracle, while +,-,*,/ and floor
+are IEEE-pinned on both engines.
+
+**Fixed-point integer state** (the unigram trainer's micro-log trick,
+``operators/unigram.py``): weights live as BIGINT micro-units
+(``w = W / 1e6``) and every cross-row sum — the per-document margin
+numerator and the per-bucket gradient — is a sum of BIGINTs, which is
+exact and ORDER-FREE.  Float accumulation order varies with partition
+layout; integer sums cannot, so training is partition-invariant and a
+SQL oracle replays it bit-identically with the iterations unrolled as
+CTEs (the 5th iterative oracle in the catalog, after PageRank, BPE,
+unigram-EM and SCD2).
+
+Update rule (real math, then the pinned fixed-point form)::
+
+    w <- w - lr/N * sum_i (margin_i - ys_i) * x_i
+
+    margin_i = CAST(M_i AS DOUBLE) / (SCALE * SCALE),  M_i = sum_b W_b*fx_ib
+    g_ib     = floor(r_i * fx_ib + 0.5)                # BIGINT grain
+    W_b     <- W_b - floor((lr_num * sum_i g_ib) / (lr_den * N) + 0.5)
+
+Every float expression has a FIXED parenthesization mirrored verbatim in
+the oracle SQL; ``floor(x + 0.5)`` is the repo's round-half-up parity
+rule (the pHash discipline, multimodal/ops.py).  The default learning
+rate 1/4 sits under the GD stability bound: ``||x||^2 <= 1 (bias) + 1
+(L1-normalized BOW) + 4 (dense features in [0,1]) <= 6``, so squared
+loss needs ``lr < 2/6`` — lr = 4 visibly diverges and a test pins that.
+
+Scale shape: featurize is ONE corpus scan and one shuffle to
+(doc, bucket) — map-side partial count — checkpointed once, so the
+corpus is read once regardless of iteration count.  Each iteration is
+two hash aggregations (margin by doc, gradient by bucket) plus one
+equi-join of the grain table to per-doc residuals; the weight vector is
+a bounded driver artifact (n_buckets + 5 rows, the BPE-merge-table
+class) injected back as a map literal — no shuffle carries it.  Apply is
+a single scan + broadcast join + map-side-partial aggregation: scan
+speed at 100 TB, which is the entire point of a linear filter.
+
+Reference analog: dipper scores and filters on precomputed per-row
+evidence everywhere (e.g. CTD.py evidence filtering); the train/apply
+split mirrors its stage-once / consume-many artifact discipline
+(OMIM.py:256-260).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dipper_spark.functions.text import EN_STOPWORDS, tokens
+
+SCALE = 1_000_000
+BIAS, REL_LEN, ALPHA, STOP, WORDLEN = -1, -2, -3, -4, -5
+
+
+def _bucket_expr(tok_col: str, n_buckets: int):
+    """md5-prefix hash bucket — bit-compatible with the DuckDB form
+    ``CAST(('0x' || substr(md5(t),1,8)) AS BIGINT) % n`` (both operands
+    non-negative, so the modulo agrees)."""
+    return F.expr(
+        f"CAST(conv(substring(md5({tok_col}), 1, 8), 16, 10) AS BIGINT) "
+        f"% {n_buckets}"
+    )
+
+
+def _micro(numer, denom):
+    """Integer micro-feature ``floor((numer * SCALE) / denom + 0.5)``:
+    numer*SCALE is an exact BIGINT product, the division is the single
+    float op, floor(x+0.5) is the cross-engine rounding rule."""
+    return F.floor(
+        (numer.cast("long") * F.lit(SCALE)) / denom + F.lit(0.5)
+    ).cast("long")
+
+
+def classifier_grains(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Micro-feature grain table ``(id, n, bucket, fx)``: one row per
+    (document, active feature).  One corpus scan; the only shuffle is the
+    map-side-partial count on (id, bucket)."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    ).withColumn("n", F.size("_toks").cast("long"))
+    hashed = (
+        base.select("id", "n", F.explode("_toks").alias("t"))
+        .withColumn("bucket", _bucket_expr("t", n_buckets))
+        .groupBy("id", "n", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select("id", "n", "bucket", _micro(F.col("cnt"), F.col("n")).alias("fx"))
+    )
+    t = F.col("_toks")
+    dense_vals = [
+        (BIAS, F.lit(SCALE).cast("long")),
+        (REL_LEN, _micro(F.least(F.col("n"), F.lit(100).cast("long")), F.lit(100).cast("long"))),
+        (ALPHA, _micro(F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$"))), F.col("n"))),
+        (STOP, _micro(F.size(F.filter(t, lambda x: x.isin(EN_STOPWORDS))), F.col("n"))),
+        (WORDLEN, _micro(F.length(F.array_join(t, "")), F.lit(10).cast("long") * F.col("n"))),
+    ]
+    dense = base.select(
+        "id", "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).cast("long").alias("bucket"), v.alias("fx")
+                )
+                for b, v in dense_vals
+            ])
+        ).alias("_f"),
+    ).select("id", "n", F.col("_f.bucket").alias("bucket"), F.col("_f.fx").alias("fx"))
+    return hashed.unionByName(dense)
+
+
+def _weight_lit(weights: dict[int, int]):
+    """The current weight vector as a map LITERAL (column expression) —
+    no join and no broadcast job for dictionary-sized state, the unigram
+    fast-path trick."""
+    if not weights:
+        return F.lit(0).cast("long")
+    pairs = [x for b, w in sorted(weights.items()) for x in (F.lit(b), F.lit(w))]
+    return F.coalesce(F.create_map(*pairs)[F.col("bucket")], F.lit(0)).cast("long")
+
+
+def _residuals(feat: DataFrame, weights: dict[int, int]) -> DataFrame:
+    """Per-doc residual ``(id, r)`` under the current weights — the
+    margin numerator is an exact BIGINT hash-aggregation (no sort)."""
+    return (
+        feat.withColumn("_wb", _weight_lit(weights))
+        .groupBy("id", "y")
+        .agg(F.sum(F.col("_wb") * F.col("fx")).alias("M"))
+        .select(
+            "id",
+            (
+                F.col("M").cast("double") / F.lit(float(SCALE) * float(SCALE))
+                - (F.lit(2).cast("long") * F.col("y") - F.lit(1)).cast("double")
+            ).alias("r"),
+        )
+    )
+
+
+def _gradient(feat: DataFrame, weights: dict[int, int], bcast: bool) -> DataFrame:
+    """One iteration's per-bucket gradient.  ``bcast=True`` (the default
+    for any realistically-sized labeled training slice) broadcast-joins
+    the doc-sized residual table back onto the grains — two hash
+    aggregations and zero sorts per iteration, measured ~2x faster than
+    the window form.  ``bcast=False`` is the unbounded-slice fallback: a
+    window sum over the doc's grains keeps everything shuffle-based.
+    Both produce identical weights (integer grains make the math
+    engine- and shape-independent); a test pins the equivalence."""
+    if bcast:
+        grain = feat.join(F.broadcast(_residuals(feat, weights)), "id")
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id")
+        grain = (
+            feat.withColumn("_wb", _weight_lit(weights))
+            .withColumn("_M", F.sum(F.col("_wb") * F.col("fx")).over(w))
+            .withColumn(
+                "r",
+                F.col("_M").cast("double") / F.lit(float(SCALE) * float(SCALE))
+                - (F.lit(2).cast("long") * F.col("y") - F.lit(1)).cast("double"),
+            )
+        )
+    return (
+        grain.withColumn(
+            "_g", F.floor(F.col("r") * F.col("fx") + F.lit(0.5)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.sum("_g").alias("G"))
+    )
+
+
+def linear_classifier_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col,
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 4,
+    broadcast_residuals: int = 20_000_000,
+) -> DataFrame:
+    """Full-batch GD, ``iters`` rounds, rational learning rate
+    ``lr_num/lr_den`` (rational so the update stays a pure integer
+    expression).  ``label_col`` is a 0/1 column name or Column.  Returns
+    the trained weight table ``(bucket, w_micro)`` over every feature
+    observed in the corpus (unobserved hash buckets have zero gradient
+    and stay at the zero init, so they are omitted — apply coalesces
+    missing buckets to 0).
+
+    Partition-order invariant by construction: every accumulation that
+    crosses rows is a BIGINT sum of pre-rounded grains.  The returned
+    frame is dictionary-sized (<= n_buckets + 5 rows).
+
+    ``broadcast_residuals``: per-iteration residuals are broadcast back
+    onto the grain table while the labeled slice has at most this many
+    documents (~16 B/row: the default 2e7 is a ~320 MB broadcast
+    ceiling); a larger slice falls back to the shuffle/window form.
+    Classifier training slices are bounded by labeling cost in practice
+    (CCNet/FineWeb train on 1e5-1e7 labeled docs), so the broadcast path
+    is the normal one."""
+    spark = df.sparkSession
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast("long")
+    labels = df.select(F.col(id_col).alias("id"), y.alias("y"))
+    n_docs = labels.count()
+    # size the checkpointed grain table by volume (~70 grains/doc, target
+    # ~500k grains per partition), capped at the cluster parallelism —
+    # 16 iterations of driver-paced jobs over 32 near-empty partitions is
+    # pure scheduling overhead at small SF, while at corpus scale this
+    # saturates the executors exactly like the default layout would
+    n_part = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (n_docs * (n_buckets // 2 + 5)) // 500_000 + 1,
+        ),
+    )
+    feat = (
+        classifier_grains(df, id_col, text_col, n_buckets)
+        .join(labels, "id")
+        .select("id", "bucket", "fx", "y")
+        .repartition(n_part, "id")
+        .localCheckpoint(eager=True)
+    )
+    bcast = n_docs <= broadcast_residuals
+    weights: dict[int, int] = {}
+    for _ in range(iters):
+        grad = _gradient(feat, weights, bcast).collect()
+        for row in grad:  # bounded: <= n_buckets + 5 rows (BPE-merge-table class)
+            step = math.floor((lr_num * int(row.G)) / (lr_den * n_docs) + 0.5)
+            weights[int(row.bucket)] = weights.get(int(row.bucket), 0) - step
+    out = sorted(weights.items())
+    return spark.createDataFrame(
+        [(int(b), int(w)) for b, w in out], "bucket LONG, w_micro LONG"
+    )
+
+
+def linear_classifier_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Score a corpus with a trained (possibly store-loaded) weight
+    table: rebuild the same micro-feature grains, broadcast-join the
+    dictionary-sized weight table, and aggregate the exact BIGINT margin
+    numerator per document.  Returns ``(id, n_tokens, score, pred)``
+    where score is the margin (round 6) and pred thresholds at 0 (the
+    squared-loss target is ±1).
+
+    One scan + one broadcast join + one map-side-partial aggregation —
+    at 100 TB this runs at scan speed like every other curation filter,
+    and the grain identity with training means a stored model scores a
+    document exactly as the trainer saw it."""
+    wmap = F.broadcast(
+        weights.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("w_micro").cast("long").alias("w_micro"),
+        )
+    )
+    scored = (
+        classifier_grains(df, id_col, text_col, n_buckets)
+        .join(wmap, "bucket", "left")
+        .groupBy("id", "n")
+        .agg(
+            F.sum(
+                F.coalesce("w_micro", F.lit(0)).cast("long") * F.col("fx")
+            ).alias("M")
+        )
+        .select(
+            "id",
+            F.col("n").alias("n_tokens"),
+            (
+                F.col("M").cast("double") / F.lit(float(SCALE) * float(SCALE))
+            ).alias("_score"),
+        )
+    )
+    return scored.select(
+        "id",
+        "n_tokens",
+        F.round("_score", 6).alias("score"),
+        (F.col("_score") > 0.0).cast("int").alias("pred"),
+    )

@@ -4070,3 +4070,220 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_dropped") / F.col("n_chunks").cast("double") < _CLEAN_MAX_DROP)
         & (F.col("n_clean_tokens") >= _CLEAN_MIN_TOKENS)
     )
+
+
+# ---- TRAINED quality classifier: distill the Gopher rules into a linear
+# ---- model (fixed-point GD, the catalog's 5th iterative oracle) --------------
+
+_TCLF_B = 64        # hashed feature buckets
+_TCLF_IT = 16       # full-batch GD iterations (CTE-unrolled in the oracle)
+_TCLF_STOP = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
+
+
+def _tclf_ctes() -> str:
+    """CTE chain replaying :func:`operators.classifier.
+    linear_classifier_train` exactly: integer micro-feature grains, then
+    ``_TCLF_IT`` unrolled GD iterations where every cross-row sum is a
+    BIGINT sum of pre-rounded grains (order-free, hence bit-identical to
+    Spark regardless of partition layout).  Ends at weight table
+    ``w{_TCLF_IT}`` with the grain tables in scope for the apply/eval
+    finals."""
+    parts = [
+        f"""
+    base AS MATERIALIZED (
+      SELECT doc_id AS id, {TOK} AS toks,
+             CAST(len({TOK}) AS BIGINT) AS n,
+             CAST(CASE WHEN {" AND ".join(_RULES_SQL.values())}
+                  THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM documents),
+    tok AS (SELECT id, n, unnest(toks) AS t FROM base),
+    feat AS MATERIALIZED (
+      SELECT id, n, bucket,
+             CAST(floor((cnt * 1000000) / n + 0.5) AS BIGINT) AS fx
+      FROM (SELECT id, n,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                     % {_TCLF_B} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY id, n, bucket)
+      UNION ALL SELECT id, n, -1, 1000000 FROM base
+      UNION ALL SELECT id, n, -2,
+        CAST(floor((least(n, 100) * 1000000) / 100 + 0.5) AS BIGINT)
+        FROM base
+      UNION ALL SELECT id, n, -3,
+        CAST(floor((len(list_filter(toks,
+                         x -> regexp_full_match(x, '[a-z]+'))) * 1000000)
+                   / n + 0.5) AS BIGINT)
+        FROM base
+      UNION ALL SELECT id, n, -4,
+        CAST(floor((len(list_filter(toks,
+                         x -> list_contains({_TCLF_STOP}, x))) * 1000000)
+                   / n + 0.5) AS BIGINT)
+        FROM base
+      UNION ALL SELECT id, n, -5,
+        CAST(floor((length(array_to_string(toks, '')) * 1000000)
+                   / (10 * n) + 0.5) AS BIGINT)
+        FROM base),
+    featy AS MATERIALIZED (SELECT f.id, f.bucket, f.fx, b.y
+              FROM feat f JOIN (SELECT id, y FROM base) b USING (id)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM base),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+           LIMIT 0)"""
+    ]
+    for t in range(1, _TCLF_IT + 1):
+        parts.append(
+            f""",
+    m{t} AS (SELECT id, y, sum(coalesce(w, 0) * fx) AS M
+             FROM featy LEFT JOIN w{t - 1} USING (bucket)
+             GROUP BY id, y),
+    r{t} AS MATERIALIZED (SELECT id,
+                    CAST(M AS DOUBLE) / 1000000000000.0 - (2 * y - 1) AS r
+             FROM m{t}),
+    g{t} AS (SELECT bucket, sum(CAST(floor(r * fx + 0.5) AS BIGINT)) AS G
+             FROM featy JOIN r{t} USING (id) GROUP BY bucket),
+    w{t} AS MATERIALIZED (SELECT bucket,
+                    CAST(coalesce(w, 0)
+                         - floor((1 * G) / (4 * (SELECT N FROM nn)) + 0.5)
+                         AS BIGINT) AS w
+             FROM g{t} LEFT JOIN w{t - 1} USING (bucket))"""
+        )
+    return "".join(parts)
+
+
+_TCLF_W = f"w{_TCLF_IT}"
+
+
+def _tclf_label(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, y): the teacher label is the repo's own Gopher-rule
+    conjunction — the distillation setup CCNet/FineWeb-style pipelines
+    use (cheap student imitates an expensive or hard-cut teacher)."""
+    return docs.select(
+        "doc_id", "text", quality_rules("text")["passed"].alias("y")
+    )
+
+
+def _stored_quality_clf(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Stored-model path for the trained classifier weights (the
+    _stored_unigram_segs pattern): version keyed on (params, input
+    files); cold call trains + saves, every later call loads the
+    dictionary-sized weight table straight from parquet."""
+    from dipper_spark.io.model_store import get_or_train, input_fingerprint
+    from dipper_spark.operators.classifier import linear_classifier_train
+
+    params = {
+        "trainer": "linear_classifier/v1",
+        "n_buckets": _TCLF_B,
+        "iters": _TCLF_IT,
+        "lr": "1/4",
+        "label": "gopher_passed",
+    }
+
+    def trainer():
+        return {
+            "weights": linear_classifier_train(
+                _tclf_label(docs), "doc_id", "text", "y",
+                n_buckets=_TCLF_B, iters=_TCLF_IT,
+            )
+        }
+
+    art = get_or_train(
+        spark, "quality_clf_docs", params, trainer,
+        kind="classifier/linear", data_fingerprint=input_fingerprint(docs),
+    )
+    return art.table("weights")
+
+
+@register(
+    "q_classifier_train",
+    f"""
+    WITH {_tclf_ctes()}
+    SELECT bucket, w AS w_micro FROM {_TCLF_W}
+    """,
+)
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a linear quality classifier (hashed BOW + dense length/
+    alpha/stopword/word-length features) to imitate the Gopher-rule
+    conjunction — 16 full-batch GD iterations in fixed-point integer
+    arithmetic, so the weight table is bit-identical on both engines and
+    at any partition count (operators/classifier.py).  The corpus is
+    scanned ONCE (grain table checkpointed); each iteration is two
+    dictionary/doc-sized hash aggregations, and the weight vector is a
+    bounded driver artifact.  In-session training is the honest-cost
+    entry; q_classifier_apply_stored is the steady-state path."""
+    from dipper_spark.operators.classifier import linear_classifier_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_classifier_train(
+        _tclf_label(docs), "doc_id", "text", "y",
+        n_buckets=_TCLF_B, iters=_TCLF_IT,
+    )
+
+
+@register(
+    "q_classifier_apply_stored",
+    f"""
+    WITH {_tclf_ctes()},
+    scored AS (
+      SELECT f.id, f.n, sum(coalesce(w, 0) * fx) AS M
+      FROM feat f LEFT JOIN {_TCLF_W} USING (bucket)
+      GROUP BY f.id, f.n)
+    SELECT id, n AS n_tokens,
+           round(CAST(M AS DOUBLE) / 1000000000000.0, 6) AS score,
+           CAST(CAST(M AS DOUBLE) / 1000000000000.0 > 0.0 AS INT) AS pred
+    FROM scored
+    """,
+)
+def q_classifier_apply_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the TRAINED classifier through the
+    model store (train-once / apply-many): load the weight table from
+    its versioned parquet artifact, broadcast it, rebuild the same
+    micro-feature grains, one map-side-partial aggregation — scan speed
+    at 100 TB.  The oracle retrains from scratch, so the stored artifact
+    must score bit-identically to in-session training or the gate goes
+    red (the q_unigram_encode_stored discipline)."""
+    from dipper_spark.operators.classifier import linear_classifier_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_classifier_apply(
+        docs, "doc_id", "text", _stored_quality_clf(spark, docs),
+        n_buckets=_TCLF_B,
+    )
+
+
+@register(
+    "q_classifier_eval",
+    f"""
+    WITH {_tclf_ctes()},
+    scored AS (
+      SELECT f.id,
+             CAST(CAST(sum(coalesce(w, 0) * fx) AS DOUBLE)
+                  / 1000000000000.0 > 0.0 AS INT) AS pred
+      FROM feat f LEFT JOIN {_TCLF_W} USING (bucket)
+      GROUP BY f.id)
+    SELECT CAST(b.y AS INT) AS y, s.pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored s JOIN base b ON b.id = s.id
+    GROUP BY 1, 2
+    """,
+)
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stored classifier against its teacher
+    label — the accuracy audit a pipeline runs before trusting a
+    distilled filter (same posture as q_calibration, which audits the
+    UNTRAINED hash scorer; the trained model is the one you'd actually
+    deploy).  Four bounded rows out; pred side reuses the stored model,
+    teacher side is one scan of rule flags."""
+    from dipper_spark.operators.classifier import linear_classifier_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = linear_classifier_apply(
+        docs, "doc_id", "text", _stored_quality_clf(spark, docs),
+        n_buckets=_TCLF_B,
+    )
+    lab = _tclf_label(docs).select(
+        F.col("doc_id").alias("id"), F.col("y").cast("int").alias("y")
+    )
+    return (
+        scored.join(lab, "id")
+        .groupBy("y", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -608,3 +608,50 @@ class TestRound11Additions:
         # encode is one corpus scan + one model scan + one aggregation:
         # the train-time DP (dozens of exchanges) must be absent
         assert final.count("Exchange hashpartitioning") <= 2
+
+    def test_classifier_apply_stored_is_scan_speed(self, spark, sf):
+        """The stored-classifier scorer must be the apply-many shape:
+        grains -> BROADCAST join of the dictionary-sized weight table ->
+        one hash aggregation.  No GD iterations (the 16 training rounds
+        live behind the store), no Python, no cartesian; the only wide
+        exchange is the (id, bucket) grain count."""
+        plan = final_plan_of(QUERIES["q_classifier_apply_stored"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "Python" not in final
+        assert "CartesianProduct" not in final
+        assert "BroadcastNestedLoopJoin" not in final
+        # grain count + final (id) agg: at most 3 hash exchanges
+        assert final.count("Exchange hashpartitioning") <= 3
+
+    def test_classifier_gradient_iteration_shape(self, spark, sf):
+        """One GD iteration = two hash aggregations with the doc-sized
+        residual table broadcast back onto the grains — no sort, no
+        shuffle join, no Python."""
+        from dipper_spark.functions.text import quality_rules
+        from dipper_spark.operators.classifier import (
+            _gradient,
+            classifier_grains,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        lab = docs.select(
+            "doc_id", "text", quality_rules("text")["passed"].alias("y")
+        )
+        feat = (
+            classifier_grains(lab, "doc_id", "text", 64)
+            .join(
+                lab.select(
+                    F.col("doc_id").alias("id"), F.col("y").cast("long").alias("y")
+                ),
+                "id",
+            )
+            .select("id", "bucket", "fx", "y")
+            .localCheckpoint(eager=True)
+        )
+        plan = final_plan_of(_gradient(feat, {-1: 1000, 3: -500}, bcast=True))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "Python" not in final
+        assert "SortMergeJoin" not in final
+        assert "CartesianProduct" not in final
