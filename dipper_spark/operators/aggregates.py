@@ -56,6 +56,7 @@ def group_zscore(
     group: str | list[str],
     value: Column | str,
     z_col: str = "zscore",
+    grid: int | None = None,
 ) -> DataFrame:
     """Per-group z-score of a value column via an analytic window.
 
@@ -64,13 +65,40 @@ def group_zscore(
     416-418) — a two-pass dict build in Python; here one window (partial agg
     + single shuffle on the group key).  stddev is the sample stddev (pandas/
     numpy default ddof=1 used by the reference's mean lists).
+
+    ``grid``: when the values live on a known decimal grid (e.g. 100 for
+    2-decimal money), pass it to compute the moments in FIXED POINT —
+    every cross-row sum becomes an exact BIGINT sum of quantized units
+    (``floor(v*grid + 0.5)``), so the result is identical at every
+    partition layout and data scale.  The default float path is fine for
+    per-entity groups, but a fixed group count with group size ∝ corpus
+    (the MPD shape) accumulates order-dependent last-ulp error in
+    ``avg``/``stddev`` — observed flipping round-4 output at sf1.0.
+    Integer-sum bound: ``n * (max|v|*grid)^2`` must stay under 2^63
+    (~1e10 rows at 4-decimal money); raise to a decimal cast beyond that.
     """
     group_cols = [group] if isinstance(group, str) else list(group)
     v = F.col(value) if isinstance(value, str) else value
     w = Window.partitionBy(*group_cols)
-    return df.withColumn(
-        z_col, (v - F.avg(v).over(w)) / F.stddev_samp(v).over(w)
+    if grid is None:
+        return df.withColumn(
+            z_col, (v - F.avg(v).over(w)) / F.stddev_samp(v).over(w)
+        )
+    g = float(grid)
+    q = F.floor(v * F.lit(g) + F.lit(0.5)).cast("long")
+    out = (
+        df.withColumn("_q", q)
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_s1", F.sum("_q").over(w))
+        .withColumn("_s2", F.sum(F.col("_q") * F.col("_q")).over(w))
     )
+    mean = (F.col("_s1").cast("double") / F.col("_n")) / F.lit(g)
+    ex2 = (F.col("_s2").cast("double") / F.col("_n")) / F.lit(g * g)
+    var = (ex2 - mean * mean) * (
+        F.col("_n").cast("double") / (F.col("_n") - F.lit(1))
+    )
+    zexpr = ((F.col("_q").cast("double") / F.lit(g)) - mean) / F.sqrt(var)
+    return out.withColumn(z_col, zexpr).drop("_q", "_n", "_s1", "_s2")
 
 
 def group_percentiles(

@@ -66,6 +66,17 @@ def _r2(c):  # noqa: ANN001 - column-expr helper
     return F.round(c, 2)
 
 
+def _cents(c, grid: int = 100):  # noqa: ANN001 - column-expr helper
+    """Exact integer units of a decimal-grid double (2-dec money by
+    default): floor(v*grid + 0.5) as BIGINT.  Summing these is exact and
+    order-free; a plain sum(double) at a fixed group count drifts with
+    partition layout once group size is large enough (seen at sf1.0 —
+    round-2/round-6 boundary flips in q_star_join_revenue/q_json_extract).
+    SQL mirror: CAST(floor(col * 100 + 0.5) AS BIGINT)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * F.lit(float(grid)) + F.lit(0.5)).cast("long")
+
+
 # --------------------------------------------------------------------------
 # scans / filters / aggregation core
 # --------------------------------------------------------------------------
@@ -75,14 +86,20 @@ def _r2(c):  # noqa: ANN001 - column-expr helper
     "q_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(CAST(sum(ep100) AS DOUBLE) / 100.0, 2)           AS sum_base_price,
+           round(CAST(sum(ep100 * (100 - d100)) AS DOUBLE) / 10000.0, 2)
+                                                                  AS sum_disc_price,
+           round(CAST(sum(ep100 * (100 - d100) * (100 + t100)) AS DOUBLE)
+                 / 1000000.0, 2)                                  AS sum_charge,
+           round(avg(l_quantity), 6)                              AS avg_qty,
+           round((CAST(sum(d100) AS DOUBLE) / count(*)) / 100.0, 6) AS avg_disc,
+           count(*)                                               AS count_order
+    FROM (SELECT l_returnflag, l_linestatus, l_quantity, l_shipdate,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep100,
+                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT)      AS d100,
+                 CAST(floor(l_tax * 100 + 0.5) AS BIGINT)           AS t100
+          FROM lineitem)
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -96,21 +113,40 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle for the final agg.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money in exact integer cents (_cents): sum_qty/avg_qty stay float —
+    # quantities are integer-valued doubles, whose sums are already exact
+    ep, d, t = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+                ep.alias("ep100"), d.alias("d100"), t.alias("t100"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            # rounding scale exceeds the exact decimal precision of the
-            # average (int-sum / count) so no round-half boundary can occur
-            # between engines
+            F.round(F.sum("ep100").cast("double") / F.lit(100.0), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("ep100") * (F.lit(100) - F.col("d100"))).cast("double")
+                / F.lit(10000.0), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("ep100") * (F.lit(100) - F.col("d100"))
+                    * (F.lit(100) + F.col("t100"))
+                ).cast("double") / F.lit(1000000.0), 2
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+            F.sum("d100").alias("_sd100"),
+        )
+        .withColumn(
+            "avg_disc",
+            F.round(
+                (F.col("_sd100").cast("double") / F.col("count_order")) / F.lit(100.0), 6
+            ),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_disc", "count_order",
         )
     )
 
@@ -119,7 +155,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_star_join_revenue",
     """
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                      AS DOUBLE) / 10000.0, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -155,7 +193,12 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         star.join(orders, star["l_orderkey"] == orders["o_orderkey"])
         .groupBy("r_name", "n_name")
         .agg(
-            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.round(
+                F.sum(
+                    _cents("l_extendedprice")
+                    * (F.lit(100) - _cents("l_discount"))
+                ).cast("double") / F.lit(10000.0), 2
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -197,19 +240,22 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            count(*) AS n_kept,
-           round(sum(l_extendedprice), 2) AS kept_value
+           round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS kept_value
     FROM lineitem
     WHERE l_extendedprice > 50000
     GROUP BY l_returnflag
     """,
 )
 def q_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STRING combined_score>700 threshold filter (P4) + A8 hit counters."""
+    """STRING combined_score>700 threshold filter (P4) + A8 hit counters.
+    Money totals sum exact integer CENTS (see _cents): a fixed group
+    count with group size ∝ SF makes plain double sums order-dependent."""
     li = load_table(spark, sf_dir, "lineitem")
     kept = score_threshold(li, "l_extendedprice", gt=50000)
     return kept.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_kept"),
-        _r2(F.sum("l_extendedprice")).alias("kept_value"),
+        F.round(F.sum(_cents("l_extendedprice")).cast("double") / F.lit(100.0), 2).alias("kept_value"),
     )
 
 
@@ -218,16 +264,26 @@ def q_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, event_type, round(z, 4) AS z FROM (
       SELECT event_id, event_type,
-             (value - avg(value) OVER (PARTITION BY event_type))
-               / stddev_samp(value) OVER (PARTITION BY event_type) AS z
-      FROM events)
+             ((CAST(q AS DOUBLE) / 100.0) - mean)
+               / sqrt((ex2 - mean * mean) * (CAST(n AS DOUBLE) / (n - 1))) AS z
+      FROM (
+        SELECT event_id, event_type, q,
+               count(*) OVER w AS n,
+               (CAST(sum(q) OVER w AS DOUBLE) / count(*) OVER w) / 100.0 AS mean,
+               (CAST(sum(q * q) OVER w AS DOUBLE) / count(*) OVER w) / 10000.0 AS ex2
+        FROM (SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+              FROM events)
+        WINDOW w AS (PARTITION BY event_type)))
     WHERE abs(z) >= 2
     """,
 )
 def q_zscore_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MPD z-score outliers (A6 + P4): per-group analytic window, |z| >= 2."""
     ev = load_table(spark, sf_dir, "events")
-    z = group_zscore(ev, "event_type", "value", z_col="z")
+    # grid=100: events.value lives on the 2-decimal grid, so the window
+    # moments are exact integer sums — scale- and layout-invariant
+    z = group_zscore(ev, "event_type", "value", z_col="z", grid=100)
     return (
         score_threshold(z, "z", abs_ge=2.0)
         .select("event_id", "event_type", F.round("z", 4).alias("z"))
@@ -686,21 +742,37 @@ def q_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           count(*) AS n, round(avg(value), 6) AS avg_value
+           count(*) AS n,
+           round((CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                       AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_value
     FROM events GROUP BY k
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction (§2.9: OMIM entry walks, MyChem records)."""
+    """JSON path extraction (§2.9: OMIM entry walks, MyChem records).
+
+    The per-key average is computed in FIXED POINT (micro-unit BIGINT
+    sums): a plain avg() over a continuous double column is float-
+    addition-order dependent, which surfaced as a last-ulp round-6
+    mismatch at sf1.0 (group size 10x sf0.1) — exactly the class of
+    at-scale-only bug the full-table sf1.0 gate exists to catch.
+    Quantizing each value to integer micro-units first makes every
+    cross-row sum exact and order-free on both engines at any SF."""
     ev = load_table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            micro.alias("_vm"),
         )
         .groupBy("k")
-        # round-6 exceeds the 5-decimal exact precision of (2-dec sum / 2^k
-        # count) averages — avoids engine-dependent round-half behavior
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_vm").alias("_s"))
+        .select(
+            "k", "n",
+            F.round(
+                (F.col("_s").cast("double") / F.col("n")) / F.lit(1000000.0), 6
+            ).alias("avg_value"),
+        )
     )
 
 
@@ -709,7 +781,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS month_value
+           round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS month_value
     FROM orders GROUP BY month
     """,
 )
@@ -720,7 +793,9 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _r2(F.sum("o_totalprice")).alias("month_value"),
+            F.round(
+                F.sum(_cents("o_totalprice")).cast("double") / F.lit(100.0), 2
+            ).alias("month_value"),
         )
     )
 
@@ -729,7 +804,9 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_windowed_events",
     """
     SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS total_value
     FROM events GROUP BY window_start, event_type
     """,
 )
@@ -741,7 +818,12 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), _r2(F.sum("value")).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(_cents("value")).cast("double") / F.lit(100.0), 2
+            ).alias("total_value"),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",

@@ -975,11 +975,15 @@ _HOT_LANG_THRESHOLD = 1.5
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT)                          AS n_rows,
-           round(CAST(sum(value) AS DOUBLE), 2)              AS total_value,
-           round(CAST(max(value) AS DOUBLE), 2)              AS max_value,
-           round(CAST(sum(value) AS DOUBLE) / count(value), 4) AS avg_value,
+           round(CAST(sum(v100) AS DOUBLE) / 100.0, 2)       AS total_value,
+           round(CAST(max(v100) AS DOUBLE) / 100.0, 2)       AS max_value,
+           round((CAST(sum(v100) AS DOUBLE) / count(v100)) / 100.0, 4)
+                                                             AS avg_value,
            CAST(count(DISTINCT user_id) AS BIGINT)           AS n_users
-    FROM events GROUP BY event_type
+    FROM (SELECT event_type, user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+          FROM events)
+    GROUP BY event_type
     """,
 )
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,14 +999,21 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dipper_spark.operators.skew import salted_aggregate, salted_count_distinct
 
     ev = load_table(spark, sf_dir, "events")
+    # aggregate over exact integer CENTS (value is 2-dec-grid): the
+    # salted partial sums become BIGINT sums, so the two-phase result is
+    # bit-equal to the plain GROUP BY at ANY salt count, partition
+    # layout, or SF — a plain double sum drifts at sf1.0 group sizes
+    ev_c = ev.withColumn(
+        "v100", F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    )
     base = salted_aggregate(
-        ev,
+        ev_c,
         "event_type",
         {
             "n_rows": ("count", None),
-            "total_value": ("sum", "value"),
-            "max_value": ("max", "value"),
-            "avg_value": ("avg", "value"),
+            "total_c": ("sum", "v100"),
+            "max_c": ("max", "v100"),
+            "avg_c": ("avg", "v100"),
         },
         salt_on="event_id",
         n_salts=_SALT_N,
@@ -1013,9 +1024,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(F.broadcast(users), "event_type").select(
         "event_type",
         "n_rows",
-        F.round("total_value", 2).alias("total_value"),
-        F.round("max_value", 2).alias("max_value"),
-        F.round("avg_value", 4).alias("avg_value"),
+        F.round(F.col("total_c").cast("double") / F.lit(100.0), 2).alias("total_value"),
+        F.round(F.col("max_c").cast("double") / F.lit(100.0), 2).alias("max_value"),
+        F.round(F.col("avg_c") / F.lit(100.0), 4).alias("avg_value"),
         "n_users",
     )
 

@@ -9,7 +9,20 @@ Wall time is min-of-2 per configuration after a warm-up search (the
 bench.py steady-state discipline), measured on the full search pipeline
 (index build + probe + top-k), since that is what a batch ANN job pays.
 
-Writes BENCH_ANN_r10.json; the analysis lives in docs/ANN_TRADEOFF.md.
+Fixtures (``--fixture``):
+- ``sf`` (default): the driver's embeddings table — UNIFORM random unit
+  vectors.  This is the ADVERSARIAL floor for any partition-based index:
+  with no cluster structure, a query's true neighbors scatter across
+  Voronoi cells almost independently, so recall ~ nprobe/n_centroids.
+- ``clustered``: a deterministic Gaussian-mixture on the sphere
+  (32 topic centers, within-cluster sigma 0.35) — the geometry real text
+  embeddings actually have (documents cluster by topic; neighbors share
+  the query's cluster).  Same sizes as the sf fixture, so the two runs
+  differ ONLY in geometry (round-10 verdict nit c: catalog defaults were
+  tuned on the worst-case fixture alone).
+
+Writes BENCH_ANN_r10.json (sf) / BENCH_ANN_CLUSTERED_r11.json
+(clustered); the analysis lives in docs/ANN_TRADEOFF.md.
 """
 
 from __future__ import annotations
@@ -27,6 +40,28 @@ K = 5
 NPROBES = [1, 2, 4, 8]
 
 
+def clustered_embeddings(spark, n: int = 20_000, dim: int = 64,
+                         n_clusters: int = 32, sigma: float = 0.35):
+    """Deterministic Gaussian-mixture embedding table (vec_id, embedding,
+    label): unit-norm topic centers, within-cluster isotropic noise,
+    re-normalized to the sphere.  Cluster sizes are equal (round-robin
+    assignment) so no single cell dominates the inverted lists."""
+    import numpy as np
+
+    rng = np.random.default_rng(1107)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = np.arange(n) % n_clusters
+    x = centers[assign] + sigma * rng.standard_normal((n, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rows = [
+        (int(i), [float(v) for v in x[i]], int(assign[i])) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -38,8 +73,17 @@ def main() -> None:
     )
     from dipper_spark.session import get_spark, load_table
 
+    args = sys.argv[1:]
+    fixture = "sf"
+    if "--fixture=clustered" in args:
+        fixture = "clustered"
+    elif "--fixture" in args and args.index("--fixture") + 1 < len(args):
+        fixture = args[args.index("--fixture") + 1]
     spark = get_spark("bench-ann")
-    emb = load_table(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
+    if fixture == "clustered":
+        emb = clustered_embeddings(spark).localCheckpoint(eager=True)
+    else:
+        emb = load_table(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).localCheckpoint(eager=True)
     n_corpus = emb.count()
 
@@ -52,7 +96,9 @@ def main() -> None:
         hit = sum(1 for r in rows if (r.query_id, r.neighbor_id) in exact)
         return round(hit / len(exact), 4)
 
-    out: dict = {"sf_dir": SF_DIR, "n_corpus": n_corpus, "n_queries": N_QUERIES,
+    out: dict = {"fixture": fixture,
+                 "sf_dir": SF_DIR if fixture == "sf" else None,
+                 "n_corpus": n_corpus, "n_queries": N_QUERIES,
                  "k": K, "configs": {}}
     for engine in ("ivf", "ivfpq", "ivfpq_refine", "ivfpq_refine_scaled"):
         for nprobe in NPROBES:
@@ -90,8 +136,9 @@ def main() -> None:
             }
             print(cfg, out["configs"][cfg], flush=True)
 
+    fname = "BENCH_ANN_r10.json" if fixture == "sf" else "BENCH_ANN_CLUSTERED_r11.json"
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "BENCH_ANN_r10.json"), "w") as fh:
+                           fname), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"done": True}))
 
