@@ -294,3 +294,32 @@ class TestEquivalentResultsStayGreen:
         a = value_hash(["k", "v"], [("a", 1), ("b", 2)])
         b = value_hash(["k", "v"], [("a", 2), ("b", 1)])
         assert a != b
+
+
+class TestRound11Faults:
+    def test_classifier_one_iteration_short_goes_red(self, spark, sf_dir, oracle):
+        """An under-trained model (15 of 16 GD iterations — the classic
+        off-by-one loop bound) must hash-mismatch the 16-iteration
+        oracle: every later weight differs, so the gate goes red."""
+        from dipper_spark.operators.classifier import linear_classifier_train
+        from dipper_spark.plans.catalog_search import _TCLF_B, _TCLF_IT, _tclf_label
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mutated = linear_classifier_train(
+            _tclf_label(docs), "doc_id", "text", "y",
+            n_buckets=_TCLF_B, iters=_TCLF_IT - 1,
+        ).select("bucket", F.col("w_micro"))
+        _assert_red(oracle, "q_classifier_train", mutated, "value-hash")
+
+    def test_float_sum_instead_of_cents_goes_red_at_round_boundary(self):
+        """The fixed-point doctrine's reason-for-being, pinned at unit
+        level: an order-dependent float sum that lands a half-ulp across
+        a rounding boundary produces a different canonical cell than the
+        exact integer-cents sum."""
+        from check_correctness import canon_cell
+
+        # 4345161292.965 ± one ulp — the actual q_star_join_revenue
+        # sf1.0 collision: round() resolves to .96 vs .97
+        assert canon_cell(round(4345161292.96499967, 2)) != canon_cell(
+            round(4345161292.96500033, 2)
+        )
