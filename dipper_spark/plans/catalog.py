@@ -298,7 +298,8 @@ def q_zscore_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN '2-HIGH'   THEN 'high'
              ELSE 'normal' END AS priority_class,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_value
+           round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS total_value
     FROM orders
     GROUP BY priority_class
     """,
@@ -315,7 +316,9 @@ def q_dispatch_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority_class")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _r2(F.sum("o_totalprice")).alias("total_value"),
+            F.round(
+                F.sum(_cents("o_totalprice")).cast("double") / F.lit(100.0), 2
+            ).alias("total_value"),
         )
     )
 
@@ -437,7 +440,8 @@ def q_pairwise_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT least(c_nationkey, s_nationkey)    AS nation_a,
            greatest(c_nationkey, s_nationkey) AS nation_b,
            count(*) AS n_trades,
-           round(sum(l_extendedprice), 2) AS volume
+           round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -463,7 +467,9 @@ def q_symmetric_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation_a", "nation_b")
         .agg(
             F.count(F.lit(1)).alias("n_trades"),
-            _r2(F.sum("l_extendedprice")).alias("volume"),
+            F.round(
+                F.sum(_cents("l_extendedprice")).cast("double") / F.lit(100.0), 2
+            ).alias("volume"),
         )
     )
 
