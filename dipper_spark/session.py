@@ -66,6 +66,12 @@ def get_spark(app_name: str = "dipper_spark", shuffle_partitions: int | None = N
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # collected-result ceiling: tools that value-hash full results at
+        # scale (the sf1.0 oracle gate) raise this via the env knob
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "2g"),
+        )
         # Arrow for any pandas-UDF path (similarity / multimodal operators)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )

@@ -98,6 +98,12 @@ def main() -> int:
     import __spark_entry__ as e
     from dipper_spark.session import get_spark
 
+    # the scale gates (sf1.0) value-hash multi-million-row results; the
+    # default driver.maxResultSize kills the gate's own collect (seen:
+    # q_fuzzy_join at sf1.0, 1.3 GiB of result rows) — a harness limit,
+    # not an engine one, so the harness raises it before session build
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "8g")
     spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:

@@ -18,7 +18,13 @@ tables by KEY-OFFSET REPLICATION — the TPC-H scaling discipline:
   EXACTLY — replica 0 is the untouched original;
 - ``events.ts`` keeps its physical nanosecond encoding (DuckDB reads
   TIMESTAMP_NS and COPY writes it back), so ``load_table``'s ns branch
-  and the oracle's ``epoch(ts)`` see the same values they see at sf0.1.
+  and the oracle's ``epoch(ts)`` see the same values they see at sf0.1;
+- ``part.p_name`` gets a per-replica suffix whose pairwise edit
+  distance exceeds the fuzzy-join threshold (6 repeated letters, > 5),
+  mirroring the documents generator's vocabulary-disjoint replicas: a
+  real 10x catalog has 10x DISTINCT names (Heaps' law), and identical
+  replica names would quadratically inflate the name-blocked fuzzy join
+  (observed: 197M result rows = 100x, vs the ideal 10x workload).
 
 The oracle recomputes on the same files, so this is a pure
 engine-correctness gate at 10x volume: any partition-count, overflow,
@@ -95,10 +101,19 @@ def main() -> int:
                 f"DESCRIBE SELECT * FROM '{SF01}/{t}.parquet'"
             ).fetchall()
         ]
-        sel = ", ".join(
-            f"t.{c} + r.r * {counts[keys[c]]} AS {c}" if c in keys else f"t.{c}"
-            for c in cols
-        )
+        def col_sql(c: str) -> str:
+            if c in keys:
+                return f"t.{c} + r.r * {counts[keys[c]]} AS {c}"
+            if t == "part" and c == "p_name":
+                # replica-disjoint names: suffixes are pairwise > 5 edits
+                # apart, so the <=5-edit fuzzy join never crosses replicas
+                return (
+                    "CASE WHEN r.r = 0 THEN t.p_name ELSE t.p_name || '-' "
+                    "|| repeat(chr(CAST(97 + r.r AS INTEGER)), 6) END AS p_name"
+                )
+            return f"t.{c}"
+
+        sel = ", ".join(col_sql(c) for c in cols)
         order = next(iter(keys))  # primary key first in each KEYED spec
         con.sql(
             f"""
