@@ -265,11 +265,25 @@ def main() -> int:
         # min of 2 consecutive executions = steady-state (the number that
         # predicts cluster throughput; single-shot sub-second timings are
         # dominated by one-time codegen/compile — see docs/BENCH_DRIFT_r5.md)
+        #
+        # Materialization: count() by default — the historical trajectory
+        # metric.  Catalyst COLUMN-PRUNES a count(), so per-row projection
+        # queries (q_quality_rules, q_repetition, ...) measure plan
+        # overhead, not expression cost; aggregate queries (most of the
+        # catalog) are unaffected.  SPARK_GRAFT_BENCH_MATERIALIZE=full
+        # switches to the noop DSv2 sink, which evaluates EVERY output
+        # column without collecting — the "write the result" cost a real
+        # pipeline pays (artifact: BENCH_MATERIALIZED_r11.json).
+        full_mat = os.environ.get("SPARK_GRAFT_BENCH_MATERIALIZE") == "full"
         samples = []
         for _ in range(2):
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
-            n = df.count()
+            if full_mat:
+                df.write.format("noop").mode("overwrite").save()
+                n = -1
+            else:
+                n = df.count()
             samples.append(round(time.time() - t0, 3))
         timings[name] = min(samples)
         print(f"# {name}: {timings[name]}s (runs={samples}) rows={n}", file=sys.stderr)
