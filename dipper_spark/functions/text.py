@@ -42,13 +42,29 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles; empty array when the doc has < n tokens.
 
-    The short-doc case needs an explicit branch: Spark's sequence(1, 0)
-    counts DOWN ([1,0]), it does not produce an empty array."""
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    Built as a zip_with fold over ``n`` shifted slices of the token
+    array, NOT a transform-over-indices with ``slice(toks, i, n)`` in
+    the lambda: Catalyst does no CSE inside higher-order-function
+    lambdas, so the index form re-evaluates the full ``toks`` expression
+    (for the usual ``tokens(text)`` caller: the whole regex split) once
+    PER SHINGLE — O(len^2) per document, measured ~2ms/doc at 370
+    tokens, which dominated every repetition/shingle consumer in the
+    full-materialization bench.  The fold form evaluates ``toks`` O(n)
+    times and each lambda touches only its element arguments.  Output is
+    element-for-element identical (same strings, same order).
+
+    The short-doc case needs an explicit branch: a slice length of
+    ``size - n + 1 <= 0`` is invalid — same reason the old index form
+    guarded ``sequence(1, 0)`` (which counts DOWN, not empty)."""
+    m = F.size(toks) - F.lit(n - 1)
+    sh = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        sh = F.zip_with(
+            F.slice(toks, j, m), sh, lambda nxt, acc: F.concat_ws(" ", acc, nxt)
+        )
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_hits(toks: Column, words: list[str]) -> Column:
@@ -221,6 +237,38 @@ def quality_rules(col: Column | str) -> dict[str, Column]:
     return out
 
 
+def array_ndistinct(arr: Column) -> Column:
+    """Distinct-element count of an array in O(n log n): sort, then count
+    boundaries between adjacent unequal elements.  Spark's
+    ``array_distinct`` is O(n^2) pairwise compares — on a 370-token doc's
+    368 3-gram shingles that is ~135k string comparisons per row, which
+    the full-materialization bench exposed as ~2ms/doc (13s at sf0.1)
+    across every repetition-rule consumer; the sorted-adjacent form does
+    ~3k.  The COUNT is definitionally identical, so oracles
+    (``len(list_distinct(...))``) are untouched.
+
+    The fold runs OVER the sorted array itself with a (prev, cnt) struct
+    accumulator — indexing back into the sorted array from the lambda
+    would re-evaluate the sort per element (no CSE inside higher-order
+    lambdas), turning O(n log n) into O(n^2 log n)."""
+    s = F.array_sort(arr)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"), F.lit(0).alias("cnt")
+    )
+    return F.aggregate(
+        s,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["cnt"]
+                + F.when(acc["prev"].isNull() | (x != acc["prev"]), 1).otherwise(0)
+            ).alias("cnt"),
+        ),
+        lambda acc: acc["cnt"],
+    )
+
+
 def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     """Intra-document repetition: ``1 - distinct/total`` word n-grams — the
     standard repeated-n-gram quality signal for pretraining-data filtering
@@ -229,5 +277,5 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     sh = word_shingles(tokens(col), n)
     return F.when(
         F.size(sh) > 0,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 6),
+        F.round(F.lit(1.0) - array_ndistinct(sh) / F.size(sh), 6),
     ).otherwise(F.lit(0.0))
