@@ -244,8 +244,16 @@ def array_ndistinct(arr: Column) -> Column:
     368 3-gram shingles that is ~135k string comparisons per row, which
     the full-materialization bench exposed as ~2ms/doc (13s at sf0.1)
     across every repetition-rule consumer; the sorted-adjacent form does
-    ~3k.  The COUNT is definitionally identical, so oracles
+    ~3k.  For arrays satisfying the contract below the COUNT equals
+    ``size(array_distinct(...))``, so oracles
     (``len(list_distinct(...))``) are untouched.
+
+    CONTRACT — string arrays with no NULL elements only (all shingle/
+    token callers qualify): the ``prev`` accumulator field is typed
+    string, so a non-string array is an analysis error; and a NULL
+    element is never counted (``x != prev`` is NULL → the +1 branch
+    never fires) whereas ``array_distinct`` counts NULL once.  Fall back
+    to ``F.size(F.array_distinct(arr))`` outside this contract.
 
     The fold runs OVER the sorted array itself with a (prev, cnt) struct
     accumulator — indexing back into the sorted array from the lambda

@@ -98,6 +98,11 @@ def group_zscore(
         F.col("_n").cast("double") / (F.col("_n") - F.lit(1))
     )
     zexpr = ((F.col("_q").cast("double") / F.lit(g)) - mean) / F.sqrt(var)
+    # n=1 must yield NULL exactly like stddev_samp on the float path:
+    # unguarded, n/(n-1) divides by zero (Inf/NaN z), and Spark drops NaN
+    # from abs(z)>=thresh while DuckDB ranks NaN above everything — a
+    # singleton group would silently diverge between the engines.
+    zexpr = F.when(F.col("_n") > F.lit(1), zexpr)
     return out.withColumn(z_col, zexpr).drop("_q", "_n", "_s1", "_s2")
 
 

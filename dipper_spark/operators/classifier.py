@@ -16,7 +16,9 @@ Features per document (the standard cheap-quality-feature set):
   ``md5(t) % n_buckets``, value ``cnt_b / n_tokens``;
 - dense pseudo-buckets: BIAS (-1, value 1), REL_LEN (-2,
   ``least(n,100)/100``), ALPHA (-3, alphabetic-token fraction), STOP
-  (-4, English-stopword fraction), WORDLEN (-5, mean token chars / 10);
+  (-4, English-stopword fraction), WORDLEN (-5,
+  ``least(mean token chars, 10) / 10`` — clamped so fx <= SCALE holds
+  structurally);
 - every feature value is stored as an integer MICRO-FEATURE
   ``fx = floor(numer * SCALE / denom + 0.5)`` where numer/denom are
   exact BIGINTs (token counts, char counts), so the grain table is pure
@@ -124,7 +126,15 @@ def classifier_grains(
         (REL_LEN, _micro(F.least(F.col("n"), F.lit(100).cast("long")), F.lit(100).cast("long"))),
         (ALPHA, _micro(F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$"))), F.col("n"))),
         (STOP, _micro(F.size(F.filter(t, lambda x: x.isin(EN_STOPWORDS))), F.col("n"))),
-        (WORDLEN, _micro(F.length(F.array_join(t, "")), F.lit(10).cast("long") * F.col("n"))),
+        # clamp at 1.0: a corpus with mean token length > 10 chars would
+        # otherwise push fx above SCALE, breaking the documented
+        # ||x||^2 <= 6 lr-stability bound (lr=1/4 could diverge).  The
+        # least() makes the bound structural, not a data-shape accident;
+        # mirrored as least() in the oracle CTE.
+        (WORDLEN, _micro(
+            F.least(F.length(F.array_join(t, "")), F.lit(10).cast("long") * F.col("n")),
+            F.lit(10).cast("long") * F.col("n"),
+        )),
     ]
     dense = base.select(
         "id", "n",

@@ -128,10 +128,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("ep100") * (F.lit(100) - F.col("d100"))).cast("double")
                 / F.lit(10000.0), 2
             ).alias("sum_disc_price"),
+            # the triple product is ~1.2e11/row — a BIGINT sum wraps near
+            # sf13 (Spark non-ANSI wraps silently, DuckDB errors: the
+            # engines would diverge DIFFERENTLY).  Sum in DECIMAL(38,0)
+            # (exact to 1e38, i.e. any conceivable SF); DuckDB's
+            # sum(BIGINT) is already HUGEINT (int128) so the oracle side
+            # is exact without a cast.
             F.round(
                 F.sum(
-                    F.col("ep100") * (F.lit(100) - F.col("d100"))
-                    * (F.lit(100) + F.col("t100"))
+                    (
+                        F.col("ep100") * (F.lit(100) - F.col("d100"))
+                        * (F.lit(100) + F.col("t100"))
+                    ).cast("decimal(38,0)")
                 ).cast("double") / F.lit(1000000.0), 2
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -264,8 +272,10 @@ def q_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, event_type, round(z, 4) AS z FROM (
       SELECT event_id, event_type,
-             ((CAST(q AS DOUBLE) / 100.0) - mean)
-               / sqrt((ex2 - mean * mean) * (CAST(n AS DOUBLE) / (n - 1))) AS z
+             CASE WHEN n > 1 THEN
+               ((CAST(q AS DOUBLE) / 100.0) - mean)
+                 / sqrt((ex2 - mean * mean) * (CAST(n AS DOUBLE) / (n - 1)))
+             END AS z
       FROM (
         SELECT event_id, event_type, q,
                count(*) OVER w AS n,

@@ -4131,7 +4131,7 @@ def _tclf_ctes() -> str:
                    / n + 0.5) AS BIGINT)
         FROM base
       UNION ALL SELECT id, n, -5,
-        CAST(floor((length(array_to_string(toks, '')) * 1000000)
+        CAST(floor((least(length(array_to_string(toks, '')), 10 * n) * 1000000)
                    / (10 * n) + 0.5) AS BIGINT)
         FROM base),
     featy AS MATERIALIZED (SELECT f.id, f.bucket, f.fx, b.y

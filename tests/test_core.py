@@ -179,3 +179,24 @@ def test_graphutils_reference_golden(spark):
     }
     assert cmp[enemy] == (2, 0)
     assert cmp[name] == (1, 1)
+
+
+def test_group_zscore_singleton_group_yields_null_on_both_paths(spark):
+    """ADVICE r11: the fixed-point (grid) path's n/(n-1) variance factor
+    divides by zero at n=1, yielding Inf/NaN z where the float path's
+    stddev_samp yields NULL — and Spark drops NaN from abs(z)>=t while
+    DuckDB ranks NaN above everything, so a singleton group would flip
+    the oracle gate.  Both paths must return NULL z for n=1 groups."""
+    from dipper_spark.operators.aggregates import group_zscore
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("solo", 7.25)],
+        "grp string, v double",
+    )
+    for grid in (None, 100):
+        out = group_zscore(df, "grp", "v", z_col="z", grid=grid)
+        rows = {(r.grp, r.v): r.z for r in out.collect()}
+        assert rows[("solo", 7.25)] is None, f"grid={grid}"
+        # non-singleton groups keep real finite z-scores
+        z = rows[("a", 3.0)]
+        assert z is not None and abs(z - 1.0) < 1e-9, f"grid={grid}"

@@ -115,13 +115,19 @@ def main() -> int:
 
         sel = ", ".join(col_sql(c) for c in cols)
         order = next(iter(keys))  # primary key first in each KEYED spec
+        # lineitem's leading key is non-unique (~4 lines/order): without a
+        # tiebreaker the within-key order is engine-/run-unspecified and
+        # the parquet artifact is not byte-reproducible (value-hash gates
+        # don't care, but the determinism claim does).  l_linenumber makes
+        # the sort total; every other table's leading key is unique.
+        tiebreak = ", t.l_linenumber" if t == "lineitem" else ""
         con.sql(
             f"""
             COPY (
               SELECT {sel}
               FROM '{SF01}/{t}.parquet' t,
                    (SELECT unnest(range(0, {R})) AS r) r
-              ORDER BY t.{order}, r.r
+              ORDER BY t.{order}{tiebreak}, r.r
             ) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)
             """
         )
