@@ -261,6 +261,7 @@ def ivf_topk(
     nprobe: int = 1,
     init: str = "first",
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by nearest centroid; each
     query searches its ``nprobe`` closest buckets.
@@ -275,10 +276,18 @@ def ivf_topk(
     index must probe most buckets for high recall; that is a data property,
     not a plan property.
 
+    ``centroids`` short-circuits training entirely: pass a stored
+    (vec_id, embedding) centroid table (the model-store artifact,
+    io/model_store.py) and query time is assignment + probe only — the
+    steady-state a 100 TB deployment runs, where the index trains once
+    and every later query batch loads it.
+
     Scale path: bucket assignment is a broadcast pass; the probe join
     shuffles on the bucket id, so cost scales with the probed fraction.
     """
-    if refine_iters > 0:
+    if centroids is not None:
+        pass
+    elif refine_iters > 0:
         centroids = kmeans_centroids(corpus, n_centroids, refine_iters, init=init, seed=seed)
     elif init == "seeded":
         centroids = seeded_centroid_init(corpus, n_centroids, seed)
@@ -614,19 +623,41 @@ def _l2_normalize(vec: Column | str) -> Column:
 
 
 def pq_codebooks(
-    vectors: DataFrame, n_sub: int = 4, n_codes: int = 16, dim: int = 64
+    vectors: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    code_offset: int = 0,
 ) -> DataFrame:
     """Deterministic product-quantization codebooks: codeword ``j`` of
-    subspace ``s`` is the j-th corpus vector's L2-normalized slice — the
-    per-subspace analog of the IVF 'first-k' centroid convention
-    (SQL-oracle-mirrorable; a production build would Lloyd-refine each
-    subspace independently with ``kmeans_centroids`` on the slices).
+    subspace ``s`` is the (offset+j)-th corpus vector's L2-normalized
+    slice — the per-subspace analog of the IVF 'first-k' centroid
+    convention (SQL-oracle-mirrorable; a production build would
+    Lloyd-refine each subspace independently with ``kmeans_centroids``
+    on the slices).
+
+    ``vec_col``/``normalize=False`` train on an arbitrary vector column
+    as-is — the RESIDUAL mode (:func:`ivf_residuals`): residual vectors
+    are small and not unit-norm, so normalizing their sampled codewords
+    would inflate every codeword to the sphere and destroy the magnitude
+    information the residual codes exist to carry.  ``code_offset`` must
+    then skip the coarse-centroid sample rows: a 'first-k' centroid's
+    own residual is exactly ZERO (it assigns to itself), so sampling
+    codewords from vec_id < n_codes would yield an all-zero codebook
+    that decodes every vector to its centroid (measured: recall 0.0).
+
     Returns (s, code, sub: array<double>) — n_sub x n_codes rows, always
     broadcast-sized regardless of corpus size."""
     sub_dim = dim // n_sub
-    base = vectors.filter(F.col("vec_id") < n_codes).select(
-        F.col("vec_id").alias("code"), _l2_normalize("embedding").alias("_x")
+    x = _l2_normalize(vec_col) if normalize else F.transform(
+        F.col(vec_col), lambda e: e.cast("double")
     )
+    base = vectors.filter(
+        (F.col("vec_id") >= code_offset)
+        & (F.col("vec_id") < code_offset + n_codes)
+    ).select((F.col("vec_id") - F.lit(code_offset)).alias("code"), x.alias("_x"))
     return base.select(
         "code", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("s"), "_x"
     ).select(
@@ -635,22 +666,38 @@ def pq_codebooks(
 
 
 def pq_encode(
-    vectors: DataFrame, codebooks: DataFrame, n_sub: int = 4, dim: int = 64
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    objective: str = "ip",
 ) -> DataFrame:
-    """Encode each vector as ``n_sub`` one-byte codes: per subspace, the
-    codeword maximizing the (exact-double) inner product with the vector's
-    normalized slice — maximum-inner-product quantization, matching the
-    ADC scoring objective.  Ties break to the lowest code id.
+    """Encode each vector as ``n_sub`` one-byte codes.  Per subspace:
 
-    Shape at 100 TB: the codebook (n_sub x n_codes rows) broadcasts; the
-    argmax is a map-side max_by per (vec_id, s) — the corpus shuffles only
-    (vec_id, s, code) integer triples, a ~dim/n_sub compression of the
-    embedding column.  Returns (vec_id, s, code)."""
+    - ``objective='ip'`` — the codeword maximizing the (exact-double)
+      inner product with the vector's slice: maximum-inner-product
+      quantization, matching the ADC scoring objective for unit vectors.
+    - ``objective='l2'`` — the codeword minimizing squared L2 distance to
+      the slice, ranked as ``dot(x,c) - 0.5*dot(c,c)`` DESC (the argmin
+      of ||x-c||^2 with the per-vector constant ||x||^2 dropped): the
+      correct reconstruction objective for RESIDUAL vectors, whose norms
+      vary — max-IP would always pick the largest-norm codeword.
+
+    Ties break to the lowest code id.  Shape at 100 TB: the codebook
+    (n_sub x n_codes rows) broadcasts; the argmax is a map-side max_by
+    per (vec_id, s) — the corpus shuffles only (vec_id, s, code) integer
+    triples, a ~dim/n_sub compression of the embedding column.
+    Returns (vec_id, s, code)."""
     from dipper_spark.functions.vectors import dot
 
     sub_dim = dim // n_sub
+    x = _l2_normalize(vec_col) if normalize else F.transform(
+        F.col(vec_col), lambda e: e.cast("double")
+    )
     sliced = ensure_parallelism(vectors).select(
-        "vec_id", _l2_normalize("embedding").alias("_x")
+        "vec_id", x.alias("_x")
     ).select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("s"),
@@ -658,12 +705,136 @@ def pq_encode(
     ).select(
         "vec_id", "s", F.slice("_x", F.col("s") * sub_dim + 1, sub_dim).alias("xs")
     )
+    score = dot("xs", "sub")
+    if objective == "l2":
+        score = score - F.lit(0.5) * dot("sub", "sub")
+    elif objective != "ip":
+        raise ValueError(f"unknown pq_encode objective: {objective!r}")
     scored = sliced.join(F.broadcast(codebooks), "s").select(
-        "vec_id", "s", "code", dot("xs", "sub").alias("ip")
+        "vec_id", "s", "code", score.alias("ip")
     )
     return topk_per_group(
         scored, ["vec_id", "s"], [F.col("ip").desc(), F.col("code").asc()], k=1
     ).select("vec_id", "s", "code")
+
+
+def pq_codebooks_refined(
+    vectors: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    n_iter: int = 1,
+    code_offset: int = 0,
+    grid: int = 1 << 20,
+) -> DataFrame:
+    """Lloyd-refined product-quantization codebooks — the FAISS PQ training
+    step (k-means per subspace, Jegou et al. 2011 §II.C), fully relational.
+
+    Starts from the deterministic sampled codebook (:func:`pq_codebooks`)
+    and runs ``n_iter`` Lloyd iterations per subspace: assign every slice
+    to its min-L2 codeword (the ``objective='l2'`` ranking), then recompute
+    each codeword as the member mean.  Measured necessity (numpy prototype
+    + BENCH_ANN_CLUSTERED): sampled codebooks leave ADC recall@5 below
+    0.1 on clustered geometry at any capacity; Lloyd training is what
+    makes the codes resolve within-cell ranking.
+
+    Each iteration costs one broadcast-join window (the encode) plus one
+    (s, code, dim) hash-agg — both map-side-combining, corpus-scan-shaped;
+    the codebook never exceeds n_sub x n_codes rows.  Codes that lose all
+    members drop out of the GROUP BY on both engines (the kmeans empty-
+    bucket convention).
+
+    Oracle-determinism: the member mean quantizes each component to the
+    ``grid`` (2^20) and divides an exact BIGINT sum — ``(sum(q)/n)/grid``
+    with that exact parenthesization on both engines — so codewords are
+    partition-layout-invariant and a SQL oracle reproduces them bit-for-bit
+    (docs/ORACLE_DETERMINISM.md discipline; a raw avg() over doubles would
+    drift with shuffle order and flip argmin code assignments)."""
+    from dipper_spark.functions.vectors import dot
+
+    sub_dim = dim // n_sub
+    g = float(grid)
+    cb = pq_codebooks(
+        vectors, n_sub, n_codes, dim, vec_col, normalize, code_offset
+    )
+    x = _l2_normalize(vec_col) if normalize else F.transform(
+        F.col(vec_col), lambda e: e.cast("double")
+    )
+    sliced = ensure_parallelism(vectors).select(
+        "vec_id", x.alias("_x")
+    ).select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("s"),
+        "_x",
+    ).select(
+        "vec_id", "s", F.slice("_x", F.col("s") * sub_dim + 1, sub_dim).alias("xs")
+    )
+    # the slice frame feeds every iteration: materialize once (eager —
+    # lazy localCheckpoint would re-derive it per consumer stage)
+    sliced = sliced.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        enc = topk_per_group(
+            sliced.join(F.broadcast(cb), "s").select(
+                "vec_id", "s", "code",
+                (dot("xs", "sub") - F.lit(0.5) * dot("sub", "sub")).alias("ip"),
+            ),
+            ["vec_id", "s"],
+            [F.col("ip").desc(), F.col("code").asc()],
+            k=1,
+        ).select("vec_id", "s", "code")
+        cb = (
+            sliced.join(enc, ["vec_id", "s"])
+            .select("s", "code", F.posexplode("xs").alias("dim", "v"))
+            .withColumn("_q", F.floor(F.col("v") * F.lit(g) + F.lit(0.5)).cast("long"))
+            .groupBy("s", "code", "dim")
+            .agg(
+                (
+                    (F.sum("_q").cast("double") / F.count(F.lit(1))) / F.lit(g)
+                ).alias("m")
+            )
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda t: t["m"],
+                ).alias("sub")
+            )
+        )
+        # codebook is n_sub x n_codes rows but its lazy plan embeds every
+        # previous iteration — truncate like kmeans_centroids
+        cb = cb.localCheckpoint(eager=False)
+    return cb
+
+
+def ivf_residuals(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Coarse-assign each vector and return its RESIDUAL — the FAISS IVFADC
+    discipline (Jegou et al. 2011 §IV.A): ``r = x_hat - c_hat(bucket)``
+    where both the vector and its assigned centroid are L2-normalized.
+    PQ codes trained/encoded on residuals resolve WITHIN-cluster
+    differences — the information raw-vector codes collapse on clustered
+    geometry (measured: ADC recall@5 ~0.07 flat on the 32-topic mixture,
+    BENCH_ANN_CLUSTERED_r11.json).
+
+    Centroids broadcast twice (assignment max-cosine, then the normalized
+    centroid lookup); the subtraction is one zip_with map pass.  Returns
+    (vec_id, bucket, cn: array<double> normalized centroid,
+    rx: array<double> residual)."""
+    assigned = assign_buckets(vectors, centroids)
+    cn = F.broadcast(
+        centroids.select(
+            F.col("vec_id").alias("bucket"), _l2_normalize("embedding").alias("cn")
+        )
+    )
+    return assigned.join(cn, "bucket").select(
+        "vec_id",
+        "bucket",
+        "cn",
+        F.zip_with(
+            _l2_normalize("embedding"), F.col("cn"), lambda a, b: a - b
+        ).alias("rx"),
+    )
 
 
 def pq_topk(
@@ -748,6 +919,8 @@ def ivfpq_topk(
     dim: int = 64,
     k: int = 5,
     nprobe: int = 1,
+    residual: bool = True,
+    pq_iters: int = 1,
 ) -> DataFrame:
     """The composed production ANN stack (FAISS's IVF+PQ architecture,
     Jegou et al. 2011 §IV): a coarse quantizer restricts the search to
@@ -759,32 +932,81 @@ def ivfpq_topk(
     Deterministic throughout (first-k centroids + first-k per-subspace
     codebooks, exact-double cosine assignment, order-deterministic ADC
     via decode-dot), so a SQL oracle reproduces bucket membership, codes,
-    and every score.  No residual encoding (codes quantize the vectors
-    themselves, the IVFADC-without-residual variant) — residuals would
-    need per-bucket codebooks, breaking the shared-broadcast-codebook
-    economics this formulation keeps.
+    and every score.
+
+    ``residual=True`` (default) is the full IVFADC discipline: codes
+    quantize ``x_hat - c_hat(bucket)`` (:func:`ivf_residuals`), codebooks
+    are sampled residual slices, encoding minimizes reconstruction L2,
+    and ADC scores ``q · (c_hat + decode(codes))`` — the centroid carries
+    the cluster-level signal exactly while the codes spend their 8 bits
+    on WITHIN-cluster differences.  Measured necessity
+    (BENCH_ANN_CLUSTERED_r11.json / docs/ANN_TRADEOFF.md): raw-vector
+    codes collapse to ~0.07 recall@5 on clustered geometry because every
+    candidate in a probed cell decodes to ~the cluster direction.
+    ``residual=False`` keeps the raw-vector variant for comparison.
+    Note the codebook stays SHARED across buckets (one broadcast table,
+    not per-bucket codebooks) — sampled residuals are cluster-agnostic
+    noise directions, so sharing loses little and keeps the broadcast
+    economics.
 
     Returns (query_id, neighbor_id, bucket, approx_ip, rank).
     """
     cents = corpus.filter(F.col("vec_id") < n_centroids).select(
         "vec_id", "embedding"
     )
-    assigned = assign_buckets(corpus, cents).select("vec_id", "bucket")
-    cb = pq_codebooks(corpus, n_sub, n_codes, dim)
-    codes = pq_encode(corpus, cb, n_sub, dim)
-    recon = (
-        codes.join(F.broadcast(cb), ["s", "code"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("s", "sub"))),
-                    lambda t: t["sub"],
-                )
-            ).alias("ax")
+    if residual:
+        res = ivf_residuals(corpus, cents)
+        if pq_iters > 0:
+            cb = pq_codebooks_refined(
+                res, n_sub, n_codes, dim, vec_col="rx", normalize=False,
+                n_iter=pq_iters, code_offset=n_centroids,
+            )
+        else:
+            cb = pq_codebooks(
+                res, n_sub, n_codes, dim, vec_col="rx", normalize=False,
+                code_offset=n_centroids,
+            )
+        codes = pq_encode(
+            res, cb, n_sub, dim, vec_col="rx", normalize=False, objective="l2"
         )
-    )
-    quantized = assigned.join(recon, "vec_id")
+        recon = (
+            codes.join(F.broadcast(cb), ["s", "code"])
+            .groupBy("vec_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("s", "sub"))),
+                        lambda t: t["sub"],
+                    )
+                ).alias("dr")
+            )
+        )
+        quantized = (
+            res.select("vec_id", "bucket", "cn")
+            .join(recon, "vec_id")
+            .select(
+                "vec_id",
+                "bucket",
+                F.zip_with("cn", "dr", lambda a, b: a + b).alias("ax"),
+            )
+        )
+    else:
+        assigned = assign_buckets(corpus, cents).select("vec_id", "bucket")
+        cb = pq_codebooks(corpus, n_sub, n_codes, dim)
+        codes = pq_encode(corpus, cb, n_sub, dim)
+        recon = (
+            codes.join(F.broadcast(cb), ["s", "code"])
+            .groupBy("vec_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("s", "sub"))),
+                        lambda t: t["sub"],
+                    )
+                ).alias("ax")
+            )
+        )
+        quantized = assigned.join(recon, "vec_id")
     if nprobe <= 1:
         qa = (
             assign_buckets(queries, cents)
@@ -854,6 +1076,8 @@ def ivfpq_refine_topk(
     k: int = 5,
     nprobe: int = 1,
     shortlist: int | None = None,
+    residual: bool = True,
+    pq_iters: int = 1,
 ) -> DataFrame:
     """IVF+PQ with an EXACT re-rank stage — FAISS's refine discipline
     (IndexRefineFlat over IVFADC): the ADC scan produces a ``shortlist``
@@ -894,6 +1118,7 @@ def ivfpq_refine_topk(
     cand = ivfpq_topk(
         queries, corpus, n_centroids=n_centroids, n_sub=n_sub,
         n_codes=n_codes, dim=dim, k=shortlist, nprobe=nprobe,
+        residual=residual, pq_iters=pq_iters,
     ).select("query_id", "neighbor_id")
     q = F.broadcast(
         queries.select(

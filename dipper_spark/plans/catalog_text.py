@@ -533,9 +533,7 @@ def _ivf_means_sql(assign_cte: str) -> str:
 _COS_QPC = duckdb_cosine("q.q_emb", "c.embedding")
 
 
-@register(
-    "q_ann_ivf_refined",
-    f"""
+_ANN_IVF_REFINED_SQL = f"""
     WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
     a0 AS ({_ivf_assign_sql('c0')}),
     c1 AS ({_ivf_means_sql('a0')}),
@@ -558,8 +556,10 @@ _COS_QPC = duckdb_cosine("q.q_emb", "c.embedding")
                                      ORDER BY cval DESC, neighbor_id) AS BIGINT) AS rank
       FROM scored)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("q_ann_ivf_refined", _ANN_IVF_REFINED_SQL)
 def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN path: IVF with 2 Lloyd refinement iterations and
     nprobe=2 multi-probe.  Lloyd with a fixed iteration count is
@@ -570,6 +570,49 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") < 5), emb,
         n_centroids=16, k=5, refine_iters=2, nprobe=2,
+    )
+
+
+def _stored_ivf_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Train-once / apply-many for the IVF coarse quantizer: the 2-Lloyd
+    16-centroid table via the model store (io/model_store.py) — cold call
+    trains + saves the versioned parquet artifact, warm calls load it, so
+    query time is assignment + probe only (the q_unigram_encode_stored
+    discipline applied to the ANN index; round-11 verdict item #4)."""
+    from dipper_spark.io.model_store import get_or_train, input_fingerprint
+    from dipper_spark.operators.similarity import kmeans_centroids
+
+    params = {
+        "trainer": "kmeans_centroids/v1",
+        "n_centroids": 16,
+        "n_iter": 2,
+        "init": "first",
+    }
+
+    def trainer():
+        return {"centroids": kmeans_centroids(emb, n_centroids=16, n_iter=2)}
+
+    art = get_or_train(
+        spark, "ivf_embeddings", params, trainer,
+        kind="ann/ivf", data_fingerprint=input_fingerprint(emb),
+    )
+    return art.table("centroids")
+
+
+@register("q_ann_ivf_stored", _ANN_IVF_REFINED_SQL)
+def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf_refined through the MODEL STORE: the Lloyd-refined
+    centroid table is trained once, saved as a versioned parquet artifact,
+    and every later call loads + broadcasts it — query time is coarse
+    assignment + the probed-bucket scan, with ZERO kmeans stages in the
+    plan (plan-locked).  Same oracle as q_ann_ivf_refined: the stored
+    index must answer bit-identically to in-session training (float32
+    centroids round-trip parquet exactly), or the gate goes red."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb,
+        n_centroids=16, k=5, nprobe=2,
+        centroids=_stored_ivf_centroids(spark, emb),
     )
 
 
@@ -744,22 +787,95 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- composed IVF + PQ stack (the FAISS IVFADC architecture) ------------------
 
+# Residual-PQ configuration (round-12 verdict item #1): 16 subspaces x 16
+# codes over dim 64 (sub_dim 4), codebooks Lloyd-refined for _PQR_IT
+# iterations on the RESIDUALS after coarse assignment — the FAISS IVFADC
+# training discipline.  The round-11 raw-vector 4x16 codes collapsed to
+# ~0.07 recall@5 on clustered geometry (BENCH_ANN_CLUSTERED_r11.json);
+# measurement drove both changes: more subspaces is the capacity lever,
+# residual+Lloyd training is what makes codes resolve within-cell ranking.
+_PQR_SUB, _PQR_CODES, _PQR_IT = 16, 16, 1
+_PQR_SD = _PQ_DIM // _PQR_SUB
+_PQR_G = 1048576.0  # 2^20 — the exact-integer codeword-mean grid
 
-_ANN_IVFPQ_SQL = f"""
-    WITH {_PQ_CTES},
+
+def _pqr_enc_sql(cb: str) -> str:
+    """One residual-PQ encode pass against codebook CTE ``cb``: per
+    (vector, subspace), the codeword minimizing reconstruction L2, ranked
+    as dot(x,c) - 0.5*dot(c,c) DESC (ties: lowest code) — mirrors
+    pq_encode(objective='l2')."""
+    return f"""SELECT vec_id, s, code FROM (
+        SELECT sl.vec_id, sl.s, c.code,
+               row_number() OVER (PARTITION BY sl.vec_id, sl.s
+                                  ORDER BY {_pq_dot('sl.xs', 'c.cw')}
+                                           - 0.5 * {_pq_dot('c.cw', 'c.cw')}
+                                           DESC, c.code) AS rn
+        FROM rsl sl JOIN {cb} c ON c.s = sl.s) WHERE rn = 1"""
+
+
+def _pqr_ctes() -> str:
+    """Shared residual-IVFADC pipeline CTEs: normalize → coarse-assign →
+    residuals → sampled residual codebooks (offset past the centroid rows,
+    whose own residuals are exactly zero) → one unrolled Lloyd iteration
+    with the exact-integer codeword mean ((sum(q)/n)/2^20, partition-
+    layout-invariant on both engines) → final encode → reconstruct
+    ax = cn + decode(codes)."""
+    subs = ", ".join(str(s) for s in range(_PQR_SUB))
+    parts = [f"""nrm AS (SELECT vec_id, {_PQ_NORM} AS x FROM embeddings),
     cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
              WHERE vec_id < 16),
+    cnn AS (SELECT cid, list_transform(ce, e -> CAST(e AS DOUBLE)
+                     / sqrt({_pq_dot('ce', 'ce')})) AS cn FROM cent),
     assign AS (
       SELECT vec_id, cid AS bucket FROM (
         SELECT e.vec_id, cent.cid,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_COS_EC} DESC, cent.cid) AS rn
         FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+    res AS (SELECT a.vec_id, a.bucket, c.cn,
+                   list_transform(range(1, {_PQ_DIM + 1}),
+                                  i -> n.x[i] - c.cn[i]) AS rx
+            FROM assign a JOIN nrm n ON n.vec_id = a.vec_id
+                          JOIN cnn c ON c.cid = a.bucket),
+    rsub AS (SELECT unnest([{subs}]) AS s),
+    rsl AS (SELECT r.vec_id, rsub.s,
+                   r.rx[rsub.s*{_PQR_SD}+1 : rsub.s*{_PQR_SD}+{_PQR_SD}] AS xs
+            FROM res r CROSS JOIN rsub),
+    rcb0 AS (SELECT rsub.s, r.vec_id - 16 AS code,
+                    r.rx[rsub.s*{_PQR_SD}+1 : rsub.s*{_PQR_SD}+{_PQR_SD}] AS cw
+             FROM rsub CROSS JOIN res r
+             WHERE r.vec_id >= 16 AND r.vec_id < {16 + _PQR_CODES})"""]
+    prev = "rcb0"
+    for t in range(1, _PQR_IT + 1):
+        parts.append(f""",
+    renc{t - 1} AS ({_pqr_enc_sql(prev)}),
+    rcb{t} AS (SELECT s, code, list(m ORDER BY dim) AS cw FROM (
+        SELECT s, code, dim,
+               (CAST(sum(q) AS DOUBLE) / count(*)) / {_PQR_G} AS m FROM (
+            SELECT e.s, e.code, generate_subscripts(sl.xs, 1) AS dim,
+                   CAST(floor(unnest(sl.xs) * {_PQR_G} + 0.5) AS BIGINT) AS q
+            FROM rsl sl JOIN renc{t - 1} e
+              ON e.vec_id = sl.vec_id AND e.s = sl.s)
+        GROUP BY s, code, dim)
+        GROUP BY s, code)""")
+        prev = f"rcb{t}"
+    parts.append(f""",
+    renc AS ({_pqr_enc_sql(prev)}),
+    rrec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.s)) AS dr
+             FROM renc e JOIN {prev} c ON c.s = e.s AND c.code = e.code
+             GROUP BY e.vec_id),
+    quant AS (SELECT r.vec_id, r.bucket,
+                     list_transform(range(1, {_PQ_DIM + 1}),
+                                    i -> r.cn[i] + d.dr[i]) AS ax
+              FROM res r JOIN rrec d ON d.vec_id = r.vec_id)""")
+    return "".join(parts)
+
+
+_ANN_IVFPQ_SQL = f"""
+    WITH {_pqr_ctes()},
     qa AS (SELECT a.vec_id AS query_id, n.x AS qx, a.bucket
            FROM assign a JOIN nrm n ON n.vec_id = a.vec_id
            WHERE a.vec_id < {_PQ_K}),
-    quant AS (SELECT a.vec_id, a.bucket, r.ax
-              FROM assign a JOIN recon r ON r.vec_id = a.vec_id),
     scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket,
                       {_pq_dot('q.qx', 'c.ax')} AS ip
                FROM qa q JOIN quant c
@@ -777,19 +893,25 @@ _ANN_IVFPQ_SQL = f"""
 
 @register("q_ann_ivfpq", _ANN_IVFPQ_SQL)
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed production ANN stack (FAISS IVF+PQ): the coarse
-    quantizer restricts each query's scan to its IVF bucket
-    (~1/16 of the corpus), the product quantizer compresses what gets
-    scanned inside it to 4 one-byte codes — the two multiplicative
-    savings that make a 100 TB embedding store searchable.  Deterministic
-    end-to-end (first-k centroids + codebooks), so the oracle reproduces
-    bucket membership, codes, and every ADC score."""
+    """The composed production ANN stack (FAISS IVFADC, residual mode):
+    the coarse quantizer restricts each query's scan to its IVF bucket
+    (~1/16 of the corpus); the product quantizer compresses what gets
+    scanned inside it to 16 codes over the RESIDUAL x_hat - c_hat, with
+    codebooks Lloyd-refined on those residuals — ADC scores
+    q·(c_hat + decode(codes)), so the centroid carries the cluster-level
+    signal exactly and the codes spend their bits on within-cell
+    differences (the round-11 raw-vector codes collapsed to ~0.07
+    recall@5 on clustered geometry; see docs/ANN_TRADEOFF.md §residual).
+    Deterministic end-to-end (first-k centroids, offset-sampled residual
+    codebooks, exact-integer Lloyd means), so the oracle reproduces
+    bucket membership, codewords, codes, and every ADC score."""
     from dipper_spark.operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         emb.filter(F.col("vec_id") < _PQ_K), emb,
-        n_centroids=16, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_PQ_DIM, k=_PQ_K,
+        n_centroids=16, n_sub=_PQR_SUB, n_codes=_PQR_CODES, dim=_PQ_DIM,
+        k=_PQ_K, residual=True, pq_iters=_PQR_IT,
     )
 
 
@@ -818,8 +940,9 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     exact = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
-    approx = ivfpq_topk(q, emb, n_centroids=16, n_sub=_PQ_SUB,
-                        n_codes=_PQ_CODES, dim=_PQ_DIM, k=5).select(
+    approx = ivfpq_topk(q, emb, n_centroids=16, n_sub=_PQR_SUB,
+                        n_codes=_PQR_CODES, dim=_PQ_DIM, k=5,
+                        residual=True, pq_iters=_PQR_IT).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return (
@@ -848,15 +971,7 @@ _COS_REF = duckdb_cosine("q.embedding", "c.embedding")
 @register(
     "q_ann_ivfpq_refine",
     f"""
-    WITH {_PQ_CTES},
-    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-             WHERE vec_id < 16),
-    assign AS (
-      SELECT vec_id, cid AS bucket FROM (
-        SELECT e.vec_id, cent.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_COS_EC} DESC, cent.cid) AS rn
-        FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+    WITH {_pqr_ctes()},
     qa AS (
       SELECT query_id, qx, bucket FROM (
         SELECT e.vec_id AS query_id, n.x AS qx, cent.cid AS bucket,
@@ -865,8 +980,6 @@ _COS_REF = duckdb_cosine("q.embedding", "c.embedding")
         FROM embeddings e CROSS JOIN cent
         JOIN nrm n ON n.vec_id = e.vec_id
         WHERE e.vec_id < {_PQ_K}) WHERE rn <= {_REFINE_NPROBE}),
-    quant AS (SELECT a.vec_id, a.bucket, r.ax
-              FROM assign a JOIN recon r ON r.vec_id = a.vec_id),
     shortl AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -889,23 +1002,25 @@ _COS_REF = duckdb_cosine("q.embedding", "c.embedding")
     """,
 )
 def q_ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ with multi-probe (nprobe=2) and an EXACT re-rank over a
-    SCALED 50·nprobe ADC shortlist — the FAISS IndexRefineFlat
+    """Residual IVFADC with multi-probe (nprobe=2) and an EXACT re-rank
+    over a SCALED 50·nprobe ADC shortlist — the FAISS IndexRefineFlat
     discipline at the configuration the measured operating curve
-    prescribes (docs/ANN_TRADEOFF.md: raw ADC is quantization-limited at
-    ~0.12 recall REGARDLESS of nprobe; a FIXED shortlist stays flat as
+    prescribes (docs/ANN_TRADEOFF.md: a FIXED shortlist stays flat as
     nprobe grows; at 50·nprobe the refined stack tracks the
-    exact-in-bucket IVF curve — 0.488 vs fixed-50's 0.404 at nprobe=2).
-    Same generate/verify split as LSH→exact Jaccard: codes generate,
-    full vectors verify — only shortlist-sized row sets ever touch
-    float32 payloads."""
+    exact-in-bucket IVF curve).  The shortlist now comes from the
+    residual-trained codes (round-12: raw-vector codes made the
+    shortlist near-random within a cluster — ~0.07 ADC recall on
+    clustered geometry).  Same generate/verify split as LSH→exact
+    Jaccard: codes generate, full vectors verify — only shortlist-sized
+    row sets ever touch float32 payloads."""
     from dipper_spark.operators.similarity import ivfpq_refine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_refine_topk(
         emb.filter(F.col("vec_id") < _PQ_K), emb,
-        n_centroids=16, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_PQ_DIM,
+        n_centroids=16, n_sub=_PQR_SUB, n_codes=_PQR_CODES, dim=_PQ_DIM,
         k=_PQ_K, nprobe=_REFINE_NPROBE, shortlist=_REFINE_SHORT,
+        residual=True, pq_iters=_PQR_IT,
     )
 
 

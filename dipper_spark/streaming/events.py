@@ -97,6 +97,21 @@ def _sessionize(
         )
         return
     rows = pd.concat(list(pdfs))
+    # LATE-DATA CONTRACT (round-12): Spark filters below-watermark rows for
+    # built-in aggregations but NOT for arbitrary stateful ops — an
+    # applyInPandasWithState function sees every row, so a straggler past
+    # the watermark would silently re-open a user's closed session (proven
+    # red by tests/test_streaming.py TestLateDataContract before this
+    # guard).  Enforce the contract ourselves with the engine-provided
+    # watermark: drop rows whose event time is behind it, and never touch
+    # state on a late-only invocation.
+    wm_ms = state.getCurrentWatermarkMs()
+    if wm_ms > 0:
+        rows = rows[rows["ts"].astype("int64") / 1e6 >= wm_ms]
+        if rows.empty:
+            if state.exists:
+                state.setTimeoutDuration(gap_ms)
+            return
     ts = rows["ts"].astype("int64") / 1e9
     lo, hi = float(ts.min()), float(ts.max())
     n, total = len(rows), float(rows["value"].sum())

@@ -655,3 +655,29 @@ class TestRound11Additions:
         assert "Python" not in final
         assert "SortMergeJoin" not in final
         assert "CartesianProduct" not in final
+
+
+class TestRound12Additions:
+    def test_ann_ivf_stored_is_probe_only(self, spark, sf):
+        """The stored-index ANN variant must not retrain: query time is
+        coarse assignment (broadcast of the PARQUET-scanned centroid
+        artifact) + the probed-bucket scan + top-k.  The kmeans training
+        stages — Generate/posexplode of the embedding into (dim, v) rows
+        and the per-(bucket, dim) mean exchanges — must be absent."""
+        plan = final_plan_of(QUERIES["q_ann_ivf_stored"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "posexplode" not in final.lower()  # the kmeans mean signature
+        assert "Python" not in final
+        assert "CartesianProduct" not in final
+        assert "SortMergeJoin" not in final
+
+    def test_ann_ivfpq_residual_no_shuffle_joins(self, spark, sf):
+        """The residual IVFADC stack keeps the broadcast economics of the
+        raw stack: centroids, codebooks, and the query set broadcast; the
+        quantized corpus is the only big frame.  Lloyd codebook training
+        adds hash aggregations, never a shuffle join or Python stage."""
+        plan = final_plan_of(QUERIES["q_ann_ivfpq"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final
+        assert "CartesianProduct" not in final
+        assert "Python" not in final

@@ -309,3 +309,61 @@ class TestMoreReferenceGoldens:
         only_engine, only_golden = graph_diff(graph, expected)
         assert only_golden.isEmpty(), [tuple(r) for r in only_golden.collect()]
         assert only_engine.isEmpty(), [tuple(r) for r in only_engine.collect()]
+
+
+class TestDistributedTurtleParts:
+    """Round-12 verdict item #2: the distributed turtle part-file sink.
+    write_turtle_parts renders subject blocks per partition (pure column
+    expressions, no Python row path) and writes executor-local part
+    files; concatenating header + parts in filename order must reproduce
+    the driver-streamed render_turtle bytes + the documented single
+    trailing newline, and round-trip through the turtle parser."""
+
+    def test_concat_matches_driver_render_and_round_trips(
+        self, spark, small_graph, tmp_path
+    ):
+        from dipper_spark.io.sinks import (
+            concat_turtle_parts,
+            render_turtle,
+            write_turtle_parts,
+        )
+
+        out = str(tmp_path / "ttl_parts")
+        write_turtle_parts(small_graph, out, n_parts=2)
+        concat = "".join(concat_turtle_parts(out))
+        assert concat == render_turtle(small_graph) + "\n"
+        parsed = triples_from_turtle(spark, concat)
+        assert graph_equal(parsed, small_graph)
+
+    def test_multi_part_files_cover_disjoint_subject_ranges(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from dipper_spark.io.sinks import (
+            concat_turtle_parts,
+            render_turtle,
+            write_turtle_parts,
+        )
+
+        rows = []
+        for i in range(40):
+            rows.append((f"OMIM:{i:04d}", "rdf:type", "owl:Class", False, None, "g"))
+            rows.append((f"OMIM:{i:04d}", "rdfs:label", f"term {i}", True, None, "g"))
+        g = _triples(spark, rows)
+        out = str(tmp_path / "ttl_many")
+        write_turtle_parts(g, out, n_parts=4)
+        parts = sorted(
+            p for p in os.listdir(os.path.join(out, "blocks"))
+            if p.startswith("part-")
+        )
+        assert len(parts) == 4
+        # part files hold disjoint, filename-ordered subject ranges
+        firsts = []
+        for p in parts:
+            with open(os.path.join(out, "blocks", p), encoding="utf-8") as fh:
+                text = fh.read()
+            assert text.strip()
+            firsts.append(text.split(" ", 1)[0])
+        assert firsts == sorted(firsts)
+        assert "".join(concat_turtle_parts(out)) == render_turtle(g) + "\n"

@@ -763,3 +763,148 @@ class TestCheckpointRecovery:
         assert r.user_id == 7 and r.n_events == 5 and r.total_value == 5.0
         assert r.session_start == t0
         assert r.session_end == t0 + datetime.timedelta(seconds=11)
+
+
+class TestLateDataContract:
+    """Round-12 verdict item #3: the watermark's late-data CONTRACT,
+    proven end-to-end — an out-of-order event arriving after the
+    watermark has passed its event time must be dropped, and the streamed
+    result must equal the batch computation over the on-time subset."""
+
+    _SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    @staticmethod
+    def _ev(i, h, m, uid=1, typ="a", v=1.0):
+        import datetime as dt
+
+        return (i, dt.datetime(2024, 1, 1, h, m), uid, typ, v)
+
+    def test_windowed_counts_drop_late_event_like_batch_on_time_filter(
+        self, spark, tmp_path
+    ):
+        """Two-run replay through one checkpoint: run 1 advances the
+        watermark past the 10:00 window and emits it; run 2 delivers a
+        10:45 straggler (40+ min behind the 11:00 watermark) plus an
+        on-time 16:00 event.  The straggler must not create or update any
+        window row; the final sink must equal the BATCH windowed counts
+        over the on-time events, restricted to watermark-closed windows."""
+        import datetime as dt
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        on_time_1 = [self._ev(1, 10, 0), self._ev(2, 10, 30), self._ev(3, 13, 0)]
+        late = [self._ev(4, 10, 45)]
+        on_time_2 = [self._ev(5, 16, 0)]
+
+        def drain(rows):
+            spark.createDataFrame(rows, self._SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+            q = (
+                windowed_event_counts(
+                    spark.readStream.schema(self._SCHEMA).parquet(landing),
+                    window="1 hour",
+                    watermark="2 hours",
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        drain(on_time_1)
+        drain(late + on_time_2)
+
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.read.parquet(out).collect()
+        }
+        # exactly ONE row for the 10:00 window, counting only the two
+        # on-time events — the straggler neither updated it (state was
+        # evicted after emission) nor re-created it (below-watermark drop)
+        assert got[(dt.datetime(2024, 1, 1, 10, 0), "a")] == (2, 2.0)
+        assert len(got) == 2  # 10:00 and 13:00; nothing duplicated
+
+        # batch equivalence on the on-time subset: the streamed sink ==
+        # batch windowed counts over on-time events, filtered to windows
+        # the final watermark (16:00 - 2h = 14:00) has closed
+        batch = windowed_event_counts(
+            spark.createDataFrame(on_time_1 + on_time_2, self._SCHEMA),
+            window="1 hour",
+            watermark="2 hours",
+        ).filter(F.col("window_end") <= F.lit(dt.datetime(2024, 1, 1, 14, 0)))
+        expected = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in batch.collect()
+        }
+        assert got == expected
+
+    def test_sessionizer_ignores_event_past_watermark(self, spark, tmp_path):
+        """The stateful sessionizer (applyInPandasWithState behind a 1-hour
+        watermark) must never reopen a user's history for a straggler: a
+        10:05 event arriving after the watermark reached 12:00 creates NO
+        new user-1 session, while an on-time user-2 event sessionizes
+        normally."""
+        landing = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        rows1 = [
+            self._ev(1, 10, 0, uid=1),
+            self._ev(2, 10, 0, uid=1),
+            self._ev(3, 13, 0, uid=9),  # advances the watermark to 12:00
+        ]
+        spark.createDataFrame(rows1, self._SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        stream = spark.readStream.schema(self._SCHEMA).parquet(landing)
+        sessions = sessionize_events(
+            stream.select("ts", "user_id", "value"), gap_ms=2000
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("late_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+        def closed_counts():
+            return {
+                r.user_id: r.c
+                for r in spark.sql(
+                    "select user_id, count(*) c from late_sessions group by user_id"
+                ).collect()
+            }
+
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if set(closed_counts()) >= {1, 9}:
+                    break
+                time.sleep(2)
+            first = closed_counts()
+            assert first.get(1) == 1 and first.get(9) == 1, first
+
+            # straggler for user 1 (10:05 << watermark 12:00) + on-time user 2
+            rows2 = [self._ev(4, 10, 5, uid=1), self._ev(5, 13, 30, uid=2)]
+            spark.createDataFrame(rows2, self._SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if 2 in closed_counts():
+                    break
+                time.sleep(2)
+            final = closed_counts()
+        finally:
+            q.stop()
+        assert final.get(2) == 1, final  # the on-time event sessionized
+        # the straggler neither reopened user 1 nor produced a new session
+        assert final.get(1) == 1, final
+        n1 = spark.sql(
+            "select n_events from late_sessions where user_id = 1"
+        ).collect()
+        assert [r.n_events for r in n1] == [2]

@@ -753,9 +753,15 @@ class TestProductQuantization:
 
 
 def test_ivfpq_searches_only_query_bucket(spark):
-    """IVF+PQ composition: results only ever come from the query's coarse
-    bucket, and an exact duplicate in that bucket is rank 1 (it attains
-    the maximal ADC score — see test_pq_adc_at_20k_vectors)."""
+    """IVF+PQ composition: in BOTH modes (residual IVFADC and the legacy
+    raw-vector variant) results only ever come from the query's coarse
+    bucket.  The raw/max-IP mode additionally guarantees an exact
+    duplicate attains the maximal ADC score and wins rank 1 (see
+    test_pq_adc_at_20k_vectors); residual/min-L2 codes do NOT carry that
+    property (two vectors' reconstructions both approximate, either may
+    dot higher with the query) — recovering exact duplicates at rank 1
+    is the refine stage's job there (test_ivfpq_multiprobe_and_refine,
+    which runs residual mode)."""
     import numpy as np
 
     from dipper_spark.operators.similarity import assign_buckets, ivfpq_topk
@@ -767,20 +773,22 @@ def test_ivfpq_searches_only_query_bucket(spark):
         [(i, [float(x) for x in mat[i]]) for i in range(400)],
         "vec_id long, embedding array<float>",
     )
-    out = ivfpq_topk(
-        corpus.filter(F.col("vec_id") == 17), corpus,
-        n_centroids=8, n_sub=2, n_codes=8, dim=8, k=3,
-    ).collect()
-    assert len(out) == 3
     cents = corpus.filter(F.col("vec_id") < 8)
     buckets = {
         r.vec_id: r.bucket for r in assign_buckets(corpus, cents).collect()
     }
-    for r in out:
-        assert r.query_id == 17
-        assert buckets[r.neighbor_id] == buckets[17] == r.bucket
-    # the exact duplicate shares the bucket (same vector) and wins rank 1
-    assert out[0].rank == 1 and out[0].neighbor_id == 50
+    for residual in (True, False):
+        out = ivfpq_topk(
+            corpus.filter(F.col("vec_id") == 17), corpus,
+            n_centroids=8, n_sub=2, n_codes=8, dim=8, k=3, residual=residual,
+        ).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.query_id == 17
+            assert buckets[r.neighbor_id] == buckets[17] == r.bucket
+        if not residual:
+            # raw max-IP mode: the exact duplicate wins rank 1
+            assert out[0].rank == 1 and out[0].neighbor_id == 50
 
 
 def test_ivfpq_multiprobe_and_refine(spark):
@@ -846,3 +854,90 @@ def test_ivfpq_refine_default_shortlist_scales_with_nprobe(spark):
     assert sorted(map(tuple, default)) != sorted(map(tuple, narrower)) or len(
         default
     ) == len(narrower)  # 150-candidate pool differs unless corpus saturates
+
+
+def test_ivf_residuals_centroid_rows_are_zero_and_reconstruct(spark):
+    """The FAISS IVFADC residual contract: a first-k centroid's own
+    residual is exactly the zero vector (it assigns to itself at cosine
+    1), every residual satisfies x_hat = c_hat(bucket) + rx exactly in
+    double, and pq_codebooks(code_offset=...) skips the centroid rows —
+    sampling codewords from them would yield the all-zero codebook that
+    decoded every vector to its centroid (the round-12 recall-0.0 bug)."""
+    import numpy as np
+
+    from dipper_spark.operators.similarity import (
+        ivf_residuals,
+        pq_codebooks,
+    )
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(60, 8).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = corpus.filter(F.col("vec_id") < 4)
+    res = ivf_residuals(corpus, cents).collect()
+    by_id = {r.vec_id: r for r in res}
+    for cid in range(4):
+        assert by_id[cid].bucket == cid
+        assert all(v == 0.0 for v in by_id[cid].rx)
+    for r in res:
+        xh = mat[r.vec_id].astype(np.float64)
+        xh = xh / np.linalg.norm(xh)
+        np.testing.assert_allclose(
+            xh, np.asarray(r.cn) + np.asarray(r.rx), atol=1e-12
+        )
+    res_df = ivf_residuals(corpus, cents)
+    cb = pq_codebooks(
+        res_df, n_sub=2, n_codes=4, dim=8, vec_col="rx", normalize=False,
+        code_offset=4,
+    ).collect()
+    assert len(cb) == 8  # 2 subspaces x 4 codes
+    # codewords come from vec_ids 4..7 (offset past the centroids): none zero
+    assert all(any(v != 0.0 for v in r.sub) for r in cb)
+    assert {r.code for r in cb} == {0, 1, 2, 3}
+
+
+def test_pq_codebooks_refined_reduces_reconstruction_error(spark):
+    """Lloyd refinement must not worsen the codebook: total squared
+    reconstruction error of min-L2 encoding against the refined codebook
+    is <= the sampled codebook's (k-means monotonicity, up to the 2^-20
+    mean quantization).  Measured motivation: sampled codebooks leave ADC
+    recall below 0.1 on clustered geometry (docs/ANN_TRADEOFF.md)."""
+    import numpy as np
+
+    from dipper_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codebooks_refined,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(9)
+    mat = rng.randn(200, 8).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def recon_err(cb_df):
+        cb = {(r.s, r.code): np.asarray(r.sub) for r in cb_df.collect()}
+        codes = pq_encode(
+            corpus, spark.createDataFrame(
+                [(s, c, [float(v) for v in w]) for (s, c), w in cb.items()],
+                "s int, code long, sub array<double>",
+            ), n_sub=2, dim=8, objective="l2",
+        ).collect()
+        err = 0.0
+        for r in codes:
+            x = mat[r.vec_id].astype(np.float64)
+            x = x / np.linalg.norm(x)
+            xs = x[r.s * 4:(r.s + 1) * 4]
+            err += float(((xs - cb[(r.s, r.code)]) ** 2).sum())
+        return err
+
+    sampled = pq_codebooks(corpus, n_sub=2, n_codes=8, dim=8)
+    refined = pq_codebooks_refined(corpus, n_sub=2, n_codes=8, dim=8, n_iter=2)
+    e0, e1 = recon_err(sampled), recon_err(refined)
+    assert e1 <= e0 + 1e-6, (e0, e1)
+    assert e1 < 0.9 * e0, f"Lloyd should improve materially: {e0} -> {e1}"

@@ -100,7 +100,13 @@ def main() -> None:
                  "sf_dir": SF_DIR if fixture == "sf" else None,
                  "n_corpus": n_corpus, "n_queries": N_QUERIES,
                  "k": K, "configs": {}}
-    for engine in ("ivf", "ivfpq", "ivfpq_refine", "ivfpq_refine_scaled"):
+    # residual IVFADC production config (round-12): 16 subspaces x 64
+    # Lloyd-trained residual codes — capacity AND training are what the
+    # r11 raw 4x16 sampled codes lacked (ADC ~0.07 on clustered geometry)
+    RES = dict(n_sub=16, n_codes=64, pq_iters=2, residual=True)
+    engines = ("ivf", "ivfpq", "ivfpq_refine", "ivfpq_refine_scaled",
+               "ivfpq_residual", "ivfpq_residual_refine")
+    for engine in engines:
         for nprobe in NPROBES:
             def build():
                 if engine == "ivf":
@@ -109,8 +115,20 @@ def main() -> None:
                         refine_iters=2, nprobe=nprobe,
                     )
                 if engine == "ivfpq":
+                    # legacy raw-vector 4x16 sampled codes (the r11 config)
                     return ivfpq_topk(
-                        queries, emb, n_centroids=16, k=K, nprobe=nprobe
+                        queries, emb, n_centroids=16, k=K, nprobe=nprobe,
+                        residual=False,
+                    )
+                if engine == "ivfpq_residual":
+                    return ivfpq_topk(
+                        queries, emb, n_centroids=16, k=K, nprobe=nprobe,
+                        **RES,
+                    )
+                if engine == "ivfpq_residual_refine":
+                    return ivfpq_refine_topk(
+                        queries, emb, n_centroids=16, k=K, nprobe=nprobe,
+                        shortlist=50 * nprobe, **RES,
                     )
                 # fixed vs probe-proportional shortlist: the ADC codes are
                 # too coarse to pick 50 winners out of nprobe x bucket
@@ -119,7 +137,7 @@ def main() -> None:
                 short = 50 if engine == "ivfpq_refine" else 50 * nprobe
                 return ivfpq_refine_topk(
                     queries, emb, n_centroids=16, k=K,
-                    nprobe=nprobe, shortlist=short,
+                    nprobe=nprobe, shortlist=short, residual=False,
                 )
 
             build().count()  # warm-up
@@ -136,7 +154,7 @@ def main() -> None:
             }
             print(cfg, out["configs"][cfg], flush=True)
 
-    fname = "BENCH_ANN_r10.json" if fixture == "sf" else "BENCH_ANN_CLUSTERED_r11.json"
+    fname = "BENCH_ANN_r12.json" if fixture == "sf" else "BENCH_ANN_CLUSTERED_r12.json"
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            fname), "w") as fh:
         json.dump(out, fh, indent=1)
