@@ -25,6 +25,11 @@ def broadcast_lookup(
     dim: DataFrame,
     on: str | list[str] | Column,
     how: str = "inner",
+    *,
+    guard: bool = False,
+    salt_on: Column | str | None = None,
+    straggler_threshold: float = 4.0,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Dict-probe join: broadcast the dimension side.
 
@@ -35,7 +40,45 @@ def broadcast_lookup(
     O(10⁵-10⁷) rows of ids/labels).  For dims that outgrow broadcast, drop the
     hint and let AQE choose; co-locating via bucketing on the key removes the
     fact-side shuffle entirely.
-    """
+
+    ``guard=True`` (opt-in; round-11 verdict item #5) runs the q_key_skew
+    straggler prediction on the fact key first and switches to the salted
+    :func:`~dipper_spark.operators.skew.skew_join` ONLY when a key trips
+    ``straggler_threshold`` — the protection a star probe needs on a
+    cluster when a promiscuous fact key (a hub genotype/marker) would
+    otherwise funnel a post-join stage onto one reducer.  Requires a
+    single string ``on`` and inner/left ``how``; the output is
+    column-for-column identical to the plain USING join either way (the
+    guard is a pure plan decision).  ``salt_on`` spreads a hot key's rows
+    across salts — defaults to a hash of the whole fact row."""
+    if guard and isinstance(on, str) and how in ("inner", "left"):
+        from dipper_spark.operators.skew import (
+            _tmp_name,
+            detect_hot_keys,
+            skew_join,
+        )
+
+        hot = detect_hot_keys(
+            fact, on, straggler_threshold=straggler_threshold
+        )
+        if hot:
+            dk = _tmp_name("_dim_key", fact, dim)
+            spread = (
+                salt_on
+                if salt_on is not None
+                else F.xxhash64(*[F.col(c) for c in fact.columns])
+            )
+            out = skew_join(
+                fact, dim.withColumnRenamed(on, dk), on, dk, spread,
+                hot_keys=hot, n_salts=n_salts, how=how,
+            )
+            # normalize to the USING-join column order the plain path has
+            cols = (
+                [on]
+                + [c for c in fact.columns if c != on]
+                + [c for c in dim.columns if c != on]
+            )
+            return out.select(*cols)
     return fact.join(F.broadcast(dim), on, how)
 
 

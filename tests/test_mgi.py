@@ -178,3 +178,76 @@ def test_sex_specificity_in_transform(spark, tmp_path):
         for r in graph.filter(F.col("predicate") == "OBAN:association_has_object").collect()
     }
     assert sex[0].subject in assoc_subjects
+
+
+class TestGuardedStarJoins:
+    """Round-12 verdict item #5: the skew guard threaded through the real
+    source pipeline.  A Zipfian fact key planted in the allele-pair fact
+    table (one hub genotype owning most rows, the MGI.py:308-313
+    probe-dict shape at cluster scale) must flip the guarded probes onto
+    the salted plan WITHOUT changing a single output triple; on the
+    default flag the pipeline keeps its plain broadcast joins."""
+
+    @staticmethod
+    def _zipf_raw(tmp_path_factory):
+        raw = tmp_path_factory.mktemp("mgi_zipf_raw")
+        fx = dict(FIXTURES)
+        # hub genotype 101 owns 60 of 69 fact rows over 10 distinct keys:
+        # straggler factor 60*10/69 ≈ 8.7, well past the 4x threshold
+        pair_cols = ["_allelepair_key", "_genotype_key", "_allele_key_1",
+                     "_allele_key_2", "allele1", "allele2", "allelestate"]
+        rows = [(600 + i, 101, 201, 202, "Pax6<Sey>", "Pax6<+>", "Heterozygous")
+                for i in range(60)]
+        rows += [(700 + j, 101 + j, 201, 202, "Pax6<Sey>", "Pax6<+>", "Homozygous")
+                 for j in range(1, 10)]
+        fx["gxd_allelepair_view.tsv"] = _tsv(pair_cols, rows)
+        fx["gxd_genotype_summary_view.tsv"] = _tsv(
+            ["_object_key", "preferred", "mgiid", "subtype", "short_description"],
+            [(101, 1, "MGI:2166359", "Genotype", "Pax6 geno"),
+             (102, 1, "MGI:7777777", "Genotype", "other geno")],
+        )
+        for name, content in fx.items():
+            (raw / name).write_text(content)
+        return str(raw)
+
+    def test_guard_engages_on_planted_hub_key_with_identical_output(
+        self, spark, tmp_path_factory
+    ):
+        from dipper_spark.core import graph_equal
+        from dipper_spark.sources.mgi import MgiPipeline
+
+        raw = self._zipf_raw(tmp_path_factory)
+        plain = MgiPipeline()
+        assert plain.guard_skew is False  # the documented default
+        guarded = MgiPipeline()
+        guarded.guard_skew = True
+
+        g_plain = plain.transform(spark, raw).localCheckpoint(eager=True)
+        g_guard = guarded.transform(spark, raw).localCheckpoint(eager=True)
+        # the guard is a pure plan decision: triple-for-triple identical
+        assert graph_equal(g_plain, g_guard)
+
+        # plan lock: on the planted Zipfian key the guarded probe takes the
+        # salted shape (dim replicated via explode -> Generate), which the
+        # plain probe never contains
+        fact = plain._read(spark, raw, "gxd_allelepair_view")
+        dim = plain.genotype_dim(spark, raw)
+        salted = guarded._probe(fact, dim, "_genotype_key", "inner")
+        assert "Generate" in salted._jdf.queryExecution().executedPlan().toString() or \
+               "explode" in salted._jdf.queryExecution().toString()
+        plain_plan = plain._probe(fact, dim, "_genotype_key", "inner")
+        txt = plain_plan._jdf.queryExecution().toString()
+        assert "explode" not in txt
+
+    def test_guard_stays_plain_on_uniform_key(self, spark, tmp_path_factory):
+        from dipper_spark.sources.mgi import MgiPipeline
+
+        raw = self._zipf_raw(tmp_path_factory)
+        guarded = MgiPipeline()
+        guarded.guard_skew = True
+        # genotype_view has one row per genotype — no straggler, so even
+        # with the guard armed the probe keeps the plain broadcast plan
+        fact = guarded._read(spark, raw, "gxd_genotype_view")
+        dim = guarded.genotype_dim(spark, raw)
+        out = guarded._probe(fact, dim, "_genotype_key", "inner")
+        assert "explode" not in out._jdf.queryExecution().toString()
