@@ -248,10 +248,11 @@ def main() -> int:
         return _isolate_main(n_samples, names, sf_dir)
 
     from dipper_spark.plans import QUERIES
-    from dipper_spark.session import get_spark
+    from dipper_spark.session import get_spark, stage_shuffle_bytes
 
     spark = get_spark("dipper_spark-bench")
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     headline = subset.split(",") if subset else HEADLINE
     names = [n for n in headline if n in QUERIES]
@@ -276,7 +277,12 @@ def main() -> int:
         # pipeline pays (artifact: BENCH_MATERIALIZED_r11.json).
         full_mat = os.environ.get("SPARK_GRAFT_BENCH_MATERIALIZE") == "full"
         samples = []
-        for _ in range(2):
+        pre_stages: dict[int, int] = {}
+        for run in range(2):
+            if run == 1:
+                # snapshot between runs: the recorded volume is the SECOND
+                # run's — steady-state, matching the min-of-2 wall time
+                pre_stages = stage_shuffle_bytes(spark)
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             if full_mat:
@@ -285,8 +291,16 @@ def main() -> int:
             else:
                 n = df.count()
             samples.append(round(time.time() - t0, 3))
+        post_stages = stage_shuffle_bytes(spark)
+        shuffle_bytes[name] = sum(
+            b for sid, b in post_stages.items() if sid not in pre_stages
+        )
         timings[name] = min(samples)
-        print(f"# {name}: {timings[name]}s (runs={samples}) rows={n}", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]}s (runs={samples}) rows={n} "
+            f"shuffle={shuffle_bytes[name]}B",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -324,6 +338,10 @@ def main() -> int:
         json.dump(
             {"metric": "headline_queries_total", "value": total, "unit": "sec",
              "queries": timings,
+             # per-query steady-state shuffle WRITE volume (round-11 verdict
+             # item #8): the plan-regression tripwire wall time can't see at
+             # small SF — a lost broadcast or extra exchange is a bytes jump
+             "shuffle_write_bytes": shuffle_bytes,
              "sources": sources or "see BENCH_SOURCES.json (opt-in sweep)",
              "sf": sf_val},
             fh, indent=1,
@@ -337,6 +355,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                "shuffle_total_mb": round(sum(shuffle_bytes.values()) / 1e6, 1),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             }

@@ -661,11 +661,14 @@ class TestRound12Additions:
     def test_ann_ivf_stored_is_probe_only(self, spark, sf):
         """The stored-index ANN variant must not retrain: query time is
         coarse assignment (broadcast of the PARQUET-scanned centroid
-        artifact) + the probed-bucket scan + top-k.  The kmeans training
-        stages — Generate/posexplode of the embedding into (dim, v) rows
-        and the per-(bucket, dim) mean exchanges — must be absent."""
+        artifact) + the probed-bucket scan + top-k.  The centroid table
+        must come from a FileScan of the model store ('models' path), not
+        from a just-trained checkpoint RDD, and no training stage
+        (posexplode mean passes, Python, cartesian) may appear."""
         plan = final_plan_of(QUERIES["q_ann_ivf_stored"](spark, sf))
         final = plan.split("== Initial Plan ==")[0]
+        assert "models" in final  # the stored artifact's parquet scan
+        assert "ExistingRDD" not in final  # no in-session training residue
         assert "posexplode" not in final.lower()  # the kmeans mean signature
         assert "Python" not in final
         assert "CartesianProduct" not in final
@@ -681,3 +684,140 @@ class TestRound12Additions:
         assert "SortMergeJoin" not in final
         assert "CartesianProduct" not in final
         assert "Python" not in final
+
+    def test_dedup_agreement_shuffle_volume_budget(self, spark, sf):
+        """Round-12 verdict item #8: pin the steady-state shuffle WRITE
+        volume of the most expensive bench query to its current order of
+        magnitude.  Wall time at small SF hides plan rot (a lost hot-
+        shingle prune or a full cross join adds milliseconds here but
+        terabytes at 100 TB); bytes shuffled do not — the known-good
+        volume at this SF is ~0.1 MB, and the pruned/banded plan cannot
+        legitimately grow it 20x without a shape change."""
+        from dipper_spark.session import stage_shuffle_bytes
+
+        QUERIES["q_dedup_agreement"](spark, sf).count()  # warm/codegen
+        pre = stage_shuffle_bytes(spark)
+        QUERIES["q_dedup_agreement"](spark, sf).count()
+        post = stage_shuffle_bytes(spark)
+        if not post:
+            import pytest
+
+            pytest.skip("Spark UI disabled - no task metrics available")
+        vol = sum(b for sid, b in post.items() if sid not in pre)
+        assert 0 < vol < 2_000_000, f"shuffle volume {vol}B outside budget"
+
+
+class TestPlanLockSensitivity:
+    """Round-12 verdict item #7: the ~80 plan locks assert shapes
+    (broadcast present, no SortMergeJoin/CartesianProduct/Python, bounded
+    exchange counts, no-retrain stored plans) — this suite proves those
+    assertions have TEETH by seeding each representative plan fault
+    deliberately and checking the lock's predicate goes red on it.  A
+    lock that cannot fail locks nothing (the value-gate twin lives in
+    tests/test_gate_sensitivity.py)."""
+
+    def _lineitem_orders(self, spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        od = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        return li, od
+
+    def test_broadcast_off_fault_trips_the_sortmergejoin_lock(self, spark, sf):
+        """Fault: the dim-side broadcast is dropped (hint removed, auto
+        threshold disabled).  The star-join locks' 'no SortMergeJoin'
+        predicate must detect it."""
+        li, od = self._lineitem_orders(spark, sf)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            rotten = final_plan_of(
+                li.join(od, li.l_orderkey == od.o_orderkey)
+            ).split("== Initial Plan ==")[0]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in rotten or "ShuffledHashJoin" in rotten
+        assert "BroadcastHashJoin" not in rotten  # the lock's positive arm fails too
+
+    def test_extra_exchange_fault_trips_the_exchange_count_lock(self, spark, sf):
+        """Fault: a gratuitous repartition injected mid-plan.  The
+        bounded-exchange locks (<= N 'Exchange hashpartitioning') must
+        count the extra shuffle."""
+        li, _ = self._lineitem_orders(spark, sf)
+        clean = final_plan_of(
+            li.groupBy("l_orderkey").count()
+        ).split("== Initial Plan ==")[0]
+        rotten = final_plan_of(
+            li.repartition(7, "l_extendedprice").groupBy("l_orderkey").count()
+        ).split("== Initial Plan ==")[0]
+        assert rotten.count("Exchange hashpartitioning") \
+            > clean.count("Exchange hashpartitioning")
+
+    def test_python_udf_fault_trips_the_no_python_lock(self, spark, sf):
+        """Fault: a row-at-a-time Python UDF slipped into the hot path.
+        Every 'Python not in final' lock must light up."""
+        from pyspark.sql.functions import udf
+
+        li, _ = self._lineitem_orders(spark, sf)
+        slow = udf(lambda x: x * 2.0, "double")
+        # the faulted column must be CONSUMED — aggregate over it, or
+        # Catalyst prunes the UDF away and the fault is a no-op
+        rotten = final_plan_of(
+            li.select("l_orderkey", slow("l_extendedprice").alias("d"))
+            .groupBy("l_orderkey").agg(F.sum("d"))
+        ).split("== Initial Plan ==")[0]
+        assert "Python" in rotten
+
+    def test_cartesian_fault_trips_the_no_cartesian_lock(self, spark, sf):
+        """Fault: an equi-join condition lost (joins on TRUE).  The
+        'CartesianProduct not in final' locks must detect the product."""
+        li, od = self._lineitem_orders(spark, sf)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            rotten = final_plan_of(
+                li.limit(50).crossJoin(od.limit(50))
+            ).split("== Initial Plan ==")[0]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "CartesianProduct" in rotten
+
+    def test_inline_retrain_fault_trips_the_stored_model_locks(self, spark, sf):
+        """Fault: the stored-model variant silently retrains in-query.
+        Simulated by applying the stored locks' predicates to the honest
+        retrain-in-query twins: inline kmeans puts posexplode back in the
+        ANN plan, and the retrain plan has no model-store FileScan (the
+        training (kmeans mean passes AND their posexplode stages) hides
+        behind localCheckpoint lineage truncation in BOTH variants'
+        final plans, so the artifact scan — not posexplode or the
+        exchange count — is the stored-vs-retrain discriminator: the
+        stored plan reads the versioned parquet artifact, the retrain
+        plan reads the checkpointed RDD it just paid to train."""
+        ann_rotten = final_plan_of(
+            QUERIES["q_ann_ivf_refined"](spark, sf)
+        ).split("== Initial Plan ==")[0]
+        stored = final_plan_of(
+            QUERIES["q_ann_ivf_stored"](spark, sf)
+        ).split("== Initial Plan ==")[0]
+        assert "models" in stored and "models" not in ann_rotten
+        assert "ExistingRDD" in ann_rotten  # the just-trained checkpoint scan
+
+    def test_salted_plan_presence_lock_goes_red_when_guard_disabled(self, spark, sf):
+        """Fault: the skew guard wired out (plain join on the Zipfian
+        key).  The guarded-join plan lock checks for the salted shape
+        (dim-replica explode); the plain plan must NOT contain it — i.e.
+        the lock can distinguish the two."""
+        from dipper_spark.session import load_table
+
+        docs = load_table(spark, sf, "documents")
+        prof = docs.groupBy(F.col("lang").alias("p_lang")).count()
+        plain = final_plan_of(
+            docs.join(prof, docs.lang == prof.p_lang)
+        ).split("== Initial Plan ==")[0]
+        assert "Generate explode" not in plain
+        guarded = final_plan_of(
+            QUERIES["q_guarded_join"](spark, sf)
+        ).split("== Initial Plan ==")[0]
+        assert "Generate explode" in guarded
