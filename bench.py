@@ -132,9 +132,13 @@ HEADLINE = [
     "q_cosine_topk_quantized",
     "q_ann_ivf",
     "q_ann_ivf_refined",
+    # stored-index ANN (round 12): cold run trains + saves, warm run is
+    # assignment + probe only — min-of-2 reports the steady state
+    "q_ann_ivf_stored",
     "q_ann_recall",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_ann_ivfpq_stored",
     "q_ann_ivfpq_recall",
     "q_matryoshka_recall",
     "q_embedding_neardup",

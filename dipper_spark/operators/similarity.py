@@ -955,58 +955,136 @@ def ivfpq_topk(
         "vec_id", "embedding"
     )
     if residual:
-        res = ivf_residuals(corpus, cents)
-        if pq_iters > 0:
-            cb = pq_codebooks_refined(
-                res, n_sub, n_codes, dim, vec_col="rx", normalize=False,
-                n_iter=pq_iters, code_offset=n_centroids,
-            )
-        else:
-            cb = pq_codebooks(
-                res, n_sub, n_codes, dim, vec_col="rx", normalize=False,
-                code_offset=n_centroids,
-            )
-        codes = pq_encode(
-            res, cb, n_sub, dim, vec_col="rx", normalize=False, objective="l2"
+        index = ivfpq_index(
+            corpus, cents, n_sub=n_sub, n_codes=n_codes, dim=dim,
+            pq_iters=pq_iters, n_centroids=n_centroids,
         )
-        recon = (
-            codes.join(F.broadcast(cb), ["s", "code"])
-            .groupBy("vec_id")
-            .agg(
-                F.flatten(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("s", "sub"))),
-                        lambda t: t["sub"],
-                    )
-                ).alias("dr")
-            )
+        return ivfpq_search(queries, index, n_sub=n_sub, dim=dim, k=k, nprobe=nprobe)
+    # legacy raw-vector variant: quantize the vectors themselves with
+    # max-IP sampled codebooks (the r11 configuration, kept for the
+    # measured baseline comparisons in tools/bench_ann.py)
+    assigned = assign_buckets(corpus, cents).select("vec_id", "bucket")
+    cb = pq_codebooks(corpus, n_sub, n_codes, dim)
+    codes = pq_encode(corpus, cb, n_sub, dim)
+    recon = (
+        codes.join(F.broadcast(cb), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("s", "sub"))),
+                    lambda t: t["sub"],
+                )
+            ).alias("ax")
         )
-        quantized = (
-            res.select("vec_id", "bucket", "cn")
-            .join(recon, "vec_id")
-            .select(
-                "vec_id",
-                "bucket",
-                F.zip_with("cn", "dr", lambda a, b: a + b).alias("ax"),
-            )
+    )
+    quantized = assigned.join(recon, "vec_id")
+    return _ivfpq_score(queries, cents, quantized, k=k, nprobe=nprobe)
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    pq_iters: int = 1,
+    n_centroids: int | None = None,
+) -> dict[str, DataFrame]:
+    """TRAIN the residual IVFADC index — the expensive, train-once half of
+    the stack, returning the four parquet-ready state tables a deployment
+    persists (the model-store artifact shape, io/model_store.py):
+
+    - ``centroids`` (vec_id, embedding) — the coarse quantizer,
+    - ``codebooks`` (s, code, sub) — Lloyd-refined residual codewords,
+    - ``codes`` (vec_id, s, code) — the quantized corpus, n_sub small
+      ints per vector: THE index payload, ~16x smaller than float32,
+    - ``buckets`` (vec_id, bucket) — the coarse assignment.
+
+    Everything is deterministic (offset-sampled init, exact-integer Lloyd
+    means, min-L2 encoding), so an index rebuilt from the same corpus —
+    or re-derived by the SQL oracle — is bit-identical."""
+    res = ivf_residuals(corpus, centroids)
+    if n_centroids is None:  # codebook sample offset must skip centroid rows
+        n_centroids = centroids.count()
+    if pq_iters > 0:
+        cb = pq_codebooks_refined(
+            res, n_sub, n_codes, dim, vec_col="rx", normalize=False,
+            n_iter=pq_iters, code_offset=n_centroids,
         )
     else:
-        assigned = assign_buckets(corpus, cents).select("vec_id", "bucket")
-        cb = pq_codebooks(corpus, n_sub, n_codes, dim)
-        codes = pq_encode(corpus, cb, n_sub, dim)
-        recon = (
-            codes.join(F.broadcast(cb), ["s", "code"])
-            .groupBy("vec_id")
-            .agg(
-                F.flatten(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("s", "sub"))),
-                        lambda t: t["sub"],
-                    )
-                ).alias("ax")
-            )
+        cb = pq_codebooks(
+            res, n_sub, n_codes, dim, vec_col="rx", normalize=False,
+            code_offset=n_centroids,
         )
-        quantized = assigned.join(recon, "vec_id")
+    codes = pq_encode(
+        res, cb, n_sub, dim, vec_col="rx", normalize=False, objective="l2"
+    )
+    return {
+        "centroids": centroids,
+        "codebooks": cb,
+        "codes": codes,
+        "buckets": res.select("vec_id", "bucket"),
+    }
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index: dict[str, DataFrame],
+    n_sub: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """SEARCH a (possibly stored) residual IVFADC index — the cheap,
+    apply-many half: reconstruct ``ax = c_hat(bucket) + decode(codes)``
+    from the state tables (codebooks/centroids broadcast; the codes table
+    is the only corpus-sized frame) and score probed buckets with the
+    asymmetric distance.  Feeding :func:`ivfpq_index`'s live output
+    reproduces ``ivfpq_topk(residual=True)`` exactly; feeding the
+    model-store round-trip of those tables is the steady-state query path
+    (q_ann_ivfpq_stored)."""
+    cents = index["centroids"]
+    cn = F.broadcast(
+        cents.select(
+            F.col("vec_id").alias("bucket"), _l2_normalize("embedding").alias("cn")
+        )
+    )
+    recon = (
+        index["codes"].join(F.broadcast(index["codebooks"]), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("s", "sub"))),
+                    lambda t: t["sub"],
+                )
+            ).alias("dr")
+        )
+    )
+    quantized = (
+        index["buckets"]
+        .join(recon, "vec_id")
+        .join(cn, "bucket")
+        .select(
+            "vec_id",
+            "bucket",
+            F.zip_with("cn", "dr", lambda a, b: a + b).alias("ax"),
+        )
+    )
+    return _ivfpq_score(queries, cents, quantized, k=k, nprobe=nprobe)
+
+
+def _ivfpq_score(
+    queries: DataFrame,
+    cents: DataFrame,
+    quantized: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Shared ADC scoring tail: probe-assign the queries (single or
+    multi-probe), broadcast them onto the quantized corpus restricted to
+    the probed buckets, rank by the exact-double decode-dot."""
     if nprobe <= 1:
         qa = (
             assign_buckets(queries, cents)

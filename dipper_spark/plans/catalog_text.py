@@ -915,6 +915,61 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stored_ivfpq_index(spark: SparkSession, emb: DataFrame) -> dict:
+    """Train-once / apply-many for the FULL residual IVFADC index: the
+    four state tables (centroids, Lloyd-refined residual codebooks, the
+    quantized corpus codes, coarse assignments) persisted as one
+    versioned model-store artifact.  The codes table IS the index — the
+    ~16x-compressed form a 100 TB deployment keeps hot while the float
+    vectors stay cold."""
+    from dipper_spark.io.model_store import get_or_train, input_fingerprint
+    from dipper_spark.operators.similarity import ivfpq_index
+
+    params = {
+        "trainer": "ivfpq_index/v1",
+        "n_centroids": 16,
+        "n_sub": _PQR_SUB,
+        "n_codes": _PQR_CODES,
+        "pq_iters": _PQR_IT,
+        "dim": _PQ_DIM,
+    }
+
+    def trainer():
+        cents = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+        return ivfpq_index(
+            emb, cents, n_sub=_PQR_SUB, n_codes=_PQR_CODES, dim=_PQ_DIM,
+            pq_iters=_PQR_IT, n_centroids=16,
+        )
+
+    art = get_or_train(
+        spark, "ivfpq_embeddings", params, trainer,
+        kind="ann/ivfpq", data_fingerprint=input_fingerprint(emb),
+    )
+    return {k: art.table(k) for k in ("centroids", "codebooks", "codes", "buckets")}
+
+
+@register("q_ann_ivfpq_stored", _ANN_IVFPQ_SQL)
+def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivfpq through the MODEL STORE: coarse centroids, residual
+    codebooks, corpus codes, and bucket assignments train once and
+    persist as a versioned parquet artifact (ivfpq_index); query time is
+    ivfpq_search — probe-assign the queries, reconstruct ax = c_hat +
+    decode(codes) from the broadcast codebooks, ADC-rank the probed
+    bucket.  Zero training stages in the plan (plan-locked).  Same
+    oracle as q_ann_ivfpq: the stored index must answer bit-identically
+    to in-session training (every state table is exact integers or
+    deterministic doubles that round-trip parquet), or the gate goes
+    red."""
+    from dipper_spark.operators.similarity import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_search(
+        emb.filter(F.col("vec_id") < _PQ_K),
+        _stored_ivfpq_index(spark, emb),
+        n_sub=_PQR_SUB, dim=_PQ_DIM, k=_PQ_K, nprobe=1,
+    )
+
+
 @register(
     "q_ann_ivfpq_recall",
     f"""

@@ -200,3 +200,36 @@ class TestAnnArtifacts:
         live = pq_encode(emb, books, n_sub=4, dim=64)
         stored = pq_encode(emb, art.table("codebooks"), n_sub=4, dim=64)
         assert _rows(stored) == _rows(live)
+
+
+class TestIvfpqIndexArtifact:
+    def test_full_residual_index_stored_search_matches_live(
+        self, spark, tables, tmp_path
+    ):
+        """Round-12: the FULL residual IVFADC index (centroids + Lloyd
+        residual codebooks + corpus codes + assignments) round-trips the
+        model store and answers bit-identically to the live index —
+        every state table is exact integers or deterministic doubles,
+        so parquet changes nothing."""
+        from dipper_spark.operators.similarity import ivfpq_index, ivfpq_search
+
+        emb = tables["embeddings"].limit(300).localCheckpoint(eager=True)
+        cents = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+        idx = ivfpq_index(
+            emb, cents, n_sub=8, n_codes=8, dim=64, pq_iters=1, n_centroids=8
+        )
+        save_model(
+            "ivfpq", idx, {"n_sub": 8, "n_codes": 8, "pq_iters": 1},
+            root=str(tmp_path), kind="ann/ivfpq",
+        )
+        art = load_model(spark, "ivfpq", root=str(tmp_path), verify=True)
+        stored_idx = {
+            k: art.table(k)
+            for k in ("centroids", "codebooks", "codes", "buckets")
+        }
+        q = emb.filter(F.col("vec_id") < 3)
+        live = ivfpq_search(q, idx, n_sub=8, dim=64, k=5, nprobe=2)
+        stored = ivfpq_search(q, stored_idx, n_sub=8, dim=64, k=5, nprobe=2)
+        assert _rows(stored) == _rows(live)
+        # the codes table really is the compressed payload: n_sub ints/vector
+        assert art.table("codes").columns == ["vec_id", "s", "code"]

@@ -821,3 +821,15 @@ class TestPlanLockSensitivity:
             QUERIES["q_guarded_join"](spark, sf)
         ).split("== Initial Plan ==")[0]
         assert "Generate explode" in guarded
+
+    def test_ann_ivfpq_stored_is_probe_only(self, spark, sf):
+        """The stored FULL-index IVFADC variant: every state table comes
+        from model-store parquet FileScans; no training residue (no
+        checkpointed RDD scans, no Python, no cartesian/shuffle joins)."""
+        plan = final_plan_of(QUERIES["q_ann_ivfpq_stored"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "models" in final
+        assert "ExistingRDD" not in final
+        assert "Python" not in final
+        assert "CartesianProduct" not in final
+        assert "SortMergeJoin" not in final
