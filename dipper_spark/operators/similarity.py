@@ -1156,6 +1156,7 @@ def ivfpq_refine_topk(
     shortlist: int | None = None,
     residual: bool = True,
     pq_iters: int = 1,
+    index: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF+PQ with an EXACT re-rank stage — FAISS's refine discipline
     (IndexRefineFlat over IVFADC): the ADC scan produces a ``shortlist``
@@ -1193,11 +1194,19 @@ def ivfpq_refine_topk(
     # a shortlist narrower than k would silently under-return: the refine
     # can only rank what the ADC stage surfaces
     shortlist = max(shortlist, k)
-    cand = ivfpq_topk(
-        queries, corpus, n_centroids=n_centroids, n_sub=n_sub,
-        n_codes=n_codes, dim=dim, k=shortlist, nprobe=nprobe,
-        residual=residual, pq_iters=pq_iters,
-    ).select("query_id", "neighbor_id")
+    if index is not None:
+        # pre-trained state tables (ivfpq_index live output, a model-store
+        # round-trip, or the in-session shared cache): the shortlist comes
+        # from ivfpq_search — no training stages in this call's plan
+        cand = ivfpq_search(
+            queries, index, n_sub=n_sub, dim=dim, k=shortlist, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+    else:
+        cand = ivfpq_topk(
+            queries, corpus, n_centroids=n_centroids, n_sub=n_sub,
+            n_codes=n_codes, dim=dim, k=shortlist, nprobe=nprobe,
+            residual=residual, pq_iters=pq_iters,
+        ).select("query_id", "neighbor_id")
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
