@@ -33,7 +33,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         write_n3,
         write_nt,
         write_rdfxml,
-        write_turtle,
+        write_turtle_auto,
     )
     from dipper_spark.models import hcls_dataset_triples
     from dipper_spark.quality import add_property_axioms, default_property_table
@@ -74,6 +74,16 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         "--data-release-version", default=None,
         help="release tag (e.g. 201908) used in the dataset stanza's version "
         "and distribution IRIs (dipper-etl -d)",
+    )
+    ap.add_argument(
+        "--ttl-parts", action="store_true",
+        help="force --dest-fmt ttl to the distributed part-file layout "
+        "(<src>.ttl.parts/) regardless of graph size",
+    )
+    ap.add_argument(
+        "--ttl-parts-threshold", type=int, default=1_000_000,
+        help="triple count at/above which --dest-fmt ttl switches from the "
+        "driver-streamed single file to the distributed part-file layout",
     )
     args = ap.parse_args(argv)
 
@@ -176,7 +186,14 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
                 "line"
             ).write.mode("overwrite").text(f"{dest}{suffix}.nq")
         elif args.dest_fmt == "ttl":
-            write_turtle(out, f"{dest}{suffix}.ttl")
+            # size-dispatched (round-12 verdict item #2): small graphs keep
+            # the reference's single-file contract; large ones write the
+            # distributed part-file layout — no driver byte funnel
+            write_turtle_auto(
+                out, f"{dest}{suffix}.ttl",
+                parts_threshold=args.ttl_parts_threshold,
+                force_parts=args.ttl_parts,
+            )
         elif args.dest_fmt == "rdfxml":
             write_rdfxml(out, f"{dest}{suffix}.rdf")
         elif args.dest_fmt == "n3":

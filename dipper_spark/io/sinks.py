@@ -424,6 +424,37 @@ def write_turtle_parts(
     )
 
 
+def write_turtle_auto(
+    df: DataFrame,
+    path: str,
+    curie_map: CurieMap | None = None,
+    parts_threshold: int = 1_000_000,
+    force_parts: bool = False,
+) -> str:
+    """Size-dispatched turtle sink for the ETL writer (K2, round-12
+    verdict item #2): graphs below ``parts_threshold`` triples stream
+    through the driver into ONE ``path`` file (:func:`write_turtle` —
+    fine when the document is human-sized and a single file is the
+    contract); at or above it — where a driver byte funnel becomes the
+    pipeline bottleneck — subject blocks land as executor-local part
+    files under ``path + ".parts"`` (:func:`write_turtle_parts`), whose
+    filename-order concatenation is byte-equal to the driver render plus
+    the documented single trailing newline.  ``force_parts`` pins the
+    distributed layout regardless of size (the etl ``--ttl-parts``
+    flag).  Returns the path actually written.
+
+    Reference parity: ``RDFGraph.serialize`` (RDFGraph.py:199-205) always
+    holds the whole graph in rdflib RAM and writes one file; the
+    dispatch keeps its single-file contract exactly where that contract
+    is cheap, and scales past it where it is not."""
+    if force_parts or df.count() >= parts_threshold:
+        out_dir = path + ".parts"
+        write_turtle_parts(df, out_dir, curie_map)
+        return out_dir
+    write_turtle(df, path, curie_map)
+    return path
+
+
 def concat_turtle_parts(out_dir: str):
     """Stream the :func:`write_turtle_parts` layout back as text chunks in
     document order (header, then part files sorted by name) — the

@@ -323,19 +323,32 @@ def test_sweep_covers_every_registered_source():
     assert set(EXPECTED_COUNTS) == set(REGISTRY)
 
 
+#: the sweep source routed through the DISTRIBUTED turtle layout
+#: (--ttl-parts → write_turtle_parts), so the 100 TB ttl path is exercised
+#: end-to-end by the sweep at least once — impc is the largest pinned
+#: graph (234 triples).  All other sources keep the single-file contract.
+PARTS_SOURCE = "impc"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_etl_sweep(spark, tmp_path, name):
+    from dipper_spark.io.sinks import concat_turtle_parts
+
     raw = tmp_path / "raw"
     out = tmp_path / "out"
     raw.mkdir()
     FIXTURE_WRITERS[name](raw)
+    extra = ["--ttl-parts"] if name == PARTS_SOURCE else []
     report = run(
         ["--sources", name, "--raw-dir", str(raw), "--out-dir", str(out),
-         "--dest-fmt", "ttl"],
+         "--dest-fmt", "ttl", *extra],
         spark=spark,
     )
     assert name in report["sources"]
-    ttl = (out / f"{name}.ttl").read_text(encoding="utf-8")
+    if name == PARTS_SOURCE:
+        ttl = "".join(concat_turtle_parts(str(out / f"{name}.ttl.parts")))
+    else:
+        ttl = (out / f"{name}.ttl").read_text(encoding="utf-8")
     # round-trip through the golden parse harness: count pinned
     triples = parse_turtle(ttl)
     assert triples, f"{name}: empty graph"
@@ -428,3 +441,54 @@ def test_etl_sweep_with_fetch(spark, tmp_path, name, fixture_http_server):
     # the graph itself matches the pinned non-fetch count plus the
     # provenance triples
     assert len(triples) == EXPECTED_COUNTS[name] + 2 * len(urls)
+
+
+# --------------------------------------------------------------------------
+# K2 turtle-path dispatch: a real source's output must be byte-equal across
+# the driver-streamed single file and the distributed part-file layout
+# (round-12 verdict item #2 — write_turtle_parts wired into the ETL writer).
+# --------------------------------------------------------------------------
+
+
+def test_etl_ttl_parts_byte_equal_to_single_file(spark, tmp_path):
+    from dipper_spark.io.sinks import concat_turtle_parts
+
+    name = PARTS_SOURCE
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    FIXTURE_WRITERS[name](raw)
+    out_single = tmp_path / "out_single"
+    out_parts = tmp_path / "out_parts"
+    run(
+        ["--sources", name, "--raw-dir", str(raw), "--out-dir", str(out_single),
+         "--dest-fmt", "ttl"],
+        spark=spark,
+    )
+    run(
+        ["--sources", name, "--raw-dir", str(raw), "--out-dir", str(out_parts),
+         "--dest-fmt", "ttl", "--ttl-parts"],
+        spark=spark,
+    )
+    single = (out_single / f"{name}.ttl").read_text(encoding="utf-8")
+    concat = "".join(concat_turtle_parts(str(out_parts / f"{name}.ttl.parts")))
+    # the documented layout contract: concat == driver render + one
+    # trailing newline (each part's last block keeps its between-block
+    # blank line)
+    assert concat == single + "\n"
+
+
+def test_etl_ttl_threshold_dispatch(spark, tmp_path):
+    # size-based dispatch: threshold 1 forces every graph to the parts
+    # layout; the default (1M) keeps fixture graphs on the single file
+    name = PARTS_SOURCE
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    FIXTURE_WRITERS[name](raw)
+    out = tmp_path / "out_thresh"
+    run(
+        ["--sources", name, "--raw-dir", str(raw), "--out-dir", str(out),
+         "--dest-fmt", "ttl", "--ttl-parts-threshold", "1"],
+        spark=spark,
+    )
+    assert (out / f"{name}.ttl.parts" / "header.ttl").exists()
+    assert not (out / f"{name}.ttl").exists()
