@@ -142,6 +142,7 @@ HEADLINE = [
     "q_ann_ivfpq_recall",
     "q_matryoshka_recall",
     "q_embedding_neardup",
+    "q_neardup_multiassign",
     "q_dup_components",
     # multimodal columns
     "q_media_stats",

@@ -351,6 +351,72 @@ def blocked_neardup(emb: DataFrame, block_col: str = "label", threshold: float =
     )
 
 
+def assign_buckets_multi(
+    vectors: DataFrame, centroids: DataFrame, n_assign: int = 2
+) -> DataFrame:
+    """Multi-assignment IVF blocking: each vector is indexed under its
+    top-``n_assign`` max-cosine centroids (deterministic ties: lowest
+    centroid id — the same ranking the ANN multi-probe uses on the query
+    side, applied to the INDEX side).
+
+    Why it exists, measured (BENCH_NEARDUP_CLUSTERED_r12.json): single
+    assignment splits near-dup pairs that straddle a Voronoi edge —
+    kmeans-16 blocking caught 86.8% of exact pairs on the clustered-twins
+    fixture, and top-2 assignment closed the gap to 100% at the cost of
+    ``n_assign``x index rows.  The recommended decontamination posture
+    (docs/ANN_TRADEOFF.md §near-dup audit).
+
+    Returns (vec_id, embedding, bucket) with up to ``n_assign`` rows per
+    vector."""
+    c = F.broadcast(
+        centroids.select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+    )
+    scored = ensure_parallelism(vectors).join(c, F.lit(True)).select(
+        "vec_id", "embedding", "cent_id", cosine("embedding", "cent_emb").alias("cent_cos")
+    )
+    return topk_per_group(
+        scored,
+        "vec_id",
+        [F.col("cent_cos").desc(), F.col("cent_id").asc()],
+        k=n_assign,
+    ).select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+
+
+def centroid_neardup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    n_assign: int = 1,
+) -> DataFrame:
+    """Centroid-blocked embedding near-dup pairs with optional
+    multi-assignment (round-12 verdict item #4): assign each vector to its
+    top-``n_assign`` centroid cells, self-join within cells, keep exact
+    cosine >= ``threshold``.  Precision is structurally 1.0 (blocking only
+    restricts candidates; every reported pair is exact-cosine-verified);
+    ``n_assign=2`` recovers the Voronoi-boundary pairs single assignment
+    misses (measured recall 0.868 -> 1.000 on the clustered-twins audit)
+    for 2x index rows.  A pair sharing several cells is deduped by id.
+
+    Returns distinct (id_1, id_2, cos_sim)."""
+    blocks = assign_buckets_multi(vectors, centroids, n_assign)
+    a = blocks.select(
+        F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    b = blocks.select(
+        F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cos_sim", cosine("e1", "e2"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim"))
+        .distinct()
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -542,6 +608,7 @@ def semdedup(
     vectors: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.95,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     clustering embeddings, then within each cluster dropping every item
@@ -564,6 +631,14 @@ def semdedup(
     localCheckpoint-ed — without it the O(n*k) assignment scan re-executes
     per consumer.
 
+    ``n_assign > 1`` widens the CANDIDATE search to each vector's top-n
+    centroid cells (:func:`assign_buckets_multi`) while the keep-order,
+    reported bucket, and cent_cos stay the PRIMARY assignment — semantic
+    duplicates split by a Voronoi edge now meet in the second-choice cell
+    (measured: single-assign blocking misses 13% of planted twin pairs on
+    clustered geometry; top-2 closes it, BENCH_NEARDUP_CLUSTERED_r12.json)
+    at ``n_assign``x candidate-index rows.
+
     Returns (vec_id, bucket, cent_cos, keep).
     """
     c = F.broadcast(
@@ -584,13 +659,27 @@ def semdedup(
         .select("vec_id", "embedding", F.col("cent_id").alias("bucket"), "cent_cos")
         .localCheckpoint(eager=True)
     )
-    a = assigned.select(
+    if n_assign > 1:
+        # candidate blocks = top-n cells per vector; ranks (cc) remain the
+        # primary assignment's similarity-to-centroid, joined back from the
+        # checkpointed frame so the expensive scan is not re-run
+        prim = assigned.select("vec_id", F.col("cent_cos").alias("_cc"))
+        blocks = (
+            assign_buckets_multi(vectors, centroids, n_assign)
+            .join(prim, "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        blocks = assigned.select(
+            "vec_id", "embedding", "bucket", F.col("cent_cos").alias("_cc")
+        )
+    a = blocks.select(
         F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"),
-        "bucket", F.col("cent_cos").alias("cc1"),
+        "bucket", F.col("_cc").alias("cc1"),
     )
-    b = assigned.select(
+    b = blocks.select(
         F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"),
-        "bucket", F.col("cent_cos").alias("cc2"),
+        "bucket", F.col("_cc").alias("cc2"),
     )
     dropped = (
         a.join(b, "bucket")

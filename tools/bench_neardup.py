@@ -69,6 +69,7 @@ def main() -> int:
     from dipper_spark.operators.similarity import (
         assign_buckets,
         blocked_neardup,
+        centroid_neardup,
         kmeans_centroids,
         semdedup,
     )
@@ -130,29 +131,15 @@ def main() -> int:
     )
     print("blocked_kmeans16", out["configs"]["blocked_kmeans16"], flush=True)
 
-    # (b2) multi-assign blocking: each vector indexed under its TOP-2
-    # cells (the multi-probe idea applied to dedup blocking) — boundary
+    # (b2) multi-assign blocking through the SHIPPED operator (round-12
+    # verdict item #4): each vector indexed under its TOP-2 cells — boundary
     # pairs split by the single-assignment Voronoi edge meet in the
     # second-choice cell; cost = 2x index rows, pairs deduped by id
-    from dipper_spark.functions.vectors import cosine as _cos
-    from dipper_spark.operators.windows import topk_per_group
-
-    c2 = F.broadcast(
-        cents.select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("cent_emb"))
+    out["configs"]["centroid_neardup_multi2"] = pair_metrics(
+        centroid_neardup(emb, cents, threshold=TAU, n_assign=2)
     )
-    scored = emb.join(c2, F.lit(True)).select(
-        "vec_id", "embedding", "cent_id",
-        _cos("embedding", "cent_emb").alias("cc"),
-    )
-    multi = topk_per_group(
-        scored, "vec_id", [F.col("cc").desc(), F.col("cent_id").asc()], k=2
-    ).select("vec_id", "embedding", F.col("cent_id").alias("kblock"))
-    out["configs"]["blocked_kmeans16_multi2"] = pair_metrics(
-        blocked_neardup(multi, "kblock", threshold=TAU)
-    )
-    print("blocked_kmeans16_multi2",
-          out["configs"]["blocked_kmeans16_multi2"], flush=True)
+    print("centroid_neardup_multi2",
+          out["configs"]["centroid_neardup_multi2"], flush=True)
 
     # (c) SemDeDup verdict at the same tau over the same kmeans clustering
     sd = semdedup(emb, cents.withColumnRenamed("bucket", "vec_id")
@@ -171,8 +158,25 @@ def main() -> int:
     }
     print("semdedup_kmeans16", out["configs"]["semdedup_kmeans16"], flush=True)
 
+    # (c2) SemDeDup with the shipped top-2 candidate search: the boundary
+    # twins single assignment leaves in the corpus get deduped
+    sd2 = semdedup(emb, cents, threshold=TAU, n_assign=2)
+    dropped2 = {r.vec_id for r in sd2.filter(~F.col("keep")).collect()}
+    twin_deduped2 = sum(
+        1 for a, b in twin_pairs if a in dropped2 or b in dropped2
+    )
+    collateral2 = len(dropped2 - in_some_pair)
+    out["configs"]["semdedup_kmeans16_multi2"] = {
+        "n_dropped": len(dropped2),
+        "twin_dedup_recall": round(twin_deduped2 / len(twin_pairs), 4),
+        "collateral_drops": collateral2,
+        "collateral_rate": round(collateral2 / max(len(dropped2), 1), 4),
+    }
+    print("semdedup_kmeans16_multi2",
+          out["configs"]["semdedup_kmeans16_multi2"], flush=True)
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BENCH_NEARDUP_CLUSTERED_r12.json"), "w") as fh:
+    with open(os.path.join(here, "BENCH_NEARDUP_CLUSTERED_r13.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"done": True}))
     return 0
