@@ -117,6 +117,22 @@ class ZfinPipeline(SourcePipeline):
     }
     test_ids = ["ZDB-FISH-150901-29105"]
 
+    #: opt-in skew guard for the star probes (round-12 verdict item #7 —
+    #: the MGI posture generalized): False = plain broadcast joins (the
+    #: zp map and background dims are dict-sized, the correct default);
+    #: True = each probe runs the q_key_skew straggler prediction and
+    #: switches to the salted skew_join only when a fact key (a hub
+    #: phenotype octuple shared by most fish rows, or a hub genotype)
+    #: trips the threshold.  Output identical either way (pytest-pinned).
+    guard_skew: bool = False
+
+    def _probe(self, fact: DataFrame, dim: DataFrame, on: str, how: str = "inner") -> DataFrame:
+        """One star probe: broadcast dict-lookup by default, guarded salted
+        join when ``guard_skew`` is set (see broadcast_lookup)."""
+        from dipper_spark.operators.joins import broadcast_lookup
+
+        return broadcast_lookup(fact, dim, on, how, guard=self.guard_skew)
+
     def zp_map(self, spark: SparkSession, raw_dir: str) -> DataFrame:
         """zp-mapping dim: composite key → zp_id (ZFIN.py:2774-2817).  The
         'id' column is 7 '-'-separated parts; 'abnormal' is appended as the
@@ -178,8 +194,7 @@ class ZfinPipeline(SourcePipeline):
     ) -> DataFrame:
         g = self.name
         rows = self._staged_rows(spark, raw_dir, limit=limit, test_mode=test_mode)
-        zp = F.broadcast(self.zp_map(spark, raw_dir))
-        mapped = rows.join(zp, "_zpkey", "left")
+        mapped = self._probe(rows, self.zp_map(spark, raw_dir), "_zpkey", "left")
 
         abnormal = (
             mapped.filter(~F.col("modifier").startswith("normal"))
@@ -357,7 +372,7 @@ class ZfinPipeline(SourcePipeline):
             F.trim("Background Name").alias("background_label"),
         )
         bg_label = F.coalesce("background_label", F.lit("unspecified background"))
-        return per_genotype.join(F.broadcast(backgrounds), "genotype_curie", "left").select(
+        return self._probe(per_genotype, backgrounds, "genotype_curie", "left").select(
             "genotype_curie", "zfin_name", "background_curie",
             "vslc_ids", "vslc_labels", "zygosities",
             F.concat("zfin_name", F.lit(" ("), bg_label, F.lit(")")).alias("genotype_label"),

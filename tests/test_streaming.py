@@ -908,3 +908,84 @@ class TestLateDataContract:
             "select n_events from late_sessions where user_id = 1"
         ).collect()
         assert [r.n_events for r in n1] == [2]
+
+    def test_curation_dedup_funnel_drops_late_duplicate(self, spark, tmp_path):
+        """Round-12 verdict item #8: the curation funnel's watermarked
+        dedup branch gets the same straggler injection as the windowed
+        counts and the sessionizer.  The sharp case: doc 0's dedup state
+        (event time 10:00, 1-hour watermark) is EVICTED once the watermark
+        reaches 12:00 — a late duplicate of its text at 10:30 would pass
+        the fingerprint check as 'new' if the funnel relied on state
+        alone; the watermark's late-drop contract must stop it.  A late
+        NON-duplicate is dropped for lateness too, and an on-time doc
+        flows through; the final sink equals the batch curation of the
+        on-time subset."""
+        import datetime as dt
+
+        from dipper_spark.streaming.curation import curate
+
+        schema = (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ts timestamp"
+        )
+        text_of = TestCheckpointRecovery()._doc_text
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def write(rows):
+            spark.createDataFrame(
+                [
+                    (i, text, "en", "s0", len(text), dt.datetime(2024, 1, 1, h, m))
+                    for (i, text, h, m) in rows
+                ],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(landing)
+
+        def drain():
+            q = (
+                curate(
+                    spark.readStream.schema(schema).parquet(landing),
+                    event_time_col="ts",
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        on_time_1 = [
+            (0, text_of(0), 10, 0),
+            (1, text_of(1), 10, 5),
+            (9, text_of(9), 13, 0),  # advances the watermark to 12:00
+        ]
+        write(on_time_1)
+        drain()
+        mid = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert mid == [0, 1, 9]
+
+        # run 2: late duplicate of doc 0 (state already evicted), a late
+        # fresh doc, and an on-time fresh doc
+        write([
+            (10, text_of(0), 10, 30),   # duplicate text, 90 min late
+            (12, text_of(12), 10, 45),  # fresh text, but late
+            (11, text_of(11), 13, 30),  # on-time
+        ])
+        drain()
+        final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert final == [0, 1, 9, 11]
+
+        # batch equivalence on the on-time subset
+        batch_rows = on_time_1 + [(11, text_of(11), 13, 30)]
+        batch = curate(
+            spark.createDataFrame(
+                [
+                    (i, t, "en", "s0", len(t), dt.datetime(2024, 1, 1, h, m))
+                    for (i, t, h, m) in batch_rows
+                ],
+                schema,
+            )
+        )
+        assert sorted(r.doc_id for r in batch.collect()) == final

@@ -294,3 +294,85 @@ def test_golden_genotype_triples_in_transform(spark, golden_dir):
     assert ("ZFIN:ZDB-GENO-960809-7", "rdf:type", "GENO:0000611") in t
     vslc_edges = [(s, o) for s, p, o in t if p == "GENO:0000382" and s == gt]
     assert len(vslc_edges) == 1 and vslc_edges[0][1].startswith("_:b")
+
+
+# --------------------------------------------------------------------------
+# Guarded star probes (round-12 verdict item #7): the MGI skew-guard posture
+# generalized to a second multi-dim probe flow.  A Zipfian hub octuple (one
+# _zpkey owning most fish rows — the shape a promiscuous phenotype key has
+# at cluster scale) must flip the guarded zp-map probe onto the salted plan
+# WITHOUT changing a single output triple; the default flag and a uniform
+# key keep the plain broadcast join.
+# --------------------------------------------------------------------------
+
+
+class TestGuardedStarJoins:
+    @staticmethod
+    def _zipf_raw(tmp_path_factory):
+        raw = tmp_path_factory.mktemp("zfin_zipf_raw")
+        src = get_pipeline("zfin")
+        # hub octuple (ZFA:0000107) owns 60 of 69 fact rows over 10
+        # distinct keys: straggler factor 60*10/69 ~ 8.7, past the 4x
+        # threshold
+        zp_lines = ["iri\tid", "ZP:0001234\t0-0-ZFA:0000107-PATO:0000587-0-0-0"]
+        rows = []
+        for i in range(60):
+            rows.append(_row(**{
+                "Fish ID": f"ZDB-FISH-HUB-{i}",
+                "Affected Structure or Process 1 superterm ID": "ZFA:0000107",
+                "Phenotype Keyword ID": "PATO:0000587",
+                "Phenotype Tag": "abnormal",
+                "Publication ID": "ZDB-PUB-1",
+            }))
+        for j in range(1, 10):
+            zp_lines.append(
+                f"ZP:000{2000 + j}\t0-0-ZFA:00002{j:02d}-PATO:0000587-0-0-0"
+            )
+            rows.append(_row(**{
+                "Fish ID": f"ZDB-FISH-TAIL-{j}",
+                "Affected Structure or Process 1 superterm ID": f"ZFA:00002{j:02d}",
+                "Phenotype Keyword ID": "PATO:0000587",
+                "Phenotype Tag": "abnormal",
+                "Publication ID": "ZDB-PUB-1",
+            }))
+        (raw / src.files["pheno"].file).write_text("\n".join(rows) + "\n")
+        (raw / src.files["zpmap"].file).write_text("\n".join(zp_lines) + "\n")
+        return str(raw)
+
+    def test_guard_engages_on_planted_hub_key_with_identical_output(
+        self, spark, tmp_path_factory
+    ):
+        from dipper_spark.core import graph_equal
+        from dipper_spark.sources.zfin import ZfinPipeline
+
+        raw = self._zipf_raw(tmp_path_factory)
+        plain = ZfinPipeline()
+        assert plain.guard_skew is False  # the documented default
+        guarded = ZfinPipeline()
+        guarded.guard_skew = True
+
+        g_plain = plain.transform(spark, raw).localCheckpoint(eager=True)
+        g_guard = guarded.transform(spark, raw).localCheckpoint(eager=True)
+        # the guard is a pure plan decision: triple-for-triple identical
+        assert graph_equal(g_plain, g_guard)
+
+        # plan lock: on the planted Zipfian key the guarded probe takes
+        # the salted shape (dim replicated via explode -> Generate); the
+        # plain probe never contains it
+        rows = plain._staged_rows(spark, raw)
+        zp = plain.zp_map(spark, raw)
+        salted = guarded._probe(rows, zp, "_zpkey", "left")
+        assert "explode" in salted._jdf.queryExecution().toString()
+        plain_plan = plain._probe(rows, zp, "_zpkey", "left")
+        assert "explode" not in plain_plan._jdf.queryExecution().toString()
+
+    def test_guard_stays_plain_on_uniform_key(self, spark, raw_dir):
+        from dipper_spark.sources.zfin import ZfinPipeline
+
+        guarded = ZfinPipeline()
+        guarded.guard_skew = True
+        rows = guarded._staged_rows(spark, raw_dir)
+        zp = guarded.zp_map(spark, raw_dir)
+        probed = guarded._probe(rows, zp, "_zpkey", "left")
+        # 3 rows / 2 distinct keys: no straggler prediction, plain plan
+        assert "explode" not in probed._jdf.queryExecution().toString()
