@@ -68,7 +68,9 @@ def main() -> None:
     from dipper_spark.operators.similarity import (
         cosine_topk,
         ivf_topk,
+        ivfpq_index,
         ivfpq_refine_topk,
+        ivfpq_search,
         ivfpq_topk,
     )
     from dipper_spark.session import get_spark, load_table
@@ -154,7 +156,54 @@ def main() -> None:
             }
             print(cfg, out["configs"][cfg], flush=True)
 
-    fname = "BENCH_ANN_r12.json" if fixture == "sf" else "BENCH_ANN_CLUSTERED_r12.json"
+    # ---- search-only operating curve (round-12 verdict item #5) ----------
+    # The residual rows above pay index training INSIDE every timed search
+    # (~11s of each ~15s config at 20k vectors, finding #4) — a deployment
+    # pays that once per corpus snapshot.  Train via ivfpq_index ONCE,
+    # persist the four state tables to parquet (the model-store shape), and
+    # time ivfpq_search alone per nprobe: recall x QUERY-TIME seconds, the
+    # curve a deployment actually reads.
+    import shutil
+    import tempfile
+
+    cents = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+    store = tempfile.mkdtemp(prefix="bench_ann_idx_")
+    t0 = time.time()
+    idx_live = ivfpq_index(
+        emb, cents, n_sub=RES["n_sub"], n_codes=RES["n_codes"],
+        pq_iters=RES["pq_iters"], n_centroids=16,
+    )
+    for name, df in idx_live.items():
+        df.write.mode("overwrite").parquet(os.path.join(store, name))
+    out["index_train_sec"] = round(time.time() - t0, 3)
+    print(f"index trained+persisted in {out['index_train_sec']}s", flush=True)
+    idx = {name: spark.read.parquet(os.path.join(store, name)) for name in idx_live}
+    for engine in ("ivfpq_stored_search", "ivfpq_stored_refine"):
+        for nprobe in NPROBES:
+            def build_stored():
+                if engine == "ivfpq_stored_search":
+                    return ivfpq_search(queries, idx, n_sub=RES["n_sub"], k=K, nprobe=nprobe)
+                return ivfpq_refine_topk(
+                    queries, emb, k=K, nprobe=nprobe,
+                    shortlist=50 * nprobe, n_sub=RES["n_sub"], index=idx,
+                )
+
+            build_stored().count()  # warm-up
+            times, rows = [], None
+            for _ in range(2):
+                t0 = time.time()
+                rows = build_stored().select("query_id", "neighbor_id").collect()
+                times.append(time.time() - t0)
+            cfg = f"{engine}@nprobe={nprobe}"
+            out["configs"][cfg] = {
+                "recall_at_5": recall_of(rows),
+                "sec": round(min(times), 3),
+                "n_result_rows": len(rows),
+            }
+            print(cfg, out["configs"][cfg], flush=True)
+    shutil.rmtree(store, ignore_errors=True)
+
+    fname = "BENCH_ANN_r13.json" if fixture == "sf" else "BENCH_ANN_CLUSTERED_r13.json"
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            fname), "w") as fh:
         json.dump(out, fh, indent=1)
