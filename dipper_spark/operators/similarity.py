@@ -399,21 +399,57 @@ def centroid_neardup(
     misses (measured recall 0.868 -> 1.000 on the clustered-twins audit)
     for 2x index rows.  A pair sharing several cells is deduped by id.
 
+    Plan shape (the generate/verify split every scaled dedup family here
+    uses): the assignment (broadcast product + window) feeds both sides
+    of the self-join, so the blocks frame is eagerly localCheckpoint-ed —
+    without it the O(n*k) scan re-executes per side (the semdedup
+    discipline).  CANDIDATE pairs are generated id-only and deduped
+    BEFORE any vector math (a pair sharing several cells would otherwise
+    be scored per shared cell), then the vectors of just those pairs are
+    fetched back and scored ONCE in a projection — dot over per-row
+    precomputed L2 norms, the same expression tree as ``cosine(e1, e2)``
+    in the same evaluation order, so the value is bit-identical while
+    the per-pair work drops vs scoring inside the join condition
+    (measured 7.5s -> 2.8s warm at sf0.1, identical output).
+
     Returns distinct (id_1, id_2, cos_sim)."""
-    blocks = assign_buckets_multi(vectors, centroids, n_assign)
-    a = blocks.select(
-        F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"), "bucket"
+    from dipper_spark.functions.vectors import dot, l2_norm
+
+    blocks = (
+        assign_buckets_multi(vectors, centroids, n_assign)
+        .select("vec_id", "bucket", "embedding", l2_norm("embedding").alias("_n"))
+        .localCheckpoint(eager=True)
     )
-    b = blocks.select(
-        F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
+    cand = (
+        blocks.select(F.col("vec_id").alias("id_1"), "bucket")
+        .join(blocks.select(F.col("vec_id").alias("id_2"), "bucket"), "bucket")
         .filter(F.col("id_1") < F.col("id_2"))
-        .withColumn("cos_sim", cosine("e1", "e2"))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim"))
+        .select("id_1", "id_2")
         .distinct()
+    )
+    e = blocks.dropDuplicates(["vec_id"]).select("vec_id", "embedding", "_n")
+    scored = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"),
+                F.col("_n").alias("n1"),
+            ),
+            "id_1",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"),
+                F.col("_n").alias("n2"),
+            ),
+            "id_2",
+        )
+        .select(
+            "id_1", "id_2",
+            (dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold).select(
+        "id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 
