@@ -884,3 +884,66 @@ class TestRound13Additions:
         key = lambda r: (r.query_id, r.rank)
         assert sorted(map(tuple, fresh), key=lambda t: (t[0], t[4])) == \
                sorted(map(tuple, retrained), key=lambda t: (t[0], t[4]))
+
+    def test_tokenizer_families_share_one_session_training(self, spark, sf):
+        """q_bpe_merges/_vocab/_encode and q_unigram_tokenizer/_encode
+        consume ONE shared in-session training each (_session_bpe /
+        _session_unigram): repeat calls return the identical checkpointed
+        frames (no retraining), and the encode entries' plans are
+        encode-only over the checkpointed vocab — scans of ExistingRDD,
+        no training stages re-run (zero Python, no cartesian)."""
+        from dipper_spark.plans.catalog_search import (
+            _TOKENIZER_SESSION,
+            _session_bpe,
+            _session_unigram,
+        )
+        from dipper_spark.session import load_table
+
+        docs = load_table(spark, sf, "documents")
+        b1 = _session_bpe(spark, docs, sf)
+        b2 = _session_bpe(spark, docs, sf)
+        assert b1 is b2  # cache hit — no retraining
+        u1 = _session_unigram(spark, docs, sf)
+        u2 = _session_unigram(spark, docs, sf)
+        assert u1 is u2
+        app = spark.sparkContext.applicationId
+        assert (app, sf, "bpe") in _TOKENIZER_SESSION
+        assert (app, sf, "unigram") in _TOKENIZER_SESSION
+        for q in ("q_bpe_encode", "q_unigram_encode"):
+            df = QUERIES[q](spark, sf)
+            final = final_plan_of(df).split("== Initial Plan ==")[0]
+            assert "Python" not in final
+            assert "CartesianProduct" not in final
+            assert "ExistingRDD" in df._jdf.queryExecution().toString()
+
+    def test_session_tokenizer_is_bit_identical_to_retraining(self, spark, sf):
+        """Sharing must be invisible to values: the cached trainings
+        reproduce a from-scratch bpe_train / unigram_train exactly (both
+        trainers are deterministic — integer scores, total-order ties)."""
+        from dipper_spark.operators.bpe import bpe_train
+        from dipper_spark.operators.unigram import unigram_train
+        from dipper_spark.plans.catalog_search import (
+            _BPE_MERGES,
+            _UNI_EM,
+            _UNI_L,
+            _UNI_P,
+            _UNI_V,
+            _session_bpe,
+            _session_unigram,
+        )
+        from dipper_spark.session import load_table
+
+        docs = load_table(spark, sf, "documents")
+        cached_m, cached_v = _session_bpe(spark, docs, sf)
+        fresh_m, fresh_v = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+        assert sorted(map(tuple, cached_m.collect())) == \
+               sorted(map(tuple, fresh_m.collect()))
+        assert sorted(map(tuple, cached_v.collect())) == \
+               sorted(map(tuple, fresh_v.collect()))
+        cached_model, _ = _session_unigram(spark, docs, sf)
+        fresh_model, _ = unigram_train(
+            docs, "text", piece_max_len=_UNI_P, top_pieces=_UNI_V,
+            em_iters=_UNI_EM, word_max_len=_UNI_L,
+        )
+        assert sorted(map(tuple, cached_model.collect())) == \
+               sorted(map(tuple, fresh_model.collect()))
