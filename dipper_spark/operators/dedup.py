@@ -104,12 +104,22 @@ def jaccard_pairs_from_sets(
         return j.filter(F.col("jaccard") >= threshold).select("id_1", "id_2", "jaccard")
     # ---- pruned (100 TB) path ----------------------------------------
     # one tokenization pass: the shingle sets feed the doc-freq
-    # aggregation, both sides of the candidate self-join, the candidate-id
-    # dim AND the verify payload joins — these branches run as concurrent
-    # stages, so an EAGER localCheckpoint is the only way they share the
-    # computed partitions instead of each re-running the regex tokenizer
-    # (lazy checkpointing measured no faster at sf0.1; the durable 100 TB
-    # analog is a parquet staging write of the shingle sets)
+    # aggregation, both sides of the candidate self-join, the size dim AND
+    # the hot-correction dim — these branches run as concurrent stages, so
+    # an EAGER localCheckpoint is the only way they share the computed
+    # partitions instead of each re-running the regex tokenizer (lazy
+    # checkpointing measured no faster at sf0.1; the durable 100 TB analog
+    # is a parquet staging write of the shingle sets).
+    #
+    # Count, don't intersect: the kept-index self-join already meets each
+    # candidate pair once per SHARED KEPT SHINGLE, so groupBy(id_1, id_2)
+    # counts |A∩B ∩ kept| directly — replacing the former distinct +
+    # full-set array_intersect verify, whose per-pair scan of two ~200-
+    # string arrays dominated the query (4.3s of 11s at sf0.1).  The full
+    # intersection is kept_common + |hotA ∩ hotB|, where the per-doc HOT
+    # arrays are bounded by the (vocabulary-small) hot-shingle table, so
+    # the only per-doc payloads that ever ship are longs and hot arrays —
+    # the full sets never leave their scan.
     sets = sets.localCheckpoint(eager=True)
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     hot = (
@@ -120,34 +130,39 @@ def jaccard_pairs_from_sets(
     )
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
-    cands = (
+    pair_common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("kept_common"))
     )
-    # verify only needs set payloads for CANDIDATE docs.  The candidate-id
-    # dim is derived WITHOUT re-running the pair join: a doc participates
-    # in a candidate pair iff one of its kept shingles occurs in ≥2 docs —
-    # so `cands` itself stays single-consumer and its LeftAnti+equi-join
-    # plan shape survives into the final physical plan.
-    shared = (
-        kept.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("kdf"))
-        .filter(F.col("kdf") >= 2)
-        .select("shingle")
+    sizes = sets.select("id", F.size("sh_set").alias("n_sh"))
+    hot_sets = (
+        sh.join(F.broadcast(hot), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("shingle").alias("hot_sh"))
     )
-    cand_ids = (
-        kept.join(F.broadcast(shared), "shingle", "left_semi").select("id").distinct()
+    ver = (
+        pair_common.join(
+            sizes.select(F.col("id").alias("id_1"), F.col("n_sh").alias("n_1")), "id_1"
+        )
+        .join(sizes.select(F.col("id").alias("id_2"), F.col("n_sh").alias("n_2")), "id_2")
+        .join(
+            hot_sets.select(F.col("id").alias("id_1"), F.col("hot_sh").alias("hot_1")),
+            "id_1", "left",
+        )
+        .join(
+            hot_sets.select(F.col("id").alias("id_2"), F.col("hot_sh").alias("hot_2")),
+            "id_2", "left",
+        )
     )
-    cand_sets = sets.join(F.broadcast(cand_ids), "id")
-    withsets = (
-        cands.join(cand_sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
-        .join(cand_sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")
-    )
-    inter = F.size(F.array_intersect("set_1", "set_2"))
-    union = F.size("set_1") + F.size("set_2") - inter
+    hot_common = F.when(
+        F.col("hot_1").isNotNull() & F.col("hot_2").isNotNull(),
+        F.size(F.array_intersect("hot_1", "hot_2")),
+    ).otherwise(F.lit(0))
+    n_common = F.col("kept_common") + hot_common
+    union = F.col("n_1") + F.col("n_2") - n_common
     return (
-        withsets.withColumn("jaccard", inter / union)
+        ver.withColumn("jaccard", n_common / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )
@@ -202,9 +217,11 @@ def containment_pairs(
             .filter(cont >= threshold)
             .select("id_1", "id_2", cont.alias("containment"))
         )
-    # ---- pruned (100 TB) path: candidates on the cooled index, verify on
-    # full sets.  Same shared-tokenize localCheckpoint rationale as
-    # jaccard_pairs (four consumers of the shingle-set scan).
+    # ---- pruned (100 TB) path: candidates on the cooled index, counted
+    # verification (see jaccard_pairs_from_sets — the kept-index self-join
+    # meets each ordered pair once per shared kept shingle, so the groupBy
+    # count IS |A∩B ∩ kept|; the hot correction joins the vocabulary-
+    # bounded per-doc hot arrays; full sets never ship).
     sets = sets.localCheckpoint(eager=True)
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     hot = (
@@ -215,31 +232,37 @@ def containment_pairs(
     )
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
-    cands = (
+    pair_common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")))
-        .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("kept_common"))
     )
-    # candidate-id dim derived without re-running the pair join (see
-    # jaccard_pairs): a doc is in some candidate pair iff one of its kept
-    # shingles occurs in >= 2 docs
-    shared = (
-        kept.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("kdf"))
-        .filter(F.col("kdf") >= 2)
-        .select("shingle")
+    sizes = sets.select("id", F.size("sh_set").alias("n_sh"))
+    hot_sets = (
+        sh.join(F.broadcast(hot), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("shingle").alias("hot_sh"))
     )
-    cand_ids = (
-        kept.join(F.broadcast(shared), "shingle", "left_semi").select("id").distinct()
+    ver = (
+        pair_common.join(
+            sizes.select(F.col("id").alias("id_1"), F.col("n_sh").alias("n_1")), "id_1"
+        )
+        .join(
+            hot_sets.select(F.col("id").alias("id_1"), F.col("hot_sh").alias("hot_1")),
+            "id_1", "left",
+        )
+        .join(
+            hot_sets.select(F.col("id").alias("id_2"), F.col("hot_sh").alias("hot_2")),
+            "id_2", "left",
+        )
     )
-    cand_sets = sets.join(F.broadcast(cand_ids), "id")
-    withsets = (
-        cands.join(cand_sets.select(F.col("id").alias("id_1"), F.col("sh_set").alias("set_1")), "id_1")
-        .join(cand_sets.select(F.col("id").alias("id_2"), F.col("sh_set").alias("set_2")), "id_2")
-    )
-    cont = F.size(F.array_intersect("set_1", "set_2")) / F.size("set_1").cast("double")
+    hot_common = F.when(
+        F.col("hot_1").isNotNull() & F.col("hot_2").isNotNull(),
+        F.size(F.array_intersect("hot_1", "hot_2")),
+    ).otherwise(F.lit(0))
+    cont = (F.col("kept_common") + hot_common) / F.col("n_1").cast("double")
     return (
-        withsets.withColumn("containment", cont)
+        ver.withColumn("containment", cont)
         .filter(F.col("containment") >= threshold)
         .select("id_1", "id_2", "containment")
     )
