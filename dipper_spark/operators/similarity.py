@@ -123,14 +123,24 @@ def assign_buckets(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = ensure_parallelism(vectors).join(c, F.lit(True)).select(
         "vec_id", "embedding", "cent_id", cosine("embedding", "cent_emb").alias("cent_cos")
     )
+    # argmax as ONE hash aggregation (map-side partial, no sort): max of
+    # struct(cos, -cent_id) implements (cos DESC, cent_id ASC) exactly —
+    # the k=1 window form shuffled AND sorted every (vector, centroid) row
+    best = F.struct(
+        F.col("cent_cos").alias("c"),
+        (-F.col("cent_id")).alias("nc"),
+        F.col("cent_id").alias("cent_id"),
+        F.col("embedding").alias("embedding"),
+    )
     return (
-        topk_per_group(
-            scored,
+        scored.select("vec_id", best.alias("_t"))
+        .groupBy("vec_id")
+        .agg(F.max("_t").alias("_t"))
+        .select(
             "vec_id",
-            [F.col("cent_cos").desc(), F.col("cent_id").asc()],
-            k=1,
+            F.col("_t.embedding").alias("embedding"),
+            F.col("_t.cent_id").alias("bucket"),
         )
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
     )
 
 
@@ -838,9 +848,20 @@ def pq_encode(
     scored = sliced.join(F.broadcast(codebooks), "s").select(
         "vec_id", "s", "code", score.alias("ip")
     )
-    return topk_per_group(
-        scored, ["vec_id", "s"], [F.col("ip").desc(), F.col("code").asc()], k=1
-    ).select("vec_id", "s", "code")
+    # argmax as ONE hash aggregation (same discipline as assign_buckets):
+    # max of struct(ip, -code) == (ip DESC, code ASC), no per-row sort —
+    # this is the encode hot path (corpus x n_sub x n_codes rows)
+    best = F.struct(
+        F.col("ip").alias("ip"),
+        (-F.col("code")).alias("nc"),
+        F.col("code").alias("code"),
+    )
+    return (
+        scored.select("vec_id", "s", best.alias("_t"))
+        .groupBy("vec_id", "s")
+        .agg(F.max("_t").alias("_t"))
+        .select("vec_id", "s", F.col("_t.code").alias("code"))
+    )
 
 
 def pq_codebooks_refined(
@@ -900,15 +921,20 @@ def pq_codebooks_refined(
     # lazy localCheckpoint would re-derive it per consumer stage)
     sliced = sliced.localCheckpoint(eager=True)
     for _ in range(n_iter):
-        enc = topk_per_group(
-            sliced.join(F.broadcast(cb), "s").select(
-                "vec_id", "s", "code",
-                (dot("xs", "sub") - F.lit(0.5) * dot("sub", "sub")).alias("ip"),
-            ),
-            ["vec_id", "s"],
-            [F.col("ip").desc(), F.col("code").asc()],
-            k=1,
-        ).select("vec_id", "s", "code")
+        # argmax via max(struct(ip, -code)) — one hash agg per iteration,
+        # no sort (the pq_encode discipline)
+        _t = F.struct(
+            (dot("xs", "sub") - F.lit(0.5) * dot("sub", "sub")).alias("ip"),
+            (-F.col("code")).alias("nc"),
+            F.col("code").alias("code"),
+        )
+        enc = (
+            sliced.join(F.broadcast(cb), "s")
+            .select("vec_id", "s", _t.alias("_t"))
+            .groupBy("vec_id", "s")
+            .agg(F.max("_t").alias("_t"))
+            .select("vec_id", "s", F.col("_t.code").alias("code"))
+        )
         cb = (
             sliced.join(enc, ["vec_id", "s"])
             .select("s", "code", F.posexplode("xs").alias("dim", "v"))
@@ -1198,6 +1224,47 @@ def ivfpq_search(
         )
     )
     return _ivfpq_score(queries, cents, quantized, k=k, nprobe=nprobe)
+
+
+def ivfpq_index_append(
+    new_vectors: DataFrame,
+    index: dict[str, DataFrame],
+    n_sub: int = 4,
+    dim: int = 64,
+) -> dict[str, DataFrame]:
+    """APPEND new vectors to a trained residual IVFADC index WITHOUT
+    retraining — the FAISS ``add()`` discipline: the coarse quantizer and
+    the residual codebooks are FROZEN, so appending is pure apply work
+    (coarse-assign against the stored centroids, min-L2 encode the
+    residuals against the stored codebooks) and every existing code stays
+    valid.  This is how a 100 TB deployment absorbs daily embedding
+    shards: train once on the first snapshot, append every later shard at
+    scan speed, retrain only when drift audits say the quantizer has
+    staled.
+
+    Because PQ encoding is row-wise, ``append(delta, index_on(base))``
+    produces exactly the codes that encoding ``base ∪ delta`` against the
+    same frozen codebooks would — the property the q_ann_index_append
+    oracle pins (train CTEs restricted to the base shard, encode over the
+    full corpus).
+
+    Returns the same four-table index dict with ``codes`` and ``buckets``
+    extended; ``centroids``/``codebooks`` pass through untouched."""
+    res = ivf_residuals(new_vectors, index["centroids"])
+    new_codes = pq_encode(
+        res, index["codebooks"], n_sub, dim, vec_col="rx", normalize=False,
+        objective="l2",
+    )
+    return {
+        "centroids": index["centroids"],
+        "codebooks": index["codebooks"],
+        "codes": index["codes"].select("vec_id", "s", "code").unionByName(
+            new_codes.select("vec_id", "s", "code")
+        ),
+        "buckets": index["buckets"].select("vec_id", "bucket").unionByName(
+            res.select("vec_id", "bucket")
+        ),
+    }
 
 
 def _ivfpq_score(

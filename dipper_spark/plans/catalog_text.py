@@ -894,13 +894,20 @@ def _pqr_enc_sql(cb: str) -> str:
         FROM rsl sl JOIN {cb} c ON c.s = sl.s) WHERE rn = 1"""
 
 
-def _pqr_ctes() -> str:
+def _pqr_ctes(train_max_vec: int | None = None) -> str:
     """Shared residual-IVFADC pipeline CTEs: normalize → coarse-assign →
     residuals → sampled residual codebooks (offset past the centroid rows,
     whose own residuals are exactly zero) → one unrolled Lloyd iteration
     with the exact-integer codeword mean ((sum(q)/n)/2^20, partition-
     layout-invariant on both engines) → final encode → reconstruct
-    ax = cn + decode(codes)."""
+    ax = cn + decode(codes).
+
+    ``train_max_vec``: restrict the Lloyd mean updates to vectors with
+    ``vec_id < train_max_vec`` — the q_ann_index_append contract (the
+    quantizer trains on the base shard only; later shards are encoded
+    against the frozen codebooks and never move them).  The final encode
+    always covers the full corpus; with the default ``None`` every row
+    trains, which is byte-for-byte the pre-round-13 pipeline."""
     subs = ", ".join(str(s) for s in range(_PQR_SUB))
     parts = [f"""nrm AS (SELECT vec_id, {_PQ_NORM} AS x FROM embeddings),
     cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
@@ -927,6 +934,9 @@ def _pqr_ctes() -> str:
              FROM rsub CROSS JOIN res r
              WHERE r.vec_id >= 16 AND r.vec_id < {16 + _PQR_CODES})"""]
     prev = "rcb0"
+    train_where = (
+        f"WHERE sl.vec_id < {train_max_vec}" if train_max_vec is not None else ""
+    )
     for t in range(1, _PQR_IT + 1):
         parts.append(f""",
     renc{t - 1} AS ({_pqr_enc_sql(prev)}),
@@ -936,7 +946,7 @@ def _pqr_ctes() -> str:
             SELECT e.s, e.code, generate_subscripts(sl.xs, 1) AS dim,
                    CAST(floor(unnest(sl.xs) * {_PQR_G} + 0.5) AS BIGINT) AS q
             FROM rsl sl JOIN renc{t - 1} e
-              ON e.vec_id = sl.vec_id AND e.s = sl.s)
+              ON e.vec_id = sl.vec_id AND e.s = sl.s {train_where})
         GROUP BY s, code, dim)
         GROUP BY s, code)""")
         prev = f"rcb{t}"
@@ -1050,6 +1060,94 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(
         emb.filter(F.col("vec_id") < _PQ_K),
         _stored_ivfpq_index(spark, emb),
+        n_sub=_PQR_SUB, dim=_PQ_DIM, k=_PQ_K, nprobe=1,
+    )
+
+
+# ---- incremental index maintenance (FAISS add() discipline) ------------------
+# The base shard (vec_id < _APPEND_BASE) trains the quantizer once and
+# persists it; every later shard is APPENDED — coarse-assigned against the
+# frozen centroids and encoded against the frozen codebooks — without a
+# single training stage.  256 keeps the 16 seed centroids and the 64
+# offset-sampled codebook rows strictly inside the base shard at every SF.
+_APPEND_BASE = 256
+
+_ANN_APPEND_SQL = f"""
+    WITH {_pqr_ctes(_APPEND_BASE)},
+    qa AS (SELECT a.vec_id AS query_id, n.x AS qx, a.bucket
+           FROM assign a JOIN nrm n ON n.vec_id = a.vec_id
+           WHERE a.vec_id < {_PQ_K}),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket,
+                      {_pq_dot('q.qx', 'c.ax')} AS ip
+               FROM qa q JOIN quant c
+                 ON c.bucket = q.bucket AND c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket,
+           round(ip, 6) AS approx_ip, rank
+    FROM (SELECT query_id, neighbor_id, bucket, ip,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ip DESC, neighbor_id)
+                      AS BIGINT) AS rank
+          FROM scored)
+    WHERE rank <= {_PQ_K}
+    """
+
+
+def _stored_append_base_index(spark: SparkSession, emb: DataFrame) -> dict:
+    """Train-once on the BASE shard only (vec_id < _APPEND_BASE) and
+    persist — the artifact q_ann_index_append appends later shards to."""
+    from dipper_spark.io.model_store import get_or_train, input_fingerprint
+    from dipper_spark.operators.similarity import ivfpq_index
+
+    base = emb.filter(F.col("vec_id") < _APPEND_BASE)
+    params = {
+        "trainer": "ivfpq_index/v1",
+        "n_centroids": 16,
+        "n_sub": _PQR_SUB,
+        "n_codes": _PQR_CODES,
+        "pq_iters": _PQR_IT,
+        "dim": _PQ_DIM,
+        "base_max_vec": _APPEND_BASE,
+    }
+
+    def trainer():
+        cents = base.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+        return ivfpq_index(
+            base, cents, n_sub=_PQR_SUB, n_codes=_PQR_CODES, dim=_PQ_DIM,
+            pq_iters=_PQR_IT, n_centroids=16,
+        )
+
+    art = get_or_train(
+        spark, "ivfpq_base_embeddings", params, trainer,
+        kind="ann/ivfpq", data_fingerprint=input_fingerprint(base),
+    )
+    return {k: art.table(k) for k in ("centroids", "codebooks", "codes", "buckets")}
+
+
+@register("q_ann_index_append", _ANN_APPEND_SQL)
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the FAISS ``add()`` discipline a
+    100 TB deployment lives by: the quantizer (coarse centroids +
+    residual codebooks) trained ONCE on the base shard and persisted via
+    the model store; every later embedding shard is APPENDED by
+    ivfpq_index_append — coarse-assign against the frozen centroids,
+    min-L2 encode the residuals against the frozen codebooks — with zero
+    training stages, then searched exactly like a from-scratch index.
+    Because PQ encoding is row-wise, the appended index is bit-identical
+    to encoding the full corpus against the base-trained quantizer,
+    which is precisely what the oracle derives (training CTEs restricted
+    to vec_id < {base}, final encode over everything).  Daily-shard
+    economics: append cost is one scan + broadcast joins over the NEW
+    rows only; the stored codes/buckets never recompute."""
+    from dipper_spark.operators.similarity import ivfpq_index_append, ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") >= _APPEND_BASE)
+    idx = ivfpq_index_append(
+        delta, _stored_append_base_index(spark, emb),
+        n_sub=_PQR_SUB, dim=_PQ_DIM,
+    )
+    return ivfpq_search(
+        emb.filter(F.col("vec_id") < _PQ_K), idx,
         n_sub=_PQR_SUB, dim=_PQ_DIM, k=_PQ_K, nprobe=1,
     )
 

