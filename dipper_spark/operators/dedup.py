@@ -56,9 +56,11 @@ def jaccard_pairs(
        than that many documents are dropped from the index FIRST (broadcast
        anti-join against the small hot-shingle table) — one boilerplate
        shingle shared by 1M docs would otherwise mint 10¹² candidate rows.
-    2. **verify** — exact Jaccard via ``array_intersect`` over the full
-       per-doc shingle sets, so pruning never distorts the similarity value
-       of a surfaced pair.
+    2. **verify** — exact Jaccard by COUNTING: the candidate self-join
+       meets each pair once per shared kept shingle (groupBy count), the
+       hot remainder comes from per-doc hot arrays bounded by the hot
+       table, so pruning never distorts the similarity value of a
+       surfaced pair and full sets never ship.
 
     Approximation contract: with pruning on, a pair whose ONLY shared
     shingles are hot ones is missed (pure-boilerplate duplicates) — the
@@ -188,8 +190,9 @@ def containment_pairs(
        from the index FIRST (broadcast anti-join against the small hot table)
        — the 100 TB guard: one boilerplate shingle in 1M docs would mint
        10¹² candidate rows.
-    2. **verify** — exact containment via ``array_intersect`` over the FULL
-       per-doc shingle sets; the denominator is the contained side's full
+    2. **verify** — exact containment by COUNTING (the
+       :func:`jaccard_pairs` discipline: self-join meet count + per-doc
+       hot-array remainder); the denominator is the contained side's full
        set size, so pruning never distorts the value of a surfaced pair.
 
     Approximation contract mirrors ``jaccard_pairs``: with pruning on, a
