@@ -23,6 +23,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     broadcast_ranks: bool = True,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iters`` synchronous
     iterations from the uniform distribution.
@@ -34,8 +35,11 @@ def pagerank(
     redistribution needed).  Per iteration: one equi-join of the static
     (edge, outdeg) frame against the rank frame on the source key and one
     hash-agg on the destination.  The (edge, outdeg) frame is computed
-    once and checkpointed; the rank frame (node-sized) is checkpointed per
-    iteration to truncate lineage.
+    once and checkpointed; the rank frame is checkpointed every
+    ``checkpoint_every`` iterations to truncate lineage — short fixed
+    chains (the catalog's 5) stay PURE-LAZY, one job instead of one per
+    iteration (each eager checkpoint is a driver-paced barrier; measured
+    12.2s→7.0s warm at sf0.1), while long chains still bound plan depth.
 
     ``broadcast_ranks=True`` (default) hash-broadcasts the rank frame into
     the per-iteration join: the edge list — orders of magnitude bigger
@@ -59,8 +63,8 @@ def pagerank(
     n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("r")
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    )
+    for i in range(iters):
         rsrc = ranks.select(F.col("node").alias("src"), "r")
         if broadcast_ranks:
             rsrc = F.broadcast(rsrc)
@@ -69,17 +73,15 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("outdeg")).alias("in_r"))
         )
-        ranks = (
-            contribs.crossJoin(F.broadcast(n_frame))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) / F.col("nn")
-                    + F.lit(damping) * F.col("in_r")
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = contribs.crossJoin(F.broadcast(n_frame)).select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("nn")
+                + F.lit(damping) * F.col("in_r")
+            ).alias("r"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank"))
 
 
