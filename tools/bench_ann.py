@@ -201,6 +201,45 @@ def main() -> None:
                 "n_result_rows": len(rows),
             }
             print(cfg, out["configs"][cfg], flush=True)
+
+    # ---- incremental append cost (round-13): shard-append vs retrain ------
+    # A deployment absorbing a daily shard pays assign+encode of the NEW
+    # rows only (ivfpq_index_append, frozen quantizer) — compare that to
+    # the full retrain above (index_train_sec).  Delta = last 25% of the
+    # corpus; the appended index must answer search bit-identically to an
+    # index whose codes covered the full corpus from the start, so recall
+    # at nprobe=2 is recorded as the sanity check.
+    from dipper_spark.operators.similarity import ivfpq_index_append
+
+    n_total = emb.count()
+    cut = int(n_total * 3 / 4)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    base_idx = {
+        "centroids": idx["centroids"],
+        "codebooks": idx["codebooks"],
+        "codes": idx["codes"].join(delta.select("vec_id"), "vec_id", "left_anti"),
+        "buckets": idx["buckets"].join(delta.select("vec_id"), "vec_id", "left_anti"),
+    }
+    times = []
+    appended = None
+    for _ in range(2):
+        t0 = time.time()
+        appended = ivfpq_index_append(delta, base_idx, n_sub=RES["n_sub"])
+        appended["codes"].count()
+        appended["buckets"].count()
+        times.append(time.time() - t0)
+    rows = (
+        ivfpq_search(queries, appended, n_sub=RES["n_sub"], k=K, nprobe=2)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    out["append"] = {
+        "n_delta": n_total - cut,
+        "append_sec": round(min(times), 3),
+        "retrain_sec": out["index_train_sec"],
+        "recall_at_5_after_append@nprobe=2": recall_of(rows),
+    }
+    print("append", out["append"], flush=True)
     shutil.rmtree(store, ignore_errors=True)
 
     fname = "BENCH_ANN_r13.json" if fixture == "sf" else "BENCH_ANN_CLUSTERED_r13.json"
