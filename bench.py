@@ -139,6 +139,8 @@ HEADLINE = [
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_ann_ivfpq_stored",
+    "q_ann_index_append",
+    "q_ann_bucket_drift",
     "q_ann_ivfpq_recall",
     "q_matryoshka_recall",
     "q_embedding_neardup",

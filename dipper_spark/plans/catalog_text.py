@@ -1152,6 +1152,90 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_NC = 16  # coarse buckets — the Laplace-smoothing denominator
+
+
+@register(
+    "q_ann_bucket_drift",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_EC} DESC, cent.cid) AS rn
+        FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+    c AS (SELECT bucket,
+                 count(*) FILTER (WHERE vec_id < {_APPEND_BASE}) AS n_base,
+                 count(*) FILTER (WHERE vec_id >= {_APPEND_BASE}) AS n_new
+          FROM assign GROUP BY bucket),
+    tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS ta,
+                   CAST(sum(n_new) AS BIGINT) AS tb FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(round((CAST(n_base + 1 AS DOUBLE)
+                       / CAST(ta + {_DRIFT_NC} AS DOUBLE)
+                       - CAST(n_new + 1 AS DOUBLE)
+                         / CAST(tb + {_DRIFT_NC} AS DOUBLE))
+                      * ln((CAST(n_base + 1 AS DOUBLE)
+                            / CAST(ta + {_DRIFT_NC} AS DOUBLE))
+                           / (CAST(n_new + 1 AS DOUBLE)
+                              / CAST(tb + {_DRIFT_NC} AS DOUBLE)))
+                      * 1000000000.0) AS BIGINT) AS psi_term_nano
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_ann_bucket_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN TRIGGER for the append-only index: PSI between the
+    base shard's IVF bucket occupancy (read straight from the stored
+    artifact — zero recompute) and the appended shards' occupancy under
+    the same frozen centroids.  A quantizer stays healthy while new data
+    lands in cells at the trained proportions; occupancy drift means the
+    Voronoi partition no longer matches the data and the ADC error grows
+    — Σ psi_term (>0.2 by the standard PSI rule of thumb) is the signal
+    that q_ann_index_append's docstring defers to.  Same exact-integer
+    nano-term discipline as q_drift_psi (ln in a value position only);
+    both report tables are bucket-sized, the only corpus-sized work is
+    the delta assignment the append pays anyway."""
+    from dipper_spark.operators.similarity import assign_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _stored_append_base_index(spark, emb)
+    base_occ = (
+        idx["buckets"].groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    delta = emb.filter(F.col("vec_id") >= _APPEND_BASE)
+    new_occ = (
+        assign_buckets(delta, idx["centroids"])
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    c = (
+        base_occ.join(new_occ, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = c.agg(
+        F.sum("n_base").cast("long").alias("ta"),
+        F.sum("n_new").cast("long").alias("tb"),
+    )
+    pa = (F.col("n_base") + 1).cast("double") / (F.col("ta") + _DRIFT_NC).cast("double")
+    pb = (F.col("n_new") + 1).cast("double") / (F.col("tb") + _DRIFT_NC).cast("double")
+    term = (pa - pb) * F.log(pa / pb)
+    return c.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.round(term * 1000000000.0).cast("long").alias("psi_term_nano"),
+    )
+
+
 @register(
     "q_ann_ivfpq_recall",
     f"""
