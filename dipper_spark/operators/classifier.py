@@ -80,6 +80,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dipper_spark.functions.text import EN_STOPWORDS, tokens
+from dipper_spark.operators.util import ensure_parallelism
 
 SCALE = 1_000_000
 BIAS, REL_LEN, ALPHA, STOP, WORDLEN = -1, -2, -3, -4, -5
@@ -104,21 +105,38 @@ def _micro(numer, denom):
     ).cast("long")
 
 
-def classifier_grains(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64
+def _grain_base(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple = (), checkpoint: bool = False
 ) -> DataFrame:
-    """Micro-feature grain table ``(id, n, bucket, fx)``: one row per
-    (document, active feature).  One corpus scan; the only shuffle is the
-    map-side-partial count on (id, bucket)."""
-    base = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
-    ).withColumn("n", F.size("_toks").cast("long"))
+    """``(id, _toks, n, *carry)`` — the single tokenize pass both grain
+    branches read.  ``ensure_parallelism`` first: a labeled slice or a
+    small corpus often scans as ONE parquet split, which would run the
+    regex tokenizer (the dominant per-row cost) on one core while 31 idle.
+    ``checkpoint=True`` (the trainer) materializes the pass eagerly so the
+    hashed branch, the dense branch and the label all share computed
+    partitions — legitimate for a labeling-cost-bounded training slice;
+    the apply path stays LAZY (checkpointing token arrays of a 100 TB
+    corpus would be a full materialization, not scan speed)."""
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            tokens(text_col).alias("_toks"),
+            *[F.col(c) for c in carry],
+        )
+        .withColumn("n", F.size("_toks").cast("long"))
+    )
+    return base.localCheckpoint(eager=True) if checkpoint else base
+
+
+def _grains_from_base(base: DataFrame, n_buckets: int, carry: tuple = ()) -> DataFrame:
+    keep = list(carry)
     hashed = (
-        base.select("id", "n", F.explode("_toks").alias("t"))
+        base.select("id", "n", *keep, F.explode("_toks").alias("t"))
         .withColumn("bucket", _bucket_expr("t", n_buckets))
-        .groupBy("id", "n", "bucket")
+        .groupBy("id", "n", *keep, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .select("id", "n", "bucket", _micro(F.col("cnt"), F.col("n")).alias("fx"))
+        .select("id", "n", *keep, "bucket", _micro(F.col("cnt"), F.col("n")).alias("fx"))
     )
     t = F.col("_toks")
     dense_vals = [
@@ -137,7 +155,7 @@ def classifier_grains(
         )),
     ]
     dense = base.select(
-        "id", "n",
+        "id", "n", *keep,
         F.explode(
             F.array(*[
                 F.struct(
@@ -146,8 +164,22 @@ def classifier_grains(
                 for b, v in dense_vals
             ])
         ).alias("_f"),
-    ).select("id", "n", F.col("_f.bucket").alias("bucket"), F.col("_f.fx").alias("fx"))
+    ).select(
+        "id", "n", *keep,
+        F.col("_f.bucket").alias("bucket"), F.col("_f.fx").alias("fx"),
+    )
     return hashed.unionByName(dense)
+
+
+def classifier_grains(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Micro-feature grain table ``(id, n, bucket, fx)``: one row per
+    (document, active feature).  One corpus scan; the only shuffle is the
+    map-side-partial count on (id, bucket)."""
+    return _grains_from_base(
+        _grain_base(df, id_col, text_col), n_buckets
+    )
 
 
 def _weight_lit(weights: dict[int, int]):
@@ -242,8 +274,16 @@ def linear_classifier_train(
     is the normal one."""
     spark = df.sparkSession
     y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast("long")
-    labels = df.select(F.col(id_col).alias("id"), y.alias("y"))
-    n_docs = labels.count()
+    # ONE tokenize pass, parallel and eagerly checkpointed, with the label
+    # carried through both grain branches — the former shape tokenized the
+    # slice twice (hashed + dense branches) plus once more for the labels
+    # frame and then joined labels back on id; a one-file slice ran all of
+    # that on a single core (guide §2.5 input skew / §1.2: remove passes)
+    labeled = df.select(
+        F.col(id_col).alias("_cid"), F.col(text_col).alias("_ctext"), y.alias("y")
+    )
+    base = _grain_base(labeled, "_cid", "_ctext", carry=("y",), checkpoint=True)
+    n_docs = base.count()
     # size the checkpointed grain table by volume (~70 grains/doc, target
     # ~500k grains per partition), capped at the cluster parallelism —
     # 16 iterations of driver-paced jobs over 32 near-empty partitions is
@@ -257,9 +297,8 @@ def linear_classifier_train(
         ),
     )
     feat = (
-        classifier_grains(df, id_col, text_col, n_buckets)
-        .join(labels, "id")
-        .select("id", "bucket", "fx", "y")
+        _grains_from_base(base, n_buckets, carry=("y",))
+        .select("id", "bucket", "fx", F.col("y").cast("long").alias("y"))
         .repartition(n_part, "id")
         .localCheckpoint(eager=True)
     )
