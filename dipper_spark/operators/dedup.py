@@ -78,16 +78,27 @@ def jaccard_pairs_from_sets(
     sets: DataFrame,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """:func:`jaccard_pairs` body over a pre-built ``(id, sh_set)`` frame —
     the composition surface: an audit that derives several dedup signals
     from ONE tokenize pass (see ``q_dedup_agreement``) hands each operator
-    its frame instead of re-scanning the corpus per signal."""
-    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
+    its frame instead of re-scanning the corpus per signal.
+
+    ``checkpoint=False`` when the caller hands in an ALREADY materialized
+    frame (``q_lsh_recall`` shares one checkpointed sets frame between the
+    exact-truth and LSH pipelines) — a second eager checkpoint would copy
+    the partitions for nothing."""
+    if checkpoint:
+        sets = sets.localCheckpoint(eager=True)
     if max_doc_freq is None:
         # exact path: the intersection count falls straight out of the
         # inverted-index self-join's groupBy — no set payloads shuffle and no
-        # candidate distinct is needed
+        # candidate distinct is needed.  The shingle stream feeds three
+        # concurrent consumers (sizes + both self-join sides), which is why
+        # the sets frame was checkpointed above — without it each consumer
+        # re-runs the regex tokenizer over the corpus
+        sh = sets.select("id", F.explode("sh_set").alias("shingle"))
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
@@ -122,13 +133,17 @@ def jaccard_pairs_from_sets(
     # arrays are bounded by the (vocabulary-small) hot-shingle table, so
     # the only per-doc payloads that ever ship are longs and hot arrays —
     # the full sets never leave their scan.
-    sets = sets.localCheckpoint(eager=True)
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
+    # hot feeds BOTH the anti-join (kept index) and the semi-join (per-doc
+    # hot arrays); without an eager checkpoint each consumer re-runs the
+    # full-shingle-stream doc-freq shuffle (guide §2.4: remove duplicate
+    # exchanges).  The frame is vocabulary-small by construction.
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") > max_doc_freq)
         .select("shingle")
+        .localCheckpoint(eager=True)
     )
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
@@ -138,10 +153,14 @@ def jaccard_pairs_from_sets(
         .agg(F.count(F.lit(1)).alias("kept_common"))
     )
     sizes = sets.select("id", F.size("sh_set").alias("n_sh"))
+    # consumed twice (the id_1 and id_2 hot-correction joins): checkpoint so
+    # the semi-join + collect pass runs once; bounded by docs owning at
+    # least one hot shingle
     hot_sets = (
         sh.join(F.broadcast(hot), "shingle", "left_semi")
         .groupBy("id")
         .agg(F.collect_list("shingle").alias("hot_sh"))
+        .localCheckpoint(eager=True)
     )
     ver = (
         pair_common.join(
@@ -205,7 +224,10 @@ def containment_pairs(
     )
     if max_doc_freq is None:
         # exact path: intersection count falls out of the inverted-index
-        # self-join's groupBy; only the contained side's size is joined back
+        # self-join's groupBy; only the contained side's size is joined back.
+        # sets feeds three concurrent consumers (sizes + both join sides) —
+        # checkpoint once so the tokenizer runs once (jaccard discipline)
+        sets = sets.localCheckpoint(eager=True)
         sh = sets.select("id", F.explode("sh_set").alias("shingle"))
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
@@ -227,11 +249,16 @@ def containment_pairs(
     # bounded per-doc hot arrays; full sets never ship).
     sets = sets.localCheckpoint(eager=True)
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
+    # hot feeds BOTH the anti-join (kept index) and the semi-join (per-doc
+    # hot arrays); without an eager checkpoint each consumer re-runs the
+    # full-shingle-stream doc-freq shuffle (guide §2.4: remove duplicate
+    # exchanges).  The frame is vocabulary-small by construction.
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") > max_doc_freq)
         .select("shingle")
+        .localCheckpoint(eager=True)
     )
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
@@ -241,10 +268,14 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("kept_common"))
     )
     sizes = sets.select("id", F.size("sh_set").alias("n_sh"))
+    # consumed twice (the id_1 and id_2 hot-correction joins): checkpoint so
+    # the semi-join + collect pass runs once; bounded by docs owning at
+    # least one hot shingle
     hot_sets = (
         sh.join(F.broadcast(hot), "shingle", "left_semi")
         .groupBy("id")
         .agg(F.collect_list("shingle").alias("hot_sh"))
+        .localCheckpoint(eager=True)
     )
     ver = (
         pair_common.join(
@@ -370,6 +401,25 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens(text_col), n)).alias("sh_set"),
     )
+    return minhash_lsh_pairs_from_sets(
+        sets, num_perm=num_perm, rows_per_band=rows_per_band, threshold=threshold
+    )
+
+
+def minhash_lsh_pairs_from_sets(
+    sets: DataFrame,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` body over a pre-built ``(id, sh_set)``
+    frame — the ``jaccard_pairs_from_sets`` composition surface.  The sets
+    frame feeds three concurrent consumers (the signature map pass and both
+    sides of the verify join), so it is eagerly checkpointed once here;
+    ``checkpoint=False`` when the caller already materialized it."""
+    if checkpoint:
+        sets = sets.localCheckpoint(eager=True)
     sigs = _signatures_from_sets(sets, num_perm).drop("sh_set")
     cands = lsh_candidate_pairs(sigs, num_perm, rows_per_band)
     # the verify join partitions the shingle sets by id once; a
@@ -439,6 +489,11 @@ def simhash_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataF
     no band is guaranteed to match) does it fall back to the exact all-pairs
     form — a verification-scale setting, not a production one.
     """
+    # the banded (or all-pairs) self-join consumes the fingerprint frame
+    # twice; without an eager checkpoint both sides re-run the upstream
+    # tokenize + bits-wide vote aggregation (guide §1.2).  The frame is
+    # node-sized — (id, simhash) longs — so materializing it is cheap
+    sim = sim.localCheckpoint(eager=True)
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     n_bands = max_hamming + 1
     if n_bands > bits:

@@ -127,6 +127,12 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b", order: str = "id") -
 
     Returns (node, degree, n_tri, clustering).
     """
+    # the canonical edge list is consumed by the degree aggregation and all
+    # three legs of the triangle join (and the caller's edge derivation can
+    # itself be an expensive self-join, e.g. the lineitem co-occurrence
+    # graph) — eagerly checkpoint it so that derivation runs ONCE instead
+    # of once per consumer (guide §1.2); same for the node-sized degree
+    # frame (3 consumers) and the reoriented edges (3 join legs)
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("a"),
@@ -134,13 +140,19 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b", order: str = "id") -
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg0 = (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
     )
-    en = oriented_edges(e, deg0) if order == "degree" else e
+    en = (
+        oriented_edges(e, deg0).localCheckpoint(eager=True)
+        if order == "degree"
+        else e
+    )
     e1 = en.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = en.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = en.select(F.col("a").alias("x"), F.col("b").alias("z"))

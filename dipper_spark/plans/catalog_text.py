@@ -29,6 +29,7 @@ from dipper_spark.operators.dedup import (
     decontaminate,
     exact_dedup,
     jaccard_pairs,
+    jaccard_pairs_from_sets,
     minhash_lsh_pairs,
     simhash,
     simhash_pairs,
@@ -280,10 +281,26 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reports n_truth / n_hit / recall in one row — the number that decides
     whether a banding configuration is safe to ship at 100 TB, measured
     instead of trusted from the (1-(1-s^r)^b) curve."""
-    truth = jaccard_pairs(docs := load_table(spark, sf_dir, "documents"),
-                          "doc_id", "text", n=3, threshold=0.8)
-    lsh = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_perm=8, rows_per_band=2, threshold=0.8
+    # ONE tokenize+shingle pass shared by the truth and LSH pipelines
+    # (guide §1.2): both sides consume the identical (id, sh_set) frame, so
+    # it is built and checkpointed once instead of each pipeline re-scanning
+    # and re-tokenizing the corpus
+    from dipper_spark.functions.text import word_shingles
+    from dipper_spark.operators.dedup import minhash_lsh_pairs_from_sets
+    from dipper_spark.operators.util import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = (
+        ensure_parallelism(docs)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(word_shingles(tokens("text"), 3)).alias("sh_set"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    truth = jaccard_pairs_from_sets(sets, threshold=0.8, checkpoint=False)
+    lsh = minhash_lsh_pairs_from_sets(
+        sets, num_perm=8, rows_per_band=2, threshold=0.8, checkpoint=False
     )
     hit = truth.select("id_1", "id_2").join(
         lsh.select("id_1", "id_2", F.lit(1).alias("hit")), ["id_1", "id_2"], "left"
