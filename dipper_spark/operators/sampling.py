@@ -229,19 +229,23 @@ def dsir_logratio(
 
     tf = feats(target, False).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     rf = feats(raw, False).groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tbl = (
+    # materialize the bounded bucket table once, then derive the corpus
+    # totals FROM it (sum of per-bucket counts == total feature count, an
+    # exact integer identity) — the former shape re-aggregated tf and rf a
+    # second time just for the totals, re-scanning and re-tokenizing both
+    # corpora (guide §1.2: don't recompute what you already have)
+    counts = (
         tf.join(rf, "bucket", "full_outer")
         .select(
             "bucket",
             F.coalesce("ct", F.lit(0)).alias("ct"),
             F.coalesce("cr", F.lit(0)).alias("cr"),
         )
-        .join(
-            tf.agg(F.sum("ct").alias("tt")).join(
-                rf.agg(F.sum("cr").alias("tr")), F.lit(True)
-            ),
-            F.lit(True),
-        )
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    tbl = (
+        counts.join(F.broadcast(totals), F.lit(True))
         .select(
             "bucket",
             (

@@ -170,7 +170,14 @@ def tfidf_keywords(
     tok = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
-    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the doc-frequency aggregate and the scoring join —
+    # checkpoint once so tokenize + the (doc, term) count shuffle are not
+    # re-run per consumer (guide §1.2)
+    tf = (
+        tok.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
@@ -259,6 +266,11 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n=2,
         out="b",
     )
+    # the exploded bigram stream feeds three consumers (bigram counts,
+    # prefix counts, the scoring join base) — stage it once instead of
+    # re-tokenizing the corpus per consumer (guide §1.2; the durable
+    # 100 TB analog is a parquet staging write of the n-gram stream)
+    bg = bg.localCheckpoint(eager=True)
     c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt2"))
     c1 = (
         bg.select(F.split(F.col("b"), " ").getItem(0).alias("a"))
@@ -360,7 +372,15 @@ def pmi_collocations(
         F.split("b", " ").getItem(0).alias("a"),
         F.split("b", " ").getItem(1).alias("w2"),
     )
-    cab = ab.groupBy("a", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    # the count table feeds four consumers (both marginals, the total and
+    # the join base); eagerly checkpoint it so the corpus explode + count
+    # shuffle run once, not per consumer (guide §1.2) — the table is
+    # bigram-vocabulary-bounded, the staging-write analog at scale
+    cab = (
+        ab.groupBy("a", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
     ca = cab.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
     cb = cab.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
     tot = cab.agg(F.sum("n_ab").alias("n_total"))
@@ -420,7 +440,14 @@ def kneser_ney_logprob(
         F.split("b", " ").getItem(0).alias("a"),
         F.split("b", " ").getItem(1).alias("w2"),
     )
-    c2 = ab.groupBy("a", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    # four consumers (forward/reverse marginals, type total, heldout join)
+    # — checkpoint the vocabulary-bounded bigram count table once so the
+    # train-corpus explode + count shuffle are not re-run per consumer
+    c2 = (
+        ab.groupBy("a", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c2.groupBy("a").agg(
         F.sum("n_ab").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
@@ -550,7 +577,14 @@ def chi2_keyness(
     tok = ensure_parallelism(df).select(
         F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
     )
-    cst = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("n_st"))
+    # four consumers of the one count table (group/token marginals, grand
+    # total, join base) — checkpoint once so the corpus tokenize + count
+    # shuffle are not re-run per consumer (the pmi_collocations discipline)
+    cst = (
+        tok.groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .localCheckpoint(eager=True)
+    )
     cs = cst.groupBy("grp").agg(F.sum("n_st").cast("long").alias("n_s"))
     ct = cst.groupBy("t").agg(F.sum("n_st").cast("long").alias("n_t"))
     tot = cst.agg(F.sum("n_st").cast("long").alias("n"))

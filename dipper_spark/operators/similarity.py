@@ -240,7 +240,14 @@ def kmeans_centroids(
         # 1..k-1 and the plan grows superlinearly.  The standard iterative-
         # algorithm pattern (MLlib checkpoints the same way).
         centroids = centroids.localCheckpoint(eager=False)
-    return centroids
+    # the RETURNED frame has several concurrent consumers in ivf_topk (the
+    # corpus-assign broadcast, the query-scoring broadcast) and a lazy
+    # checkpoint does NOT dedupe computation across concurrent stages of
+    # one action — each broadcast build would re-run every Lloyd pass.
+    # One eager materialization of the n_centroids-row table fixes that
+    # (guide §1.2); the in-loop checkpoints above stay lazy because each
+    # iteration has exactly one consumer (the next assign pass).
+    return centroids.localCheckpoint(eager=True)
 
 
 def label_centroids(
@@ -956,7 +963,12 @@ def pq_codebooks_refined(
         # codebook is n_sub x n_codes rows but its lazy plan embeds every
         # previous iteration — truncate like kmeans_centroids
         cb = cb.localCheckpoint(eager=False)
-    return cb
+    # returned codebook has several concurrent consumers (encode pass,
+    # query distance-table build); a lazy checkpoint does not dedupe across
+    # concurrent stages, so each would re-run the Lloyd passes — one eager
+    # materialization of the dictionary-sized table (kmeans_centroids
+    # discipline)
+    return cb.localCheckpoint(eager=True)
 
 
 def ivf_residuals(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
