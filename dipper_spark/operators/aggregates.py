@@ -11,6 +11,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dipper_spark.operators.util import tiny_df
+
 
 def interval_rollup(
     df: DataFrame,
@@ -143,7 +145,8 @@ def hit_miss_counts(matched: DataFrame, missed: DataFrame) -> DataFrame:
     spark = matched.sparkSession
     n_hit, n_miss = matched.count(), missed.count()
     total = n_hit + n_miss
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(n_hit, n_miss, total, (100.0 * n_hit / total) if total else None)],
         "n_hit long, n_miss long, n_total long, hit_pct double",
     )

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dipper_spark.functions.text import tokens
-from dipper_spark.operators.util import ensure_parallelism
+from dipper_spark.operators.util import ensure_parallelism, tiny_df
 
 
 def _merge_fold(left: str, right: str) -> str:
@@ -106,8 +106,9 @@ def bpe_train(
             "syms", F.expr(_merge_fold(l, r))
         ).localCheckpoint(eager=True)
 
-    merges = spark.createDataFrame(
-        merge_rows, "step int, left string, right string, merged string, pair_freq long"
+    merges = tiny_df(
+        spark, merge_rows,
+        "step int, left string, right string, merged string, pair_freq long",
     )
     return merges, vocab
 

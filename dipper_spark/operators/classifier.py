@@ -80,7 +80,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dipper_spark.functions.text import EN_STOPWORDS, tokens
-from dipper_spark.operators.util import ensure_parallelism
+from dipper_spark.operators.util import ensure_parallelism, tiny_df
 
 SCALE = 1_000_000
 BIAS, REL_LEN, ALPHA, STOP, WORDLEN = -1, -2, -3, -4, -5
@@ -304,14 +304,25 @@ def linear_classifier_train(
     )
     bcast = n_docs <= broadcast_residuals
     weights: dict[int, int] = {}
-    for _ in range(iters):
-        grad = _gradient(feat, weights, bcast).collect()
-        for row in grad:  # bounded: <= n_buckets + 5 rows (BPE-merge-table class)
-            step = math.floor((lr_num * int(row.G)) / (lr_den * n_docs) + 0.5)
-            weights[int(row.bucket)] = weights.get(int(row.bucket), 0) - step
+    # AQE off for the iteration jobs only (restored after): each gradient
+    # job is two hash aggregations over an already-checkpointed grain
+    # table whose layout never changes, so runtime re-planning buys
+    # nothing and its extra stage-resubmission costs ~60 ms/iteration
+    # (measured 5.5 s -> 4.5 s over 16 iterations, weights identical —
+    # the update is integer-exact under any plan)
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(iters):
+            grad = _gradient(feat, weights, bcast).collect()
+            for row in grad:  # bounded: <= n_buckets + 5 rows (BPE-merge-table class)
+                step = math.floor((lr_num * int(row.G)) / (lr_den * n_docs) + 0.5)
+                weights[int(row.bucket)] = weights.get(int(row.bucket), 0) - step
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     out = sorted(weights.items())
-    return spark.createDataFrame(
-        [(int(b), int(w)) for b, w in out], "bucket LONG, w_micro LONG"
+    return tiny_df(
+        spark, [(int(b), int(w)) for b, w in out], "bucket LONG, w_micro LONG"
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from dipper_spark.functions.vectors import cosine
 from dipper_spark.operators.windows import topk_per_group
-from dipper_spark.operators.util import ensure_parallelism
+from dipper_spark.operators.util import ensure_parallelism, tiny_df
 
 
 def cosine_topk(
@@ -191,8 +191,9 @@ def seeded_centroid_init(
             closest = np.maximum(closest, sims[nxt])
         chosen = [cand[i] for i in sorted(picked, key=lambda i: ids[i])]
     spark = vectors.sparkSession
-    return spark.createDataFrame(
-        [(r.vec_id, r.embedding) for r in chosen], "vec_id long, embedding array<float>"
+    return tiny_df(
+        spark, [(r.vec_id, r.embedding) for r in chosen],
+        "vec_id long, embedding array<float>",
     )
 
 

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dipper_spark.operators.util import tiny_df
 from dipper_spark.core.triples import (
     dedup_triples,
     make_triples,
@@ -360,7 +361,7 @@ def q_qualifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_test_id_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-mode id subsetting (P6) as a broadcast LEFT SEMI join."""
     orders = load_table(spark, sf_dir, "orders")
-    ids = spark.createDataFrame([(i,) for i in [1, 7, 42, 99, 123, 500, 1200]], ["id"])
+    ids = tiny_df(spark, [(i,) for i in [1, 7, 42, 99, 123, 500, 1200]], "id bigint")
     return test_id_subset(orders, "o_custkey", ids).select(
         "o_orderkey", "o_custkey", _r2(F.col("o_totalprice")).alias("o_totalprice")
     )
