@@ -309,9 +309,17 @@ def linear_classifier_train(
     # table whose layout never changes, so runtime re-planning buys
     # nothing and its extra stage-resubmission costs ~60 ms/iteration
     # (measured 5.5 s -> 4.5 s over 16 iterations, weights identical —
-    # the update is integer-exact under any plan)
+    # the update is integer-exact under any plan).  shuffle.partitions is
+    # pinned to the grain table's own partition count for the same jobs:
+    # with AQE off the doc/bucket-sized aggregations would otherwise fan
+    # out to the global shuffle width (32 near-empty tasks per stage,
+    # 4 stages x iters of pure scheduling; guide §1.2 per-task overhead).
+    # Integer sums are partition-count-invariant, so weights are
+    # bit-identical (pinned by the experiment and the oracle).
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     try:
         for _ in range(iters):
             grad = _gradient(feat, weights, bcast).collect()
@@ -320,6 +328,7 @@ def linear_classifier_train(
                 weights[int(row.bucket)] = weights.get(int(row.bucket), 0) - step
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_prev)
     out = sorted(weights.items())
     return tiny_df(
         spark, [(int(b), int(w)) for b, w in out], "bucket LONG, w_micro LONG"

@@ -4215,8 +4215,17 @@ _TCLF_W = f"w{_TCLF_IT}"
 def _tclf_label(docs: DataFrame) -> DataFrame:
     """(doc_id, text, y): the teacher label is the repo's own Gopher-rule
     conjunction — the distillation setup CCNet/FineWeb-style pipelines
-    use (cheap student imitates an expensive or hard-cut teacher)."""
-    return docs.select(
+    use (cheap student imitates an expensive or hard-cut teacher).
+
+    ``ensure_parallelism`` BEFORE the label projection: projections sit
+    below a round-robin repartition in the physical plan, so labeling
+    after the exchange is what spreads the regex-heavy rule conjunction
+    across cores — a one-file docs slice otherwise evaluates every rule
+    on a single task (profiled 2.1 s single-core at sf0.1, guide §2.5
+    input skew; downstream ensure_parallelism calls then no-op)."""
+    from dipper_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
         "doc_id", "text", quality_rules("text")["passed"].alias("y")
     )
 
