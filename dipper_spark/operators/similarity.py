@@ -12,9 +12,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dipper_spark.functions.vectors import cosine
+from dipper_spark.functions.vectors import cosine, dot, l2_norm
 from dipper_spark.operators.windows import topk_per_group
 from dipper_spark.operators.util import ensure_parallelism, tiny_df
+
+
+def _cos_pre(e1, n1: str, e2, n2: str):
+    """``cosine(e1, e2)`` with both L2 norms precomputed as columns — the
+    centroid_neardup discipline applied as a helper: the expression tree
+    is ``dot / (n1 * n2)`` in cosine()'s exact evaluation order, so the
+    double is bit-identical, while each PAIR pays one array fold instead
+    of three (each norm is computed once per ROW before the pair-join;
+    dot() allocates a zip_with array per call, guide §1.2 per-task work)."""
+    return dot(e1, e2) / (F.col(n1) * F.col(n2))
 
 
 def cosine_topk(
@@ -31,14 +41,22 @@ def cosine_topk(
     baseline; cost is linear in corpus x queries.
     """
     q = F.broadcast(
-        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            l2_norm("embedding").alias("_qn"),
+        )
     )
-    c = ensure_parallelism(corpus).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = ensure_parallelism(corpus).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("_cn"),
+    )
     scored = q.join(c, F.lit(True))
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.select(
-        "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim")
+        "query_id", "neighbor_id", _cos_pre("q_emb", "_qn", "c_emb", "_cn").alias("cos_sim")
     )
     return topk_per_group(
         scored,
@@ -118,10 +136,20 @@ def assign_buckets(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     (deterministic ties: lowest centroid id).  Centroids are broadcast; the
     assignment is one scan over the vectors."""
     c = F.broadcast(
-        centroids.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+        centroids.select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            l2_norm("embedding").alias("_cn"),
+        )
     )
-    scored = ensure_parallelism(vectors).join(c, F.lit(True)).select(
-        "vec_id", "embedding", "cent_id", cosine("embedding", "cent_emb").alias("cent_cos")
+    scored = (
+        ensure_parallelism(vectors)
+        .select("vec_id", "embedding", l2_norm("embedding").alias("_vn"))
+        .join(c, F.lit(True))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            _cos_pre("embedding", "_vn", "cent_emb", "_cn").alias("cent_cos"),
+        )
     )
     # argmax as ONE hash aggregation (map-side partial, no sort): max of
     # struct(cos, -cent_id) implements (cos DESC, cent_id ASC) exactly —
@@ -315,10 +343,12 @@ def ivf_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         "bucket",
+        l2_norm("embedding").alias("_cn"),
     )
     if nprobe <= 1:
         q_bucketed = assign_buckets(queries, centroids).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+            "bucket", l2_norm("embedding").alias("_qn"),
         )
     else:
         c = F.broadcast(
@@ -333,11 +363,16 @@ def ivf_topk(
         q_bucketed = topk_per_group(
             q_scored, "query_id", [F.col("cent_cos").desc(), F.col("bucket").asc()],
             k=nprobe,
-        ).select("query_id", "q_emb", "bucket")
+        ).select("query_id", "q_emb", "bucket", l2_norm("q_emb").alias("_qn"))
+    # the probe join's exact cosine is the per-pair hot path (query x
+    # bucket-members rows): both norms precomputed per ROW above
     scored = (
         q_bucketed.join(bucketed, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        .select(
+            "query_id", "neighbor_id",
+            _cos_pre("q_emb", "_qn", "c_emb", "_cn").alias("cos_sim"),
+        )
     )
     return topk_per_group(
         scored,
@@ -358,12 +393,18 @@ def blocked_neardup(emb: DataFrame, block_col: str = "label", threshold: float =
     standard scale move; bucket skew is handled by AQE skew-join splitting.
     """
     emb = ensure_parallelism(emb)
-    a = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"), F.col(block_col).alias("b"))
-    b = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"), F.col(block_col).alias("b"))
+    a = emb.select(
+        F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"),
+        F.col(block_col).alias("b"), l2_norm("embedding").alias("_n1"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"),
+        F.col(block_col).alias("b"), l2_norm("embedding").alias("_n2"),
+    )
     return (
         a.join(b, "b")
         .filter(F.col("id_1") < F.col("id_2"))
-        .withColumn("cos_sim", cosine("e1", "e2"))
+        .withColumn("cos_sim", _cos_pre("e1", "_n1", "e2", "_n2"))
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("b").alias(block_col), "id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -388,11 +429,19 @@ def assign_buckets_multi(
     vector."""
     c = F.broadcast(
         centroids.select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            l2_norm("embedding").alias("_cn"),
         )
     )
-    scored = ensure_parallelism(vectors).join(c, F.lit(True)).select(
-        "vec_id", "embedding", "cent_id", cosine("embedding", "cent_emb").alias("cent_cos")
+    scored = (
+        ensure_parallelism(vectors)
+        .select("vec_id", "embedding", l2_norm("embedding").alias("_vn"))
+        .join(c, F.lit(True))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            _cos_pre("embedding", "_vn", "cent_emb", "_cn").alias("cent_cos"),
+        )
     )
     return topk_per_group(
         scored,
@@ -400,6 +449,15 @@ def assign_buckets_multi(
         [F.col("cent_cos").desc(), F.col("cent_id").asc()],
         k=n_assign,
     ).select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+
+
+# b-side fan-out for salted within-bucket self-joins: the join key gains
+# _SALT_K deterministic sub-keys so a handful of centroid cells spreads
+# over n_buckets x _SALT_K partitions instead of one task per cell
+# (guide §2.5 salting).  A fan-out multiplier, not a partition count —
+# valid unchanged at any scale; raising it trades b-side duplication
+# (rows x _SALT_K through one exchange) for narrower hot cells.
+_SALT_K = 8
 
 
 def centroid_neardup(
@@ -417,18 +475,21 @@ def centroid_neardup(
     misses (measured recall 0.868 -> 1.000 on the clustered-twins audit)
     for 2x index rows.  A pair sharing several cells is deduped by id.
 
-    Plan shape (the generate/verify split every scaled dedup family here
-    uses): the assignment (broadcast product + window) feeds both sides
-    of the self-join, so the blocks frame is eagerly localCheckpoint-ed —
-    without it the O(n*k) scan re-executes per side (the semdedup
-    discipline).  CANDIDATE pairs are generated id-only and deduped
-    BEFORE any vector math (a pair sharing several cells would otherwise
-    be scored per shared cell), then the vectors of just those pairs are
-    fetched back and scored ONCE in a projection — dot over per-row
-    precomputed L2 norms, the same expression tree as ``cosine(e1, e2)``
-    in the same evaluation order, so the value is bit-identical while
-    the per-pair work drops vs scoring inside the join condition
-    (measured 7.5s -> 2.8s warm at sf0.1, identical output).
+    Plan shape: the assignment (broadcast product + window) feeds both
+    sides of the self-join, so the blocks frame is eagerly
+    localCheckpoint-ed — without it the O(n*k) scan re-executes per side
+    (the semdedup discipline).  Pairs are scored INSIDE the salted
+    bucket self-join with per-row precomputed L2 norms (the exact
+    ``cosine`` expression tree, so values are bit-identical), then the
+    few surviving (id_1, id_2, cos_sim) rows are distinct-ed — a pair
+    sharing several cells re-scores to the identical double, so the
+    distinct collapses it.  A round-13 re-measure replaced the earlier
+    fetch-back form (dedup candidate ids, re-join vectors): the
+    checkpointed vector frame carries no size stats, so the attach
+    joins planned as sort-merge and AQE coalesced the compute-dense
+    scoring to ~3 tasks (pair-id bytes massively understate per-pair
+    dot cost); in-join scoring moves zero embedding bytes after the
+    join and inherits the salted join's width.
 
     Returns distinct (id_1, id_2, cos_sim)."""
     from dipper_spark.functions.vectors import dot, l2_norm
@@ -438,36 +499,51 @@ def centroid_neardup(
         .select("vec_id", "bucket", "embedding", l2_norm("embedding").alias("_n"))
         .localCheckpoint(eager=True)
     )
-    cand = (
-        blocks.select(F.col("vec_id").alias("id_1"), "bucket")
-        .join(blocks.select(F.col("vec_id").alias("id_2"), "bucket"), "bucket")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
-        .distinct()
+    # Score INSIDE the salted bucket self-join (the oracle's own shape).
+    # The former fetch-back form deduped candidate ids first and re-joined
+    # the vectors — but the checkpointed vector frame has no size stats
+    # (ExistingRDD), so both attach joins planned as SORT-MERGE and AQE
+    # coalesced the compute-dense scoring to ~3 tasks at sf0.1 (pair ids
+    # are 16 B/row; AQE sizes by bytes, not by the dim-length dot each
+    # pair pays).  Scoring in-join costs at most n_assign dots per pair
+    # (a pair sharing cells is re-scored per cell — identical doubles, so
+    # the post-filter distinct collapses them) and moves ZERO embedding
+    # bytes after the join: only surviving (id, id, cos) rows reach the
+    # distinct.  The b-side salt explodes each row ``_SALT_K`` ways so the
+    # few-distinct-bucket key (guide §2.5 hot keys) spreads to
+    # n_buckets x _SALT_K join partitions; a-side salt is derived
+    # deterministically from id_1, so every pair still meets exactly once.
+    a = blocks.select(
+        F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"),
+        "bucket", F.col("_n").alias("_n1"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_SALT_K)).alias("_salt"),
     )
-    e = blocks.dropDuplicates(["vec_id"]).select("vec_id", "embedding", "_n")
-    scored = (
-        cand.join(
-            e.select(
-                F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"),
-                F.col("_n").alias("n1"),
-            ),
-            "id_1",
-        )
-        .join(
-            e.select(
-                F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"),
-                F.col("_n").alias("n2"),
-            ),
-            "id_2",
-        )
+    # explicit partition count pins the scoring width: AQE coalesces the
+    # join's exchanges by BYTES (a few MB of pairs → ~6 tasks) while the
+    # stage is compute-dense (one dim-length dot per pair).  A
+    # REPARTITION_BY_NUM exchange is never coalesced, the b side must
+    # match it, and the count derives from the cluster's parallelism —
+    # scale-adaptive, not a local constant (guide §2.5 / §1.2).
+    a = a.repartition(
+        a.sparkSession.sparkContext.defaultParallelism, "bucket", "_salt"
+    )
+    b = blocks.select(
+        F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"),
+        "bucket", F.col("_n").alias("_n2"),
+    ).withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_K - 1))))
+    b = b.repartition(
+        b.sparkSession.sparkContext.defaultParallelism, "bucket", "_salt"
+    )
+    return (
+        a.join(b, ["bucket", "_salt"])
+        .filter(F.col("id_1") < F.col("id_2"))
         .select(
             "id_1", "id_2",
-            (dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cos_sim"),
+            (dot("e1", "e2") / (F.col("_n1") * F.col("_n2"))).alias("cos_sim"),
         )
-    )
-    return scored.filter(F.col("cos_sim") >= threshold).select(
-        "id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim")
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim"))
+        .distinct()
     )
 
 
@@ -697,11 +773,19 @@ def semdedup(
     """
     c = F.broadcast(
         centroids.select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            l2_norm("embedding").alias("_cn"),
         )
     )
-    scored = ensure_parallelism(vectors).join(c, F.lit(True)).select(
-        "vec_id", "embedding", "cent_id", cosine("embedding", "cent_emb").alias("cent_cos")
+    scored = (
+        ensure_parallelism(vectors)
+        .select("vec_id", "embedding", l2_norm("embedding").alias("_vn"))
+        .join(c, F.lit(True))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            _cos_pre("embedding", "_vn", "cent_emb", "_cn").alias("cent_cos"),
+        )
     )
     assigned = (
         topk_per_group(
@@ -729,11 +813,11 @@ def semdedup(
         )
     a = blocks.select(
         F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"),
-        "bucket", F.col("_cc").alias("cc1"),
+        "bucket", F.col("_cc").alias("cc1"), l2_norm("embedding").alias("_n1"),
     )
     b = blocks.select(
         F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"),
-        "bucket", F.col("_cc").alias("cc2"),
+        "bucket", F.col("_cc").alias("cc2"), l2_norm("embedding").alias("_n2"),
     )
     dropped = (
         a.join(b, "bucket")
@@ -741,7 +825,7 @@ def semdedup(
             (F.col("cc1") < F.col("cc2"))
             | ((F.col("cc1") == F.col("cc2")) & (F.col("id_1") < F.col("id_2")))
         )
-        .filter(cosine("e1", "e2") >= threshold)
+        .filter(_cos_pre("e1", "_n1", "e2", "_n2") >= threshold)
         .select(F.col("id_2").alias("vec_id"))
         .distinct()
         .withColumn("keep", F.lit(False))
@@ -850,7 +934,17 @@ def pq_encode(
     )
     score = dot("xs", "sub")
     if objective == "l2":
-        score = score - F.lit(0.5) * dot("sub", "sub")
+        # the 0.5*||c||^2 term depends only on the CODEBOOK row: compute
+        # it once per codeword on the dictionary-sized frame before the
+        # broadcast instead of per (slice, code) pair — the encode stream
+        # is corpus x n_sub x n_codes rows and each dot() allocates a
+        # zip_with array, so this halves the hot path's fold work
+        # (guide §1.2 per-task work; bit-identical — same double, same
+        # subtraction)
+        codebooks = codebooks.withColumn(
+            "_c2", F.lit(0.5) * dot("sub", "sub")
+        )
+        score = score - F.col("_c2")
     elif objective != "ip":
         raise ValueError(f"unknown pq_encode objective: {objective!r}")
     scored = sliced.join(F.broadcast(codebooks), "s").select(
@@ -930,14 +1024,21 @@ def pq_codebooks_refined(
     sliced = sliced.localCheckpoint(eager=True)
     for _ in range(n_iter):
         # argmax via max(struct(ip, -code)) — one hash agg per iteration,
-        # no sort (the pq_encode discipline)
+        # no sort (the pq_encode discipline).  0.5*||c||^2 precomputed per
+        # codeword on the dictionary-sized frame (the pq_encode l2 trick —
+        # bit-identical, halves the per-pair fold work)
         _t = F.struct(
-            (dot("xs", "sub") - F.lit(0.5) * dot("sub", "sub")).alias("ip"),
+            (dot("xs", "sub") - F.col("_c2")).alias("ip"),
             (-F.col("code")).alias("nc"),
             F.col("code").alias("code"),
         )
         enc = (
-            sliced.join(F.broadcast(cb), "s")
+            sliced.join(
+                F.broadcast(
+                    cb.withColumn("_c2", F.lit(0.5) * dot("sub", "sub"))
+                ),
+                "s",
+            )
             .select("vec_id", "s", _t.alias("_t"))
             .groupBy("vec_id", "s")
             .agg(F.max("_t").alias("_t"))
@@ -1263,6 +1364,13 @@ def ivfpq_index_append(
 
     Returns the same four-table index dict with ``codes`` and ``buckets``
     extended; ``centroids``/``codebooks`` pass through untouched."""
+    # the delta residual frame feeds both the encode and the buckets
+    # union, so its assignment runs once per consumer (2x) — deliberately
+    # NOT checkpointed: the apply-only plan lock
+    # (test_ann_index_append_is_apply_only) asserts zero ExistingRDD scans
+    # so training residue can never hide in this plan, and the duplicate
+    # delta-assign costs ~0.2 s wall at sf0.1 vs losing that lock's
+    # discrimination (OPTIMIZATION_r13.md)
     res = ivf_residuals(new_vectors, index["centroids"])
     new_codes = pq_encode(
         res, index["codebooks"], n_sub, dim, vec_col="rx", normalize=False,
