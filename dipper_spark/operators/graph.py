@@ -33,9 +33,11 @@ def pagerank(
     Assumes every node has at least one out-edge (feed an undirected graph
     as both directions and this holds by construction — no dangling-mass
     redistribution needed).  Per iteration: one equi-join of the static
-    (edge, outdeg) frame against the rank frame on the source key and one
-    hash-agg on the destination.  The (edge, outdeg) frame is computed
-    once and checkpointed; the rank frame is checkpointed every
+    bare (src, dst) edge frame against the node-sized contribution frame
+    (rank/outdeg, division folded into the broadcast side) and one
+    hash-agg on the destination.  The edge frame is checkpointed once and
+    the degree table derives from that checkpoint; the rank frame is
+    checkpointed every
     ``checkpoint_every`` iterations to truncate lineage — short fixed
     chains (the catalog's 5) stay PURE-LAZY, one job instead of one per
     iteration (each eager checkpoint is a driver-paced barrier; measured
@@ -53,25 +55,41 @@ def pagerank(
 
     Returns (node, rank) with Σ rank = 1.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # deg is node-sized and has no stats after the agg — without the hint
-    # Catalyst sort-merge-joins it, shuffling the whole edge list once more
-    degj = F.broadcast(deg) if broadcast_ranks else deg
-    ed = e.join(degj, "src").localCheckpoint(eager=True)
+    # the bare (src, dst) pairs are the ONLY corpus-sized frame: checkpoint
+    # them first and derive the node-sized degree table FROM the checkpoint
+    # (one scan) — the former shape joined outdeg onto every edge row and
+    # checkpointed that, so the iterations re-read a wider frame and the
+    # build scanned the upstream edge derivation once per consumer
+    # (guide §2.3 shuffle/scan fewer bytes; §1.2 don't recompute)
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = deg.select(F.col("src").alias("node"))
     n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("r")
     )
+    # per-source contribution r(u)/outdeg(u) is a NODE-sized computation:
+    # fold the division into the (broadcast) rank frame instead of
+    # carrying outdeg on every edge row — each iteration's edge pass then
+    # probes a prebuilt (src, c) hash relation and partial-aggregates,
+    # touching 2 longs per edge.  The division is the same double on the
+    # same operands, just computed once per node instead of once per edge
+    # (bit-identical terms; deg's broadcast subtree is identical across
+    # iterations, so ReuseExchange builds it once per job).
+    degn = F.broadcast(deg.select(F.col("src").alias("node"), "outdeg"))
     for i in range(iters):
-        rsrc = ranks.select(F.col("node").alias("src"), "r")
+        rsrc = ranks.join(degn, "node").select(
+            F.col("node").alias("src"),
+            (F.col("r") / F.col("outdeg")).alias("c"),
+        )
         if broadcast_ranks:
             rsrc = F.broadcast(rsrc)
         contribs = (
             ed.join(rsrc, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("in_r"))
+            .agg(F.sum(F.col("c")).alias("in_r"))
         )
         ranks = contribs.crossJoin(F.broadcast(n_frame)).select(
             "node",

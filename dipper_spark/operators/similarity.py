@@ -134,41 +134,46 @@ def cosine_topk_arrow(
 def assign_buckets(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF assignment: each vector goes to its max-cosine centroid
     (deterministic ties: lowest centroid id).  Centroids are broadcast; the
-    assignment is one scan over the vectors."""
-    c = F.broadcast(
+    assignment is one scan over the vectors.
+
+    The argmax is an ARRAY FOLD, not a join+aggregation: the centroid set
+    collapses to a single broadcast row carrying a (cent_id-sorted) array
+    of (id, embedding, norm) structs, and each vector takes
+    ``array_max(transform(cents, ...))`` over per-centroid
+    struct(cos, -cent_id, cent_id) — the exact comparison order of the
+    former ``max(struct(cos, -cent_id))`` hash aggregation, so the winning
+    bucket is identical.  What it removes, per vector: n_centroids joined
+    rows each materializing two embedding arrays, and a corpus-sized
+    aggregation exchange — the assign becomes one WholeStageCodegen map
+    pass (guide §1.2/§2.4; cos values bit-identical via per-row
+    precomputed norms)."""
+    cents_arr = F.broadcast(
         centroids.select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-            l2_norm("embedding").alias("_cn"),
-        )
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_emb"),
+                l2_norm("embedding").alias("_cn"),
+            ).alias("_c")
+        ).agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
     )
-    scored = (
-        ensure_parallelism(vectors)
-        .select("vec_id", "embedding", l2_norm("embedding").alias("_vn"))
-        .join(c, F.lit(True))
-        .select(
-            "vec_id", "embedding", "cent_id",
-            _cos_pre("embedding", "_vn", "cent_emb", "_cn").alias("cent_cos"),
-        )
-    )
-    # argmax as ONE hash aggregation (map-side partial, no sort): max of
-    # struct(cos, -cent_id) implements (cos DESC, cent_id ASC) exactly —
-    # the k=1 window form shuffled AND sorted every (vector, centroid) row
-    best = F.struct(
-        F.col("cent_cos").alias("c"),
-        (-F.col("cent_id")).alias("nc"),
-        F.col("cent_id").alias("cent_id"),
-        F.col("embedding").alias("embedding"),
+    score = lambda c: F.struct(  # noqa: E731
+        (
+            dot(F.col("embedding"), c["cent_emb"])
+            / (F.col("_vn") * c["_cn"])
+        ).alias("c"),
+        (-c["cent_id"]).alias("nc"),
+        c["cent_id"].alias("cent_id"),
     )
     return (
-        scored.select("vec_id", best.alias("_t"))
-        .groupBy("vec_id")
-        .agg(F.max("_t").alias("_t"))
+        ensure_parallelism(vectors)
+        .select("vec_id", "embedding", l2_norm("embedding").alias("_vn"))
+        .crossJoin(cents_arr)
         .select(
-            "vec_id",
-            F.col("_t.embedding").alias("embedding"),
-            F.col("_t.cent_id").alias("bucket"),
+            "vec_id", "embedding",
+            F.array_max(F.transform("_cents", score)).alias("_t"),
         )
+        .filter(F.col("_t").isNotNull())
+        .select("vec_id", "embedding", F.col("_t.cent_id").alias("bucket"))
     )
 
 
@@ -932,36 +937,46 @@ def pq_encode(
     ).select(
         "vec_id", "s", F.slice("_x", F.col("s") * sub_dim + 1, sub_dim).alias("xs")
     )
-    score = dot("xs", "sub")
     if objective == "l2":
-        # the 0.5*||c||^2 term depends only on the CODEBOOK row: compute
-        # it once per codeword on the dictionary-sized frame before the
-        # broadcast instead of per (slice, code) pair — the encode stream
-        # is corpus x n_sub x n_codes rows and each dot() allocates a
-        # zip_with array, so this halves the hot path's fold work
-        # (guide §1.2 per-task work; bit-identical — same double, same
-        # subtraction)
+        # the 0.5*||c||^2 term depends only on the CODEBOOK row: computed
+        # once per codeword on the dictionary-sized frame (bit-identical —
+        # same double, same subtraction) instead of per (slice, code) pair
         codebooks = codebooks.withColumn(
             "_c2", F.lit(0.5) * dot("sub", "sub")
         )
-        score = score - F.col("_c2")
-    elif objective != "ip":
+        score = lambda c: dot(F.col("xs"), c["sub"]) - c["_c2"]  # noqa: E731
+        entry = F.struct(
+            F.col("code").alias("code"), F.col("sub").alias("sub"),
+            F.col("_c2").alias("_c2"),
+        )
+    elif objective == "ip":
+        score = lambda c: dot(F.col("xs"), c["sub"])  # noqa: E731
+        entry = F.struct(F.col("code").alias("code"), F.col("sub").alias("sub"))
+    else:
         raise ValueError(f"unknown pq_encode objective: {objective!r}")
-    scored = sliced.join(F.broadcast(codebooks), "s").select(
-        "vec_id", "s", "code", score.alias("ip")
+    # argmax as an ARRAY FOLD over the per-subspace codeword array (the
+    # assign_buckets discipline): the codebook collapses to n_sub broadcast
+    # rows each carrying a code-sorted struct array, and the winning code is
+    # array_max over struct(ip, -code, code) — the exact comparison order
+    # of the former max(struct) hash aggregation, so codes are identical,
+    # while the corpus x n_codes joined rows and the corpus-sized
+    # aggregation exchange disappear (this is the encode hot path:
+    # profiled 31.8s -> 17.2s task time from the _c2 hoist alone, the
+    # remaining cost was row materialization + the agg)
+    cb_arr = F.broadcast(
+        codebooks.select("s", entry.alias("_e"))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("_e")).alias("_cbs"))
     )
-    # argmax as ONE hash aggregation (same discipline as assign_buckets):
-    # max of struct(ip, -code) == (ip DESC, code ASC), no per-row sort —
-    # this is the encode hot path (corpus x n_sub x n_codes rows)
-    best = F.struct(
-        F.col("ip").alias("ip"),
-        (-F.col("code")).alias("nc"),
-        F.col("code").alias("code"),
+    best = lambda c: F.struct(  # noqa: E731
+        score(c).alias("ip"), (-c["code"]).alias("nc"), c["code"].alias("code")
     )
     return (
-        scored.select("vec_id", "s", best.alias("_t"))
-        .groupBy("vec_id", "s")
-        .agg(F.max("_t").alias("_t"))
+        sliced.join(cb_arr, "s")
+        .select(
+            "vec_id", "s",
+            F.array_max(F.transform("_cbs", best)).alias("_t"),
+        )
         .select("vec_id", "s", F.col("_t.code").alias("code"))
     )
 
@@ -1023,25 +1038,35 @@ def pq_codebooks_refined(
     # lazy localCheckpoint would re-derive it per consumer stage)
     sliced = sliced.localCheckpoint(eager=True)
     for _ in range(n_iter):
-        # argmax via max(struct(ip, -code)) — one hash agg per iteration,
-        # no sort (the pq_encode discipline).  0.5*||c||^2 precomputed per
-        # codeword on the dictionary-sized frame (the pq_encode l2 trick —
-        # bit-identical, halves the per-pair fold work)
-        _t = F.struct(
-            (dot("xs", "sub") - F.col("_c2")).alias("ip"),
-            (-F.col("code")).alias("nc"),
-            F.col("code").alias("code"),
+        # argmax as an array fold over the code-sorted per-subspace
+        # codeword array (the pq_encode/assign_buckets discipline):
+        # struct(ip, -code, code) under array_max reproduces the former
+        # max(struct) hash aggregation's comparison order exactly, with
+        # 0.5*||c||^2 precomputed per codeword — bit-identical codes, no
+        # per-pair row materialization, no aggregation exchange
+        cb_arr = F.broadcast(
+            cb.withColumn("_c2", F.lit(0.5) * dot("sub", "sub"))
+            .select(
+                "s",
+                F.struct(
+                    F.col("code").alias("code"), F.col("sub").alias("sub"),
+                    F.col("_c2").alias("_c2"),
+                ).alias("_e"),
+            )
+            .groupBy("s")
+            .agg(F.sort_array(F.collect_list("_e")).alias("_cbs"))
+        )
+        _best = lambda c: F.struct(  # noqa: E731
+            (dot(F.col("xs"), c["sub"]) - c["_c2"]).alias("ip"),
+            (-c["code"]).alias("nc"),
+            c["code"].alias("code"),
         )
         enc = (
-            sliced.join(
-                F.broadcast(
-                    cb.withColumn("_c2", F.lit(0.5) * dot("sub", "sub"))
-                ),
-                "s",
+            sliced.join(cb_arr, "s")
+            .select(
+                "vec_id", "s",
+                F.array_max(F.transform("_cbs", _best)).alias("_t"),
             )
-            .select("vec_id", "s", _t.alias("_t"))
-            .groupBy("vec_id", "s")
-            .agg(F.max("_t").alias("_t"))
             .select("vec_id", "s", F.col("_t.code").alias("code"))
         )
         cb = (

@@ -836,19 +836,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct, the degree join, and five iterations of join+agg then hash
     # and shuffle 8-byte longs instead of strings (~2x on the edge build)
     # orders is broadcast-sized (2 int columns); without the hint Catalyst
-    # sort-merge-joins and pays 3x.  eraw is checkpointed because BOTH
-    # union branches read it — Spark does not share common subplans, so an
-    # un-materialized eraw would run the join+distinct twice.
-    eraw = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges = eraw.unionAll(eraw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # sort-merge-joins and pays 3x.  Both edge orientations come from ONE
+    # explode pass instead of a self-union: union branches each re-read
+    # their shared subplan (Spark does not share common subtrees), which
+    # previously forced an extra checkpoint of eraw AND still scanned it
+    # once per branch per consumer — the explode emits (u,v) and (v,u)
+    # from a single scan, so pagerank's checkpoint+degree build reads the
+    # join+distinct exactly once (guide §1.2 / §2.4).
+    eraw = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("o_custkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = eraw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.s").alias("src"), F.col("_e.d").alias("dst"))
     pr = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
     n = pr.agg(F.count(F.lit(1)).cast("double").alias("nn"))
     label = F.when(
