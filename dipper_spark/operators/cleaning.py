@@ -87,10 +87,21 @@ def strip_boilerplate_chunks(
     surfaces with ``clean_text = ''`` (the curation signal), not as a
     missing row.
     """
-    ch = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        token_chunks(tokens(text_col), chunk_tokens).alias("chunks"),
-    ).filter(F.size("chunks") >= 1)
+    # the tokenize+chunk pass is the dominant per-row cost and feeds THREE
+    # consumers (the hot-chunk DF count, the anti-join strip, and the
+    # per-doc chunk totals) — eagerly materialize it once instead of
+    # re-running the regex tokenizer per consumer (the dedup/triangles
+    # multi-consumer discipline, guide §1.2; profiled as two extra
+    # full-corpus tokenize stages at sf0.1)
+    ch = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            token_chunks(tokens(text_col), chunk_tokens).alias("chunks"),
+        )
+        .filter(F.size("chunks") >= 1)
+        .localCheckpoint(eager=True)
+    )
     ex = ch.select("id", F.posexplode("chunks").alias("pos", "chunk"))
     # doc frequency counts DISTINCT docs (a chunk repeated within one doc
     # is repetition, not boilerplate)
