@@ -241,11 +241,19 @@ def kmeans_centroids(
     this); ``init='seeded'`` uses :func:`seeded_centroid_init` for
     production robustness against cluster-sorted inputs.  Each iteration is
     one distributed assign pass (broadcast max-cosine,
-    :func:`assign_buckets`) followed by an element-wise mean per bucket
-    (posexplode → groupBy(bucket, dim) → avg → re-assemble ordered array).
-    The driver only orchestrates the loop — per-iteration cost is one
-    shuffle on (bucket, dim), so this scales to any corpus; centroid count
-    stays broadcast-sized by construction.
+    :func:`assign_buckets`) followed by an element-wise mean per bucket.
+
+    The mean is ONE aggregation, not two: per-dim ``avg(embedding[i])``
+    columns under a single ``groupBy(bucket)`` (the embedding width is
+    peeked once before the loop).  Map-side partials reduce each task to
+    n_buckets x dim doubles, so the per-iteration exchange carries
+    dictionary-sized partial rows and the former second shuffle (the
+    collect_list re-assembly of the posexplode → groupBy(bucket, dim)
+    form) disappears — the array is re-assembled in a projection.  Each
+    per-dim avg accumulates the same doubles as the exploded form
+    (float32-cast result, the oracle's CAST(m AS REAL) contract).  The
+    driver only orchestrates the loop; centroid count stays
+    broadcast-sized by construction.
     """
     if init == "seeded":
         centroids = seeded_centroid_init(vectors, n_centroids, seed)
@@ -253,18 +261,20 @@ def kmeans_centroids(
         centroids = vectors.filter(F.col("vec_id") < n_centroids).select(
             "vec_id", "embedding"
         )
+    first = vectors.select("embedding").head()
+    if first is None:  # empty corpus: nothing to refine
+        return centroids.localCheckpoint(eager=True)
+    dim = len(first[0])
     for _ in range(n_iter):
         assigned = assign_buckets(vectors, centroids)
         means = (
-            assigned.select("bucket", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("bucket", "dim")
-            .agg(F.avg("v").alias("mean_v"))
-            .groupBy("bucket")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "mean_v"))),
-                    lambda s: s["mean_v"].cast("float"),
-                ).alias("embedding")
+            assigned.groupBy("bucket")
+            .agg(*[F.avg(F.col("embedding")[i]).alias(f"_m{i}") for i in range(dim)])
+            .select(
+                "bucket",
+                F.array(
+                    *[F.col(f"_m{i}").cast("float") for i in range(dim)]
+                ).alias("embedding"),
             )
         )
         centroids = means.select(F.col("bucket").alias("vec_id"), "embedding")
@@ -1069,22 +1079,32 @@ def pq_codebooks_refined(
             )
             .select("vec_id", "s", F.col("_t.code").alias("code"))
         )
+        # codeword re-estimation as ONE aggregation (the kmeans_centroids
+        # fold): per-dim grid-snapped sums under a single groupBy(s, code)
+        # instead of posexplode → groupBy(s, code, dim) → collect_list
+        # re-assembly — one exchange of dictionary-sized partial rows per
+        # iteration instead of two, no sub_dim x row blowup.  Each dim's
+        # value is (sum(_q)/count)/g with _q an exact LONG sum, so the
+        # result is bit-identical to the exploded form regardless of
+        # accumulation order.
+        _qi = lambda i: F.floor(  # noqa: E731
+            F.col("xs")[i] * F.lit(g) + F.lit(0.5)
+        ).cast("long")
         cb = (
             sliced.join(enc, ["vec_id", "s"])
-            .select("s", "code", F.posexplode("xs").alias("dim", "v"))
-            .withColumn("_q", F.floor(F.col("v") * F.lit(g) + F.lit(0.5)).cast("long"))
-            .groupBy("s", "code", "dim")
-            .agg(
-                (
-                    (F.sum("_q").cast("double") / F.count(F.lit(1))) / F.lit(g)
-                ).alias("m")
-            )
             .groupBy("s", "code")
             .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                    lambda t: t["m"],
-                ).alias("sub")
+                *[
+                    (
+                        (F.sum(_qi(i)).cast("double") / F.count(F.lit(1)))
+                        / F.lit(g)
+                    ).alias(f"_m{i}")
+                    for i in range(sub_dim)
+                ]
+            )
+            .select(
+                "s", "code",
+                F.array(*[F.col(f"_m{i}") for i in range(sub_dim)]).alias("sub"),
             )
         )
         # codebook is n_sub x n_codes rows but its lazy plan embeds every
