@@ -185,11 +185,15 @@ def classifier_grains(
 def _weight_lit(weights: dict[int, int]):
     """The current weight vector as a map LITERAL (column expression) —
     no join and no broadcast job for dictionary-sized state, the unigram
-    fast-path trick."""
+    fast-path trick.  Built as ONE ``F.expr`` string: the former
+    ``create_map(*[F.lit(..) for ..])`` form cost ~139 py4j round trips
+    per iteration (~250 ms on the driver, ~4 s across a 16-iteration
+    training) to construct the very same CreateMap/GetMapValue/coalesce
+    expression the SQL parser builds from this string in one call."""
     if not weights:
         return F.lit(0).cast("long")
-    pairs = [x for b, w in sorted(weights.items()) for x in (F.lit(b), F.lit(w))]
-    return F.coalesce(F.create_map(*pairs)[F.col("bucket")], F.lit(0)).cast("long")
+    items = ",".join(f"{b}L,{w}L" for b, w in sorted(weights.items()))
+    return F.expr(f"CAST(coalesce(map({items})[bucket], 0) AS BIGINT)")
 
 
 def _residuals(feat: DataFrame, weights: dict[int, int]) -> DataFrame:
