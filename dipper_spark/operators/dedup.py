@@ -754,10 +754,23 @@ def connected_components(
 
     Returns (id, component) for every node that appears in ``edges``.
     """
-    sym = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-    sym = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # both orientations from ONE pass over the (possibly expensive, lazy)
+    # edge derivation — the union-of-flip form re-ran the caller's whole
+    # pair pipeline once per branch when materializing this checkpoint
+    # (profiled as 2 identical verify stages under q_dup_components /
+    # q_dedup_decision; the q_pagerank edge-doubling fix, guide §1.2)
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id1).alias("src"), F.col(id2).alias("dst")),
+                    F.struct(F.col(id2).alias("src"), F.col(id1).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

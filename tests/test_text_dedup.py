@@ -580,6 +580,32 @@ class TestConnectedComponents:
         got = {r.id: r.component for r in connected_components(edges).collect()}
         assert set(got.values()) == {0} and len(got) == 31
 
+    def test_edge_derivation_runs_once(self, spark):
+        """The symmetric edge table must be built in ONE pass over the
+        caller's (possibly expensive, lazy) pair derivation — the former
+        union-of-flip form re-ran the whole upstream pipeline once per
+        branch when materializing the sym checkpoint (profiled as two
+        identical MinHash-verify stages under q_dup_components).  An
+        accumulator-counting UDF stands in for the expensive derivation:
+        it must fire once per edge row, not twice."""
+        from pyspark.sql import functions as F
+
+        from dipper_spark.operators.dedup import connected_components
+
+        acc = spark.sparkContext.accumulator(0)
+
+        def _counted(x):
+            acc.add(1)
+            return x
+
+        cudf = F.udf(_counted, "long").asNondeterministic()
+        edges = spark.createDataFrame(
+            [(2, 3), (3, 4), (10, 11), (5, 4)], ["raw_1", "id_2"]
+        ).select(cudf("raw_1").alias("id_1"), "id_2")
+        got = {r.id: r.component for r in connected_components(edges).collect()}
+        assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10}
+        assert acc.value == 4, f"edge derivation evaluated {acc.value}x for 4 rows"
+
 
 def test_source_quota_deterministic(spark):
     from dipper_spark.operators.sampling import source_quota
