@@ -130,45 +130,88 @@ def _grain_base(
 
 
 def _grains_from_base(base: DataFrame, n_buckets: int, carry: tuple = ()) -> DataFrame:
+    """ONE tokenized pass feeds both grain families.  The former shape
+    union'd a hashed branch (explode → count) with a dense branch (array
+    ops over ``_toks``) — two independent subtrees, so on a LAZY base
+    (the apply path, deliberately un-checkpointed at corpus scale) the
+    plan scanned AND re-tokenized the whole corpus once per branch
+    (2 FileScans in the committed q_classifier_apply_stored plan).  Now
+    the dense numerators ride the SAME exploded stream as per-bucket
+    partial sums: both branches consume the one (id, bucket) exchange,
+    which AQE's stage reuse dedupes, so the corpus is scanned and
+    tokenized exactly once (guide §1.2 / §8: move the heavy pass once).
+    ``explode_outer`` keeps null-``_toks`` docs alive for the dense
+    branch (null bucket, filtered from the hashed side) — value-level
+    behavior is unchanged, every fx is the same exact integer (or the
+    same NULL) as the array-op form, re-proven against the oracle."""
     keep = list(carry)
-    hashed = (
-        base.select("id", "n", *keep, F.explode("_toks").alias("t"))
-        .withColumn("bucket", _bucket_expr("t", n_buckets))
-        .groupBy("id", "n", *keep, "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .select("id", "n", *keep, "bucket", _micro(F.col("cnt"), F.col("n")).alias("fx"))
+    t = F.col("t")
+    per_bucket = (
+        base.select("id", "n", *keep, F.explode_outer("_toks").alias("t"))
+        .groupBy("id", "n", *keep, _bucket_expr("t", n_buckets).alias("bucket"))
+        .agg(
+            F.count("t").cast("long").alias("cnt"),
+            F.sum(F.when(t.rlike("^[a-z]+$"), 1).otherwise(0)).cast("long").alias("_alpha"),
+            F.sum(F.when(t.isin(EN_STOPWORDS), 1).otherwise(0)).cast("long").alias("_stop"),
+            F.sum(F.length("t")).cast("long").alias("_chars"),
+        )
     )
-    t = F.col("_toks")
+    # dictionary-sized per doc (<= n_buckets + 1 bucket rows), so this
+    # second aggregation is doc-scale; collect_list order is irrelevant
+    # (every downstream consumer is order-free)
+    per_doc = per_bucket.groupBy("id", "n", *keep).agg(
+        F.collect_list(F.struct("bucket", "cnt")).alias("_bl"),
+        F.sum("_alpha").alias("_alpha"),
+        F.sum("_stop").alias("_stop"),
+        F.sum("_chars").alias("_chars"),
+    )
     dense_vals = [
         (BIAS, F.lit(SCALE).cast("long")),
         (REL_LEN, _micro(F.least(F.col("n"), F.lit(100).cast("long")), F.lit(100).cast("long"))),
-        (ALPHA, _micro(F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$"))), F.col("n"))),
-        (STOP, _micro(F.size(F.filter(t, lambda x: x.isin(EN_STOPWORDS))), F.col("n"))),
+        # coalesce(sum, 0) == size(filter(...)) for every non-null _toks
+        # (split never yields an empty array, so a present doc always has
+        # >= 1 exploded row); for null _toks both forms reach the same
+        # NULL fx through the null denominator n
+        (ALPHA, _micro(F.coalesce(F.col("_alpha"), F.lit(0).cast("long")), F.col("n"))),
+        (STOP, _micro(F.coalesce(F.col("_stop"), F.lit(0).cast("long")), F.col("n"))),
         # clamp at 1.0: a corpus with mean token length > 10 chars would
         # otherwise push fx above SCALE, breaking the documented
         # ||x||^2 <= 6 lr-stability bound (lr=1/4 could diverge).  The
         # least() makes the bound structural, not a data-shape accident;
-        # mirrored as least() in the oracle CTE.
+        # mirrored as least() in the oracle CTE.  sum(length(t)) is the
+        # exploded-stream identity of length(array_join(_toks, '')).
         (WORDLEN, _micro(
-            F.least(F.length(F.array_join(t, "")), F.lit(10).cast("long") * F.col("n")),
+            F.least(
+                F.coalesce(F.col("_chars"), F.lit(0).cast("long")),
+                F.lit(10).cast("long") * F.col("n"),
+            ),
             F.lit(10).cast("long") * F.col("n"),
         )),
     ]
-    dense = base.select(
-        "id", "n", *keep,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).cast("long").alias("bucket"), v.alias("fx")
-                )
-                for b, v in dense_vals
-            ])
-        ).alias("_f"),
+    # hashed grains re-emerge from the collected bucket list (the null
+    # bucket of an exploded-outer null token is dropped here, exactly the
+    # rows the former explode() never produced), dense grains append as
+    # literals — ONE concat'd explode, no union, so no branch for the
+    # optimizer to prune differently and nothing upstream evaluates twice
+    grain_entries = F.concat(
+        F.transform(
+            F.filter(F.col("_bl"), lambda s: s["bucket"].isNotNull()),
+            lambda s: F.struct(
+                s["bucket"].alias("bucket"),
+                _micro(s["cnt"], F.col("n")).alias("fx"),
+            ),
+        ),
+        F.array(*[
+            F.struct(F.lit(b).cast("long").alias("bucket"), v.alias("fx"))
+            for b, v in dense_vals
+        ]),
+    )
+    return per_doc.select(
+        "id", "n", *keep, F.explode(grain_entries).alias("_f")
     ).select(
         "id", "n", *keep,
         F.col("_f.bucket").alias("bucket"), F.col("_f.fx").alias("fx"),
     )
-    return hashed.unionByName(dense)
 
 
 def classifier_grains(
