@@ -225,48 +225,88 @@ def classifier_grains(
     )
 
 
-def _weight_lit(weights: dict[int, int]):
-    """The current weight vector as a map LITERAL (column expression) —
-    no join and no broadcast job for dictionary-sized state, the unigram
-    fast-path trick.  Built as ONE ``F.expr`` string: the former
-    ``create_map(*[F.lit(..) for ..])`` form cost ~139 py4j round trips
-    per iteration (~250 ms on the driver, ~4 s across a 16-iteration
-    training) to construct the very same CreateMap/GetMapValue/coalesce
-    expression the SQL parser builds from this string in one call."""
+def _weight_sql(weights: dict[int, int]) -> str:
+    """The current weight vector as a map-literal SQL fragment (the
+    unigram fast-path trick: no join and no broadcast job for
+    dictionary-sized state).  ONE string handed to the SQL parser: the
+    former ``create_map(*[F.lit(..) for ..])`` form cost ~139 py4j round
+    trips per iteration (~250 ms on the driver, ~4 s across a
+    16-iteration training) to construct the very same
+    CreateMap/GetMapValue/coalesce expression.  The literal map lands in
+    the codegen ``references[]`` array, so the generated source — and
+    hence the Janino compile — is shared across iterations (measured:
+    zero recompiles after iteration 2)."""
     if not weights:
-        return F.lit(0).cast("long")
+        return "CAST(0 AS BIGINT)"
     items = ",".join(f"{b}L,{w}L" for b, w in sorted(weights.items()))
-    return F.expr(f"CAST(coalesce(map({items})[bucket], 0) AS BIGINT)")
+    return f"CAST(coalesce(map({items})[bucket], 0) AS BIGINT)"
 
 
-def _residuals(feat: DataFrame, weights: dict[int, int]) -> DataFrame:
-    """Per-doc residual ``(id, r)`` under the current weights — the
-    margin numerator is an exact BIGINT hash-aggregation (no sort)."""
-    return (
-        feat.withColumn("_wb", _weight_lit(weights))
-        .groupBy("id", "y")
-        .agg(F.sum(F.col("_wb") * F.col("fx")).alias("M"))
-        .select(
-            "id",
-            (
-                F.col("M").cast("double") / F.lit(float(SCALE) * float(SCALE))
-                - (F.lit(2).cast("long") * F.col("y") - F.lit(1)).cast("double")
-            ).alias("r"),
-        )
-    )
+def _weight_lit(weights: dict[int, int]):
+    """:func:`_weight_sql` as a column expression (window fallback)."""
+    return F.expr(_weight_sql(weights))
+
+
+#: ``SCALE²`` rendered exactly as the float literal the former
+#: ``F.lit(float(SCALE) * float(SCALE))`` produced — the margin division
+#: must stay the same IEEE double op the oracle CTEs mirror.
+_D2 = repr(float(SCALE) * float(SCALE))
+
+#: monotonically increasing temp-view suffix (unique per _gradient call,
+#: so interleaved trainings in one session can never resolve each
+#: other's grain view)
+_GRAIN_VIEW_N = 0
 
 
 def _gradient(feat: DataFrame, weights: dict[int, int], bcast: bool) -> DataFrame:
     """One iteration's per-bucket gradient.  ``bcast=True`` (the default
-    for any realistically-sized labeled training slice) broadcast-joins
-    the doc-sized residual table back onto the grains — two hash
-    aggregations and zero sorts per iteration, measured ~2x faster than
-    the window form.  ``bcast=False`` is the unbounded-slice fallback: a
-    window sum over the doc's grains keeps everything shuffle-based.
-    Both produce identical weights (integer grains make the math
-    engine- and shape-independent); a test pins the equivalence."""
+    for any realistically-sized labeled training slice) joins the
+    doc-sized residual table back onto the grains with a SHUFFLE_HASH
+    hint: the grain table is hash-partitioned (and persisted) on ``id``
+    and the residual aggregation inherits that layout, so the join plans
+    with ZERO exchanges and zero sorts, and — unlike the former
+    broadcast-residual form — the whole iteration is ONE job (no
+    broadcast-build job, no 320 MB residual broadcast ceiling; the
+    per-partition hash build is the partition's own doc slice).
+    Measured at sf0.1: 32 → 16 jobs for the 16-iteration training, loop
+    3.5 → 2.3 s, weights bit-identical (integer grains make the math
+    engine- and shape-independent).  ``bcast=False`` is the window-sum
+    fallback; a test pins the equivalence of both paths."""
     if bcast:
-        grain = feat.join(F.broadcast(_residuals(feat, weights)), "id")
+        # ONE spark.sql call over a temp view of the persisted grain
+        # table: the same tree as the equivalent 7-step DataFrame chain,
+        # built in ~30 ms of driver time instead of ~80 ms (measured;
+        # x16 iterations this is pure driver pacing — guide §1.2).  A
+        # temp view resolves to feat's ANALYZED plan, so the cache
+        # lookup still hits the persisted InMemoryRelation (DataFrame
+        # interpolation via spark.sql(..., feat=feat) re-expands the
+        # plan with fresh expression ids and MISSES the cache — measured
+        # as a full featurize re-run per iteration; do not use it here).
+        # The view is NOT dropped here: catalog.dropTempView cascades an
+        # uncacheQuery whose sameResult match UNPERSISTS the grain cache
+        # itself (measured: every later iteration re-ran featurize).  The
+        # trainer drops its views after the loop, post-unpersist.
+        spark = feat.sparkSession
+        global _GRAIN_VIEW_N
+        _GRAIN_VIEW_N += 1
+        view = f"__dipper_clf_grains_{_GRAIN_VIEW_N}"
+        feat.createOrReplaceTempView(view)
+        return spark.sql(
+                f"""
+                SELECT bucket, sum(CAST(floor(r * fx + 0.5) AS BIGINT)) AS G
+                FROM (
+                  SELECT /*+ SHUFFLE_HASH(res) */ f.bucket, f.fx, res.r
+                  FROM {view} f
+                  JOIN (
+                    SELECT id, (CAST(M AS DOUBLE) / {_D2})
+                               - CAST(2 * y - 1 AS DOUBLE) AS r
+                    FROM (SELECT id, y, sum(({_weight_sql(weights)}) * fx) AS M
+                          FROM {view} GROUP BY id, y)
+                  ) res ON f.id = res.id
+                )
+                GROUP BY bucket
+                """
+        )
     else:
         from pyspark.sql import Window
 
@@ -312,13 +352,13 @@ def linear_classifier_train(
     crosses rows is a BIGINT sum of pre-rounded grains.  The returned
     frame is dictionary-sized (<= n_buckets + 5 rows).
 
-    ``broadcast_residuals``: per-iteration residuals are broadcast back
-    onto the grain table while the labeled slice has at most this many
-    documents (~16 B/row: the default 2e7 is a ~320 MB broadcast
-    ceiling); a larger slice falls back to the shuffle/window form.
-    Classifier training slices are bounded by labeling cost in practice
-    (CCNet/FineWeb train on 1e5-1e7 labeled docs), so the broadcast path
-    is the normal one."""
+    ``broadcast_residuals``: while the labeled slice has at most this
+    many documents the per-iteration residuals are re-attached with the
+    co-partitioned SHUFFLE_HASH join (see :func:`_gradient` — zero
+    exchanges, one job per iteration); a larger slice falls back to the
+    window form.  Classifier training slices are bounded by labeling
+    cost in practice (CCNet/FineWeb train on 1e5-1e7 labeled docs), so
+    the join path is the normal one."""
     spark = df.sparkSession
     y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast("long")
     # ONE tokenize pass, parallel and eagerly checkpointed, with the label
@@ -343,12 +383,22 @@ def linear_classifier_train(
             (n_docs * (n_buckets // 2 + 5)) // 500_000 + 1,
         ),
     )
+    # persist() instead of localCheckpoint: a checkpoint scan reports
+    # UnknownPartitioning, so every iteration's per-doc aggregation paid a
+    # full re-exchange of the grain rows (and the residual join could
+    # never be co-partitioned).  InMemoryRelation PRESERVES the
+    # hashpartitioning(id, n_part) below it, which is what lets the
+    # SHUFFLE_HASH residual join and the margin aggregation plan with
+    # zero exchanges (guide §2.4: two operations keyed the same way share
+    # one exchange).  Bounded like the former checkpoint: the grain table
+    # of a labeling-cost-bounded slice, dropped in the finally below.
     feat = (
         _grains_from_base(base, n_buckets, carry=("y",))
         .select("id", "bucket", "fx", F.col("y").cast("long").alias("y"))
         .repartition(n_part, "id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    feat.count()  # materialize before the loop (the former eager checkpoint)
     bcast = n_docs <= broadcast_residuals
     weights: dict[int, int] = {}
     # AQE off for the iteration jobs only (restored after): each gradient
@@ -367,6 +417,7 @@ def linear_classifier_train(
     sp_prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    view_start = _GRAIN_VIEW_N
     try:
         for _ in range(iters):
             grad = _gradient(feat, weights, bcast).collect()
@@ -376,6 +427,12 @@ def linear_classifier_train(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         spark.conf.set("spark.sql.shuffle.partitions", sp_prev)
+        feat.unpersist(blocking=False)
+        # drop the per-iteration grain views AFTER unpersist (dropping a
+        # view cascades an uncacheQuery over sameResult plans — see
+        # _gradient; at this point the cache is already gone)
+        for i in range(view_start + 1, _GRAIN_VIEW_N + 1):
+            spark.catalog.dropTempView(f"__dipper_clf_grains_{i}")
     out = sorted(weights.items())
     return tiny_df(
         spark, [(int(b), int(w)) for b, w in out], "bucket LONG, w_micro LONG"

@@ -625,9 +625,12 @@ class TestRound11Additions:
         assert final.count("Exchange hashpartitioning") <= 3
 
     def test_classifier_gradient_iteration_shape(self, spark, sf):
-        """One GD iteration = two hash aggregations with the doc-sized
-        residual table broadcast back onto the grains — no sort, no
-        shuffle join, no Python."""
+        """One GD iteration = the co-partitioned SHUFFLE_HASH residual
+        join over an id-partitioned persisted grain table — no sort, no
+        sort-merge join, no Python, and (round 14) ZERO exchanges before
+        the final bucket aggregation: the margin aggregation and the
+        residual join both reuse the grain table's own
+        hashpartitioning(id) (guide §2.4)."""
         from dipper_spark.functions.text import quality_rules
         from dipper_spark.operators.classifier import (
             _gradient,
@@ -647,14 +650,26 @@ class TestRound11Additions:
                 "id",
             )
             .select("id", "bucket", "fx", "y")
-            .localCheckpoint(eager=True)
+            .repartition(4, "id")
+            .persist()
         )
-        plan = final_plan_of(_gradient(feat, {-1: 1000, 3: -500}, bcast=True))
-        final = plan.split("== Initial Plan ==")[0]
-        assert "BroadcastHashJoin" in final
-        assert "Python" not in final
-        assert "SortMergeJoin" not in final
-        assert "CartesianProduct" not in final
+        try:
+            feat.count()
+            plan = final_plan_of(_gradient(feat, {-1: 1000, 3: -500}, bcast=True))
+            final = plan.split("== Initial Plan ==")[0]
+            assert "ShuffledHashJoin" in final
+            assert "Python" not in final
+            assert "SortMergeJoin" not in final
+            assert "CartesianProduct" not in final
+            # the only exchange is the dictionary-sized bucket aggregation:
+            # residual agg + join ride the persisted id-partitioning (the
+            # InMemoryRelation section embeds the cached featurize subtree's
+            # own plan, so count only the main query above it)
+            assert final.split("InMemoryRelation")[0].count(
+                "Exchange hashpartitioning"
+            ) == 1
+        finally:
+            feat.unpersist(blocking=False)
 
 
 class TestRound12Additions:
