@@ -146,10 +146,37 @@ def jaccard_pairs_from_sets(
         .localCheckpoint(eager=True)
     )
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = kept.alias("a"), kept.alias("b")
+    # posting-list pair generation (round 14, guide §2.3): the kept index
+    # groups into per-shingle postings — every posting BOUNDED by
+    # construction (kept shingles have doc_freq <= max_doc_freq; the hot
+    # table removed the rest) — and each posting emits its id_1 < id_2
+    # pairs directly (sorted array + posexplode + slice: exactly
+    # c(c-1)/2 rows, no candidate blowup, no filter).  The explicit
+    # repartition ships the RAW (id, shingle) pairs once so the
+    # collect_list builds entirely post-exchange (partial_collect_list
+    # buffers would otherwise ship the same payload with array framing).
+    # Same pair multiset, same counts: each pair still meets once per
+    # shared kept shingle.  Measured trade: at sf0.1 the FORMER self-join
+    # was planned as a BroadcastHashJoin (AQE broadcasts the <10 MB kept
+    # index) and beat this by ~0.3-0.6 s/query — a regime that cannot
+    # exist at 100 TB where the kept index is corpus-sized and the join
+    # degrades to a two-exchange sort-merge; at sf1.0, where the
+    # broadcast can no longer fire, this form wins 27-33% wall on all
+    # three consumer queries (interleaved fresh-JVM A/B, see
+    # OPTIMIZATION_r14.md §3).
     pair_common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        kept.repartition(F.col("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.posexplode("_ids").alias("_pos", "id_1"), F.col("_ids"))
+        .select(
+            "id_1",
+            F.explode(
+                F.slice("_ids", F.col("_pos") + 2, F.size("_ids"))
+            ).alias("id_2"),
+        )
+        .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("kept_common"))
     )
     sizes = sets.select("id", F.size("sh_set").alias("n_sh"))
@@ -261,10 +288,33 @@ def containment_pairs(
         .localCheckpoint(eager=True)
     )
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = kept.alias("a"), kept.alias("b")
+    # posting-list pair generation — the jaccard_pairs_from_sets shape
+    # (see there for the why: ONE shuffle of the kept index instead of
+    # two + two sorts; postings bounded by max_doc_freq).  Ordered pairs
+    # here: (A in B) and (B in A) are different findings, so the filter
+    # keeps id_1 != id_2 exactly like the former join condition.
     pair_common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        kept.repartition(F.col("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.posexplode("_ids").alias("_pos", "_lo"), F.col("_ids"))
+        .select(
+            "_lo",
+            F.explode(
+                F.slice("_ids", F.col("_pos") + 2, F.size("_ids"))
+            ).alias("_hi"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("_lo").alias("id_1"), F.col("_hi").alias("id_2")),
+                    F.struct(F.col("_hi").alias("id_1"), F.col("_lo").alias("id_2")),
+                )
+            ).alias("_p")
+        )
+        .select("_p.id_1", "_p.id_2")
+        .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("kept_common"))
     )
     sizes = sets.select("id", F.size("sh_set").alias("n_sh"))
