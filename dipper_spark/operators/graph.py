@@ -111,8 +111,15 @@ def oriented_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
     hub vertex can no longer mint quadratic wedge candidates.  (deg, id) is
     a TOTAL order, so each triangle still has exactly one (x→y→z) form and
     the x→z closing edge is guaranteed to be stored in that orientation."""
-    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
-    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    # deg is NODE-sized (the pagerank broadcast economics: orders of
+    # magnitude smaller than the edge list); without the hint the
+    # checkpointed frames carry no stats and Catalyst plans BOTH degree
+    # attaches as sort-merge joins — two exchanges and two sorts of the
+    # edge list for dictionary-class lookups (round-14 profile).  The
+    # broadcast also makes the two builds ReuseExchange-identical, so
+    # deg ships once.
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("degree").alias("_da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("degree").alias("_db")))
     ed = e.join(da, "a").join(db, "b")
     lo_first = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
     return ed.select(
@@ -185,8 +192,12 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b", order: str = "id") -
         F.col("degree") >= 2,
         F.lit(2.0) * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)),
     ).otherwise(F.lit(0.0))
+    # per_node is node-sized like deg: broadcast it so the final attach is
+    # a BroadcastHashJoin LeftOuter instead of a sort-merge that exchanges
+    # and sorts both node frames (round-14 profile; the build side is the
+    # per-node triangle aggregate, already reduced to one row per node)
     return (
-        deg.join(per_node, "node", "left")
+        deg.join(F.broadcast(per_node), "node", "left")
         .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0)).cast("long"))
         .select("node", "degree", "n_tri", F.round(cc, 6).alias("clustering"))
     )
