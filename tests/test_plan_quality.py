@@ -976,3 +976,81 @@ class TestRound13Additions:
         assert "Python" not in final
         assert "CartesianProduct" not in final
         assert "SortMergeJoin" not in final
+
+
+class TestRound14PlanLocks:
+    """Round-13 verdict item #6: locks for the round-13 shapes that had
+    bench evidence but no standing plan assertion — the argmax-by-array-
+    fold in IVF assignment (no corpus-sized join+aggregation) and the
+    salted in-join scoring width in centroid_neardup (REPARTITION_BY_NUM
+    pins it against AQE coalescing).  Each lock's sensitivity twin seeds
+    the reverted shape deliberately and checks the predicate goes red."""
+
+    def test_assign_buckets_is_argmax_fold(self, spark, sf):
+        """IVF assignment must stay ONE map pass over the vectors: the
+        centroid set collapses to a single broadcast array row (carried
+        by a 1-row BroadcastNestedLoopJoin), and the plan has NO
+        per-vector hash-aggregation exchange and NO hash/sort-merge join
+        — reverting to the r12 join+max(struct) form reintroduces both."""
+        from dipper_spark.operators.similarity import assign_buckets
+        from dipper_spark.session import load_table
+
+        emb = load_table(spark, sf, "embeddings")
+        cents = emb.filter(F.col("vec_id") < 4)
+        plan = plan_of(assign_buckets(emb, cents))
+        assert "BroadcastNestedLoopJoin" in plan  # the folded-array carrier
+        assert "array_max" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "Python" not in plan
+
+    def test_assign_fold_lock_trips_on_join_agg_revert(self, spark, sf):
+        """Sensitivity twin: the pre-r13 join+aggregation assignment
+        (broadcast-product join, max(struct) groupBy) must violate the
+        fold lock's predicates."""
+        from dipper_spark.operators.similarity import l2_norm, dot
+        from dipper_spark.session import load_table
+
+        emb = load_table(spark, sf, "embeddings")
+        cents = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+        joined = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            F.struct(
+                (dot(F.col("embedding"), F.col("cent_emb"))
+                 / (l2_norm("embedding") * l2_norm("cent_emb"))).alias("c"),
+                (-F.col("cent_id")).alias("nc"),
+                F.col("cent_id").alias("cent_id"),
+            ).alias("_s"),
+        )
+        rotten = plan_of(
+            joined.groupBy("vec_id").agg(F.max("_s").alias("_t"))
+        )
+        assert "Exchange hashpartitioning" in rotten  # the corpus-sized agg
+
+    def test_centroid_neardup_pins_salted_join_width(self, spark, sf):
+        """The multi-assign near-dup scorer must keep scoring INSIDE the
+        salted bucket self-join: both sides repartition by (bucket, salt)
+        with REPARTITION_BY_NUM (never AQE-coalesced), the a-side salt is
+        the deterministic pmod(xxhash64(id), K), and no corpus-sized frame
+        is broadcast (the fetch-back attach joins stay gone)."""
+        df = QUERIES["q_neardup_multiassign"](spark, sf)
+        pre = df._jdf.queryExecution().toString()
+        assert pre.count("REPARTITION_BY_NUM") >= 2
+        assert "xxhash64" in pre
+        final = final_plan_of(df).split("== Initial Plan ==")[0]
+        assert "Python" not in final
+        assert "CartesianProduct" not in final
+
+    def test_salt_width_lock_trips_on_plain_repartition(self, spark, sf):
+        """Sensitivity twin: an ENSURE_REQUIREMENTS exchange (what the
+        join would insert on its own, AQE-coalescible) does not satisfy
+        the REPARTITION_BY_NUM predicate."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey")
+        a, b = li.alias("a"), li.alias("b")
+        rotten = a.join(
+            b, F.col("a.l_orderkey") == F.col("b.l_orderkey")
+        )._jdf.queryExecution().toString()
+        assert "REPARTITION_BY_NUM" not in rotten
