@@ -542,8 +542,19 @@ def simhash_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataF
     # the banded (or all-pairs) self-join consumes the fingerprint frame
     # twice; without an eager checkpoint both sides re-run the upstream
     # tokenize + bits-wide vote aggregation (guide §1.2).  The frame is
-    # node-sized — (id, simhash) longs — so materializing it is cheap
-    sim = sim.localCheckpoint(eager=True)
+    # node-sized — (id, simhash) longs — so materializing it is cheap.
+    #
+    # Width pin (round 14, guide §2.5 — the centroid_neardup discipline):
+    # the vote aggregation's output is BYTE-small, so AQE coalesces it to
+    # 1-2 partitions before the checkpoint freezes that layout; the banded
+    # self-join's probe + bit_count verify then run as 1-2 TASKS of dense
+    # compute (measured at sf1.0: the whole 50k-doc band join serialized
+    # on 2 cores, 53 s — the reason q_dedup_agreement's 8c/32c ratio was
+    # 0.98).  REPARTITION_BY_NUM on the unique id is deterministic, never
+    # AQE-coalesced, skew-free, and scale-adaptive via defaultParallelism.
+    sim = sim.repartition(
+        sim.sparkSession.sparkContext.defaultParallelism, "id"
+    ).localCheckpoint(eager=True)
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     n_bands = max_hamming + 1
     if n_bands > bits:
