@@ -30,6 +30,39 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def dot_unrolled(x: str, y: str, dim: int) -> Column:
+    """:func:`dot` with the fold unrolled for a KNOWN dimension: the same
+    left-associated ``(((0.0 + x0*y0) + x1*y1) + ...)`` chain of doubles
+    in the same order, so the result is bit-identical to the fold — but
+    as a flat expression that whole-stage codegen compiles, instead of a
+    per-element interpreted lambda (higher-order functions never codegen;
+    measured 341 s of task CPU on q_neardup_multiassign's sf1.0 pair
+    scoring, dominated by the interpreted fold).  Rows whose arrays are
+    not exactly ``dim`` long (or are NULL) take the fold fallback —
+    spelled in SQL so it is the identical aggregate/zip_with tree —
+    which reproduces the pad-with-null semantics exactly.
+
+    ``x``/``y`` are column NAMES: the whole expression is built as ONE
+    SQL string handed to the parser in a single call — the first cut
+    built it with 64 iterations of Column operators, ~260 py4j round
+    trips and ~1.2 s of driver time per query run, which more than ate
+    the executor win at small SF (the classifier _weight_sql lesson).
+    ``a + b + c`` parses left-associative, so the chain order is the
+    fold's."""
+    terms = " + ".join(
+        f"CAST({x}[{i}] AS DOUBLE) * CAST({y}[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    fold = (
+        f"aggregate(zip_with({x}, {y}, "
+        f"(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CASE WHEN size({x}) = {dim} AND size({y}) = {dim} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} ELSE {fold} END"
+    )
+
+
 def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -377,7 +377,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by the cluster label (the LSH-bucket
     pattern): cosine >= 0.3 within blocks."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return blocked_neardup(emb, "label", threshold=0.3)
+    return blocked_neardup(emb, "label", threshold=0.3, dim=_PQ_DIM)
 
 
 _NDM_TAU = 0.3
@@ -418,7 +418,7 @@ def q_neardup_multiassign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
-    return centroid_neardup(emb, cents, threshold=_NDM_TAU, n_assign=2)
+    return centroid_neardup(emb, cents, threshold=_NDM_TAU, n_assign=2, dim=_PQ_DIM)
 
 
 # ---- SemDeDup ----------------------------------------------------------------

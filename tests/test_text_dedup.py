@@ -1018,3 +1018,37 @@ def test_semdedup_multiassign_drops_boundary_twin(spark):
     # primary buckets unchanged by the widened candidate search
     buckets = {r.vec_id: r.bucket for r in out2}
     assert buckets[10] == 0 and buckets[11] == 1
+
+
+def test_dot_unrolled_is_bit_identical_to_fold(spark):
+    """The known-dim unrolled dot (round 14) must reproduce the
+    aggregate/zip_with fold bit-for-bit: same left-associated double
+    chain on equal-dim rows, and the FOLD ITSELF (pad-with-null
+    semantics) on rows whose arrays are shorter/longer/NULL."""
+    from pyspark.sql import functions as F
+
+    from dipper_spark.functions.vectors import dot, dot_unrolled
+
+    rows = [
+        (1, [0.1, 0.2, 0.3, 0.4], [1.5, -2.5, 3.25, 0.125]),   # exact dim
+        (2, [1e30, 1.0, -1e30, 3.0], [1.0, 1.0, 1.0, 1.0]),    # order-sensitive
+        (3, [0.1, 0.2], [1.0, 2.0]),                            # short arrays
+        (4, [0.1, 0.2, 0.3, 0.4, 0.5], [1.0] * 5),              # long arrays
+        (5, None, [1.0, 2.0, 3.0, 4.0]),                        # null side
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>"
+    )
+    got = df.select(
+        "id",
+        dot("a", "b").alias("fold"),
+        dot_unrolled("a", "b", 4).alias("unrolled"),
+    ).collect()
+    for r in got:
+        if r.fold is None:
+            assert r.unrolled is None, r
+        else:
+            # bit-level comparison, not approx
+            import struct
+
+            assert struct.pack("d", r.fold) == struct.pack("d", r.unrolled), r
