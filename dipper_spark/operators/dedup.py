@@ -689,10 +689,21 @@ def chunk_dedup(
     chunk; docs shorter than one chunk are excluded (no denominator).
     """
     staged = ensure_parallelism(df)
+    # EAGER checkpoint (round 14): the chunked frame feeds THREE branches
+    # (chunk doc-freq, the dup-hit join, per-doc totals), and the
+    # size-filter on the DERIVED chunks column was being pushed below the
+    # parallelizing exchange into the parquet scan, where it re-evaluated
+    # the full tokenize+chunk expression per row on the scan's (few)
+    # input splits — profiled at sf1.0 as two 2-task stages of 7 s each
+    # while 30 cores idled.  Materializing (id, chunks) once runs the
+    # tokenizer exactly once at full width and leaves the filter a
+    # trivial array-length test over the checkpoint (guide §1.2/§2.5;
+    # the cleaning.py precedent — the durable 100 TB analog is a parquet
+    # staging write of the chunked corpus).
     base = staged.select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_chunks(tokens(text_col), chunk_tokens)).alias("chunks"),
-    ).filter(F.size("chunks") > 0)
+    ).filter(F.size("chunks") > 0).localCheckpoint(eager=True)
     ex = base.select("id", F.explode("chunks").alias("chunk"))
     dfreq = ex.groupBy("chunk").agg(F.count(F.lit(1)).alias("dfreq"))
     hits = (

@@ -231,6 +231,13 @@ def hashed_linear_score(
     fold = F.expr(
         f"aggregate(_toks, CAST(0.0 AS DOUBLE), (acc, t) -> acc + ({weight}))"
     )
+    # NOTE round 14: an internal ensure_parallelism was measured here and
+    # REVERTED — the hashing fold is light enough that the round-robin
+    # exchange costs more than the spread gains for the scorer's pure
+    # consumers (q_quality_classifier 0.23 -> 0.45 s, q_rank_corr 0.7 ->
+    # 1.3 s at sf1.0).  Callers that pair the score with a HEAVY second
+    # branch (quality_rules) spread the input themselves — q_calibration
+    # went 5.3-6.7 -> 1.5 s at sf1.0 doing exactly that.
     base = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     ).withColumn("_n", F.size("_toks").cast("long"))

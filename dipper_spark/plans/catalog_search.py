@@ -2180,7 +2180,12 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dipper_spark.operators.aggregates import calibration_bins
     from dipper_spark.operators.search import hashed_linear_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    from dipper_spark.operators.util import ensure_parallelism
+
+    # one round-robin spread feeds BOTH regex-heavy branches (score +
+    # rules); without it a 1-2-split docs scan serializes each branch on
+    # as many cores (round-14 sf1.0 profile: 5 s on 2 tasks)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sc = hashed_linear_score(docs, "doc_id", "text", n_buckets=_CLF_BUCKETS).select(
         "id", "clf_score"
     )
