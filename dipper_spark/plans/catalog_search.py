@@ -1380,6 +1380,14 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (name, brand).  13.5s -> ~3s; on a corpus whose value domain is
     # row-cardinality this degrades gracefully to the blocked verify.
     nd = part.select("p_name").distinct()
+    # NOTE round 14: the domain-square levenshtein verify runs as ONE
+    # task at sf1.0 (the distinct's byte-small output AQE-coalesces to a
+    # single partition and the BNLJ executes inside the broadcast build).
+    # Two width pins were measured and REVERTED: a hash repartition on
+    # p_name is elided as redundant over the distinct's own partitioning,
+    # and a round-robin repartition pays a sort and still left the build
+    # narrow — 6.2 s either way at sf1.0, 640-value domain.  The verify
+    # is domain²-bounded by design; left as the honest cost.
     x, y = nd.alias("x"), nd.alias("y")
     nd_dist = F.levenshtein(F.col("x.p_name"), F.col("y.p_name"))
     ok = (
@@ -1479,6 +1487,13 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding so both engines agree bit-for-bit."""
     from dipper_spark.operators.similarity import quantize_int8
 
+    # NOTE round 14: at sf1.0 this runs as 2 tasks (the embeddings scan
+    # has 2 splits and Catalyst pushes the quantize projection AND the
+    # posexplode Generate below any spreading exchange — measured with
+    # input-side ensure_parallelism and with a mid-pipeline round-robin,
+    # 7.2 s vs 13.0 s; the sort-before-repartition made it worse).
+    # Reverted per guide §1.1; the honest fix is more input splits
+    # (maxPartitionBytes), which the 100 TB case has by construction.
     emb = load_table(spark, sf_dir, "embeddings")
     q = quantize_int8(emb, "vec_id", "embedding")
     return q.select(
